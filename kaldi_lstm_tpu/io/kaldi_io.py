@@ -1,0 +1,518 @@
+"""Kaldi-format table I/O: binary/text tokens, matrices, vectors,
+posteriors, and ark/scp readers.
+
+This supplies the upstream-Kaldi capabilities the reference relies on but
+does not vendor (SURVEY.md §2.2): `SequentialBaseFloatMatrixReader`,
+`RandomAccessPosteriorReader` and the rspecifier conventions used by the
+trainer (bd-nnet-train-lstm-streams.cc:108-113). Formats follow the Kaldi
+wire conventions so models/features interoperate:
+
+* binary streams start with the two bytes ``\\0B``;
+* tokens are space-terminated ASCII words (``<CellDim> ``);
+* basic types are written as a size byte then little-endian payload;
+* float matrices are ``FM `` + int32 rows + int32 cols + row-major f32;
+* float vectors are ``FV `` + int32 dim + f32 data;
+* posteriors are, per frame, an int32 entry count then (int32 id, f32
+  weight) pairs.
+
+rspecifiers understood: ``ark:file``, ``scp:file``, ``ark:-`` (stdin),
+and trailing-``|`` command pipes (``ark:gunzip -c f.gz |``).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import subprocess
+import sys
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+# A Posterior for one utterance: per frame, a list of (id, weight) pairs —
+# mirrors Kaldi's `Posterior` typedef (hmm/posterior.h upstream).
+Posterior = List[List[Tuple[int, float]]]
+
+BINARY_HEADER = b"\0B"
+
+
+class KaldiInput:
+    """Wraps a readable binary stream; detects binary vs text mode."""
+
+    def __init__(self, stream, binary: bool | None = None):
+        self.stream = stream
+        if binary is None:
+            head = stream.peek(2)[:2] if hasattr(stream, "peek") else None
+            if head is None:
+                head = stream.read(2)
+                if head == BINARY_HEADER:
+                    self.binary = True
+                else:
+                    # No pushback available: wrap remainder
+                    self.stream = io.BufferedReader(
+                        _ChainedStream(head, stream))
+                    self.binary = False
+                return
+            self.binary = head == BINARY_HEADER
+            if self.binary:
+                stream.read(2)
+        else:
+            self.binary = binary
+
+    def read(self, n: int) -> bytes:
+        return self.stream.read(n)
+
+
+class _ChainedStream(io.RawIOBase):
+    def __init__(self, head: bytes, rest):
+        self.head = head
+        self.rest = rest
+
+    def readable(self):
+        return True
+
+    def readinto(self, b):
+        if self.head:
+            n = min(len(b), len(self.head))
+            b[:n] = self.head[:n]
+            self.head = self.head[n:]
+            return n
+        data = self.rest.read(len(b))
+        if not data:
+            return 0
+        b[:len(data)] = data
+        return len(data)
+
+
+class KaldiOutput:
+    def __init__(self, stream, binary: bool = True, write_header: bool = True):
+        self.stream = stream
+        self.binary = binary
+        if binary and write_header:
+            stream.write(BINARY_HEADER)
+
+
+# ---------------------------------------------------------------------------
+# token / basic-type primitives
+# ---------------------------------------------------------------------------
+
+def write_token(out: KaldiOutput, token: str) -> None:
+    out.stream.write(token.encode() + b" ")
+
+
+def read_token(inp: KaldiInput) -> str:
+    """Read a space/newline-delimited token, skipping leading whitespace."""
+    chars = []
+    while True:
+        c = inp.read(1)
+        if not c:
+            if chars:
+                break
+            raise EOFError("read_token: end of stream")
+        if c.isspace():
+            if chars:
+                break
+            continue
+        chars.append(c)
+    return b"".join(chars).decode()
+
+
+def peek_token(stream) -> str:
+    """Peek the next token of a buffered stream without consuming it."""
+    buf = stream.peek(64)
+    i = 0
+    while i < len(buf) and buf[i:i + 1].isspace():
+        i += 1
+    j = i
+    while j < len(buf) and not buf[j:j + 1].isspace():
+        j += 1
+    return buf[i:j].decode(errors="replace")
+
+
+def _read_until_bracket(inp: KaldiInput) -> bytes:
+    """Consume and return everything up to (excluding) the next ']',
+    consuming the ']' too. Uses buffered peeking when available — large
+    text matrices (16k x 512 senone layers) make byte-at-a-time reads
+    prohibitively slow."""
+    stream = inp.stream
+    peek = getattr(stream, "peek", None)
+    chunks = []
+    if peek is not None:
+        while True:
+            buf = peek(65536)
+            if not buf:
+                raise EOFError("unterminated '[ ... ]' block")
+            idx = buf.find(b"]")
+            if idx >= 0:
+                chunks.append(stream.read(idx))
+                stream.read(1)
+                return b"".join(chunks)
+            chunks.append(stream.read(len(buf)))
+    while True:
+        c = stream.read(1)
+        if not c:
+            raise EOFError("unterminated '[ ... ]' block")
+        if c == b"]":
+            return b"".join(chunks)
+        chunks.append(c)
+
+
+def _parse_floats(body: bytes) -> np.ndarray:
+    """Whitespace-separated ascii floats -> float32 array, via numpy's C
+    parser (str.split on a 50 MB senone matrix costs tens of seconds)."""
+    import warnings
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            return np.fromstring(body, dtype=np.float32, sep=" ")
+    except Exception:
+        return np.array(body.split(), np.float32)
+
+
+def write_int32(out: KaldiOutput, value: int) -> None:
+    if out.binary:
+        out.stream.write(b"\x04" + struct.pack("<i", value))
+    else:
+        out.stream.write(f"{value} ".encode())
+
+
+def read_int32(inp: KaldiInput) -> int:
+    if inp.binary:
+        size = inp.read(1)
+        if size != b"\x04":
+            raise ValueError(f"read_int32: bad size marker {size!r}")
+        return struct.unpack("<i", inp.read(4))[0]
+    return int(read_token(inp))
+
+
+def write_float(out: KaldiOutput, value: float) -> None:
+    if out.binary:
+        out.stream.write(b"\x04" + struct.pack("<f", value))
+    else:
+        out.stream.write(f"{value:.7g} ".encode())
+
+
+def read_float(inp: KaldiInput) -> float:
+    if inp.binary:
+        size = inp.read(1)
+        if size != b"\x04":
+            raise ValueError(f"read_float: bad size marker {size!r}")
+        return struct.unpack("<f", inp.read(4))[0]
+    return float(read_token(inp))
+
+
+# ---------------------------------------------------------------------------
+# matrices / vectors
+# ---------------------------------------------------------------------------
+
+def write_matrix(out: KaldiOutput, mat: np.ndarray) -> None:
+    mat = np.asarray(mat, np.float32)
+    assert mat.ndim == 2
+    if out.binary:
+        write_token(out, "FM")
+        write_int32(out, mat.shape[0])
+        write_int32(out, mat.shape[1])
+        out.stream.write(np.ascontiguousarray(mat).tobytes())
+    else:
+        out.stream.write(b" [\n")
+        # np.savetxt formats at C speed — a per-element Python loop is
+        # minutes on 16k x 512 senone layers
+        np.savetxt(out.stream, mat, fmt="%.7g", delimiter=" ")
+        out.stream.write(b"]\n")
+
+
+def read_matrix(inp: KaldiInput) -> np.ndarray:
+    if inp.binary:
+        token = read_token(inp)
+        if token == "FM":
+            dt = np.float32
+        elif token == "DM":
+            dt = np.float64
+        else:
+            raise ValueError(f"read_matrix: expected FM/DM, got {token!r}")
+        rows = read_int32(inp)
+        cols = read_int32(inp)
+        data = inp.read(rows * cols * np.dtype(dt).itemsize)
+        return np.frombuffer(data, dt).reshape(rows, cols).astype(np.float32)
+    # text: " [ \n r0c0 r0c1 \n r1c0 ... ]" — accumulate to the closing
+    # bracket, then split physical lines into rows.
+    tok = read_token(inp)
+    if tok != "[":
+        raise ValueError(f"read_matrix(text): expected '[', got {tok!r}")
+    body = _read_until_bracket(inp)
+    stripped = body.lstrip()
+    nl = stripped.find(b"\n")
+    first_line = stripped if nl < 0 else stripped[:nl]
+    ncols = len(first_line.split())
+    flat = _parse_floats(body)
+    return flat.reshape(-1, ncols)
+
+
+def write_vector(out: KaldiOutput, vec: np.ndarray) -> None:
+    vec = np.asarray(vec, np.float32).reshape(-1)
+    if out.binary:
+        write_token(out, "FV")
+        write_int32(out, vec.shape[0])
+        out.stream.write(np.ascontiguousarray(vec).tobytes())
+    else:
+        out.stream.write(b" [ " + " ".join(
+            np.char.mod("%.7g", vec)).encode() + b" ]\n")
+
+
+def read_vector(inp: KaldiInput) -> np.ndarray:
+    if inp.binary:
+        token = read_token(inp)
+        if token == "FV":
+            dt = np.float32
+        elif token == "DV":
+            dt = np.float64
+        else:
+            raise ValueError(f"read_vector: expected FV/DV, got {token!r}")
+        dim = read_int32(inp)
+        data = inp.read(dim * np.dtype(dt).itemsize)
+        return np.frombuffer(data, dt).astype(np.float32)
+    tok = read_token(inp)
+    if tok != "[":
+        raise ValueError(f"read_vector(text): expected '[', got {tok!r}")
+    return _parse_floats(_read_until_bracket(inp))
+
+
+# ---------------------------------------------------------------------------
+# posteriors
+# ---------------------------------------------------------------------------
+
+def write_posterior(out: KaldiOutput, post: Posterior) -> None:
+    if out.binary:
+        write_int32(out, len(post))
+        for frame in post:
+            write_int32(out, len(frame))
+            for pdf, weight in frame:
+                write_int32(out, int(pdf))
+                write_float(out, float(weight))
+    else:
+        for frame in post:
+            out.stream.write(b"[ ")
+            for pdf, weight in frame:
+                out.stream.write(f"{int(pdf)} {weight:.7g} ".encode())
+            out.stream.write(b"] ")
+        out.stream.write(b"\n")
+
+
+def read_posterior(inp: KaldiInput) -> Posterior:
+    if inp.binary:
+        nframes = read_int32(inp)
+        post: Posterior = []
+        for _ in range(nframes):
+            n = read_int32(inp)
+            frame = []
+            for _ in range(n):
+                pdf = read_int32(inp)
+                weight = read_float(inp)
+                frame.append((pdf, weight))
+            post.append(frame)
+        return post
+    # text: "[ id w id w ] [ ... ] \n"
+    post = []
+    while True:
+        tok = read_token(inp)
+        if tok != "[":
+            raise ValueError(f"read_posterior(text): expected '[', got {tok!r}")
+        frame = []
+        while True:
+            tok = read_token(inp)
+            if tok == "]":
+                break
+            pdf = int(tok)
+            weight = float(read_token(inp))
+            frame.append((pdf, weight))
+        post.append(frame)
+        # peek for newline / next frame
+        c = inp.read(1)
+        while c and c in b" \t":
+            c = inp.read(1)
+        if not c or c == b"\n":
+            return post
+        if c != b"[":
+            raise ValueError("read_posterior(text): malformed")
+        inp.stream = io.BufferedReader(_ChainedStream(b"[", inp.stream))
+
+
+# ---------------------------------------------------------------------------
+# rspecifiers / wspecifiers and table readers/writers
+# ---------------------------------------------------------------------------
+
+def _open_rspecifier(spec: str):
+    """Open the data source of an rspecifier. Returns (kind, stream)."""
+    if ":" not in spec:
+        raise ValueError(f"bad rspecifier {spec!r}")
+    kind, rest = spec.split(":", 1)
+    # strip read options like ark,t:
+    kind = kind.split(",")[0]
+    if kind not in ("ark", "scp"):
+        raise ValueError(f"unsupported rspecifier kind {kind!r}")
+    if rest.endswith("|"):
+        proc = subprocess.Popen(rest[:-1], shell=True,
+                                stdout=subprocess.PIPE)
+        return kind, io.BufferedReader(proc.stdout.raw)
+    if rest == "-":
+        return kind, sys.stdin.buffer
+    return kind, open(rest, "rb")
+
+
+def _read_key(stream) -> str | None:
+    """Read the whitespace-terminated utterance key, or None at EOF."""
+    chars = []
+    while True:
+        c = stream.read(1)
+        if not c:
+            return None if not chars else b"".join(chars).decode()
+        if c.isspace():
+            if chars:
+                return b"".join(chars).decode()
+            continue
+        chars.append(c)
+
+
+def _read_value_header(stream) -> KaldiInput:
+    """After the key comes one space then \\0B (binary) or text data."""
+    head = stream.peek(2)[:2]
+    if head == BINARY_HEADER:
+        stream.read(2)
+        return KaldiInput(stream, binary=True)
+    return KaldiInput(stream, binary=False)
+
+
+class SequentialMatrixReader:
+    """Sequential reader over `ark:`/`scp:` float-matrix tables — the
+    trainer's feature source (bd-nnet-train-lstm-streams.cc:108)."""
+
+    def __init__(self, rspecifier: str):
+        self.kind, self.stream = _open_rspecifier(rspecifier)
+
+    def __iter__(self) -> Iterator[tuple[str, np.ndarray]]:
+        if self.kind == "ark":
+            stream = io.BufferedReader(self.stream) \
+                if not isinstance(self.stream, io.BufferedReader) \
+                else self.stream
+            while True:
+                key = _read_key(stream)
+                if key is None:
+                    return
+                inp = _read_value_header(stream)
+                yield key, read_matrix(inp)
+        else:  # scp: "key path[:offset]" lines
+            for line in io.TextIOWrapper(self.stream):
+                line = line.strip()
+                if not line:
+                    continue
+                key, path = line.split(None, 1)
+                yield key, read_matrix_from_rxfilename(path)
+
+
+def read_matrix_from_rxfilename(rxfilename: str) -> np.ndarray:
+    path, offset = _split_offset(rxfilename)
+    with open(path, "rb") as f:
+        if offset is not None:
+            f.seek(offset)
+        inp = KaldiInput(io.BufferedReader(io.FileIO(f.fileno(),
+                                                     closefd=False)))
+        return read_matrix(inp)
+
+
+def _split_offset(rxfilename: str):
+    if ":" in rxfilename:
+        path, _, off = rxfilename.rpartition(":")
+        if off.isdigit():
+            return path, int(off)
+    return rxfilename, None
+
+
+class RandomAccessPosteriorReader:
+    """Random-access posterior reader. For `ark:` sources the table is read
+    fully into memory (targets for an epoch fit on host); for `scp:` values
+    are fetched lazily by offset."""
+
+    def __init__(self, rspecifier: str):
+        self.kind, stream = _open_rspecifier(rspecifier)
+        self._table: dict[str, Posterior] = {}
+        self._scp: dict[str, str] = {}
+        if self.kind == "ark":
+            buffered = stream if isinstance(stream, io.BufferedReader) \
+                else io.BufferedReader(stream)
+            while True:
+                key = _read_key(buffered)
+                if key is None:
+                    break
+                inp = _read_value_header(buffered)
+                self._table[key] = read_posterior(inp)
+        else:
+            for line in io.TextIOWrapper(stream):
+                line = line.strip()
+                if line:
+                    key, path = line.split(None, 1)
+                    self._scp[key] = path
+
+    def has_key(self, key: str) -> bool:
+        return key in self._table or key in self._scp
+
+    def value(self, key: str) -> Posterior:
+        if key in self._table:
+            return self._table[key]
+        path, offset = _split_offset(self._scp[key])
+        with open(path, "rb") as f:
+            if offset is not None:
+                f.seek(offset)
+            inp = KaldiInput(io.BufferedReader(
+                io.FileIO(f.fileno(), closefd=False)))
+            return read_posterior(inp)
+
+
+class TableWriter:
+    """Write `key value` records to an ark (and optional scp index)."""
+
+    def __init__(self, wspecifier: str, write_fn, binary: bool = True):
+        # wspecifier: "ark:file", "ark,scp:arkfile,scpfile", "ark,t:file"
+        kind, rest = wspecifier.split(":", 1)
+        opts = kind.split(",")
+        self.binary = binary and "t" not in opts
+        self.write_fn = write_fn
+        self.scp = None
+        if "scp" in opts:
+            ark_path, scp_path = rest.split(",", 1)
+            self.ark = open(ark_path, "wb")
+            self.scp = open(scp_path, "w")
+            self.ark_path = os.path.abspath(ark_path)
+        else:
+            self.ark = sys.stdout.buffer if rest == "-" else open(rest, "wb")
+            self.ark_path = rest
+
+    def write(self, key: str, value) -> None:
+        self.ark.write(key.encode() + b" ")
+        offset = self.ark.tell()
+        out = KaldiOutput(self.ark, binary=self.binary)
+        self.write_fn(out, value)
+        if not self.binary:
+            pass
+        if self.scp is not None:
+            self.scp.write(f"{key} {self.ark_path}:{offset}\n")
+
+    def close(self) -> None:
+        if self.ark is not sys.stdout.buffer:
+            self.ark.close()
+        if self.scp is not None:
+            self.scp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def MatrixWriter(wspecifier: str) -> TableWriter:
+    return TableWriter(wspecifier, write_matrix)
+
+
+def PosteriorWriter(wspecifier: str) -> TableWriter:
+    return TableWriter(wspecifier, write_posterior)

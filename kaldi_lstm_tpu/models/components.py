@@ -1,0 +1,448 @@
+"""The component (layer) system.
+
+Functional re-design of nnet1's `Component`/`UpdatableComponent` virtual
+API (SURVEY.md §2.2): a component object holds only *static* configuration
+(dims, cell size, shift, ...); parameters and recurrent state are explicit
+pytrees threaded through pure `apply` functions so the whole network jits
+and shards. Serialization follows the Kaldi token format so checkpoints
+cross-load with the reference (component markers, `<Token> out_dim in_dim`
+headers, tensor order per bd-nnet-lstm-projected-streams.h:101-150).
+
+Batch layout is stream-major [S, T, D].
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_lstm_tpu.io import kaldi_io as kio
+from kaldi_lstm_tpu.ops.lstm_cell import (
+    LstmParams,
+    LstmState,
+    init_lstm_params,
+    lstm_scan,
+    zero_state,
+)
+
+Params = Any   # component parameter pytree ({} when parameter-free)
+State = Any    # recurrent state pytree (None when stateless)
+
+
+def moment_statistics(name: str, arr) -> str:
+    """Tensor moment summary for Info()/InfoGradient() monitoring, the
+    equivalent of Kaldi's MomentStatistics (used at
+    bd-nnet-lstm-projected-streams.h:190-210)."""
+    a = np.asarray(arr)
+    if a.size == 0:
+        return f"{name} [empty]"
+    return (f"{name} [dim {'x'.join(map(str, a.shape))}] "
+            f"min {a.min():.6g} max {a.max():.6g} "
+            f"mean {a.mean():.6g} stddev {a.std():.6g}")
+
+
+class Component:
+    """Base: static config + pure functions over explicit params/state."""
+
+    token: str = ""
+    updatable: bool = False
+    stateful: bool = False
+
+    def __init__(self, input_dim: int, output_dim: int):
+        self.input_dim = int(input_dim)
+        self.output_dim = int(output_dim)
+
+    # --- numerics ---------------------------------------------------------
+    def init_params(self, rng: jax.Array) -> Params:
+        return {}
+
+    def apply(self, params: Params, x: jax.Array,
+              state: State = None) -> tuple[jax.Array, State]:
+        raise NotImplementedError
+
+    def init_state(self, nstream: int) -> State:
+        return None
+
+    # --- serialization ----------------------------------------------------
+    def read_data(self, inp: kio.KaldiInput) -> Params:
+        return {}
+
+    def write_data(self, out: kio.KaldiOutput, params: Params) -> None:
+        pass
+
+    def init_from_config(self, tokens: dict, rng: jax.Array) -> Params:
+        """Build params from `<NnetProto>` line options (nnet-initialize)."""
+        return self.init_params(rng)
+
+    # --- monitoring -------------------------------------------------------
+    def info(self, params: Params) -> str:
+        return ""
+
+    def info_gradient(self, grads: Params) -> str:
+        return ""
+
+    def num_params(self, params: Params) -> int:
+        return sum(int(np.prod(np.shape(p)))
+                   for p in jax.tree_util.tree_leaves(params))
+
+    def __repr__(self):
+        return (f"{type(self).__name__}(in={self.input_dim}, "
+                f"out={self.output_dim})")
+
+
+_REGISTRY: dict[str, type] = {}
+
+
+def register(cls):
+    _REGISTRY[cls.token] = cls
+    return cls
+
+
+def component_from_token(token: str, input_dim: int,
+                         output_dim: int) -> Component:
+    if token not in _REGISTRY:
+        raise ValueError(f"unknown component marker {token!r}; known: "
+                         f"{sorted(_REGISTRY)}")
+    return _REGISTRY[token](input_dim, output_dim)
+
+
+# ---------------------------------------------------------------------------
+# simple pass-through / shift components
+# ---------------------------------------------------------------------------
+
+@register
+class Transmit(Component):
+    """Identity placeholder; leading non-updatable component in multi-stream
+    nets (reference standard/nnet/nnet-transmit-component.h:27-34, rationale
+    in /root/reference/README.md Q3)."""
+
+    token = "<Transmit>"
+
+    def apply(self, params, x, state=None):
+        return x, state
+
+
+@register
+class TimeShift(Component):
+    """Target-delay at decode: out[t] = in[clamp(t + shift)] along time,
+    with edge clamping (standard/nnet/nnet-time-shift.h:42-51). No gradient
+    use-case (decode-only)."""
+
+    token = "<TimeShift>"
+
+    def __init__(self, input_dim, output_dim, shift: int = 0):
+        super().__init__(input_dim, output_dim)
+        self.shift = int(shift)
+
+    def apply(self, params, x, state=None):
+        T = x.shape[1]
+        src = jnp.clip(jnp.arange(T) + self.shift, 0, T - 1)
+        return x[:, src, :], state
+
+    def read_data(self, inp):
+        tok = kio.read_token(inp)
+        if tok != "<Shift>":
+            raise ValueError(f"TimeShift: expected <Shift>, got {tok!r}")
+        self.shift = kio.read_int32(inp)
+        return {}
+
+    def write_data(self, out, params):
+        kio.write_token(out, "<Shift>")
+        kio.write_int32(out, self.shift)
+        if not out.binary:
+            out.stream.write(b"\n")
+
+    def init_from_config(self, tokens, rng):
+        self.shift = int(tokens.get("<Shift>", 0))
+        return {}
+
+
+@register
+class AddShift(Component):
+    """Per-dim additive shift (CMVN mean subtraction in the feature
+    transform, google/feature_transform.nnet.txt:2-3)."""
+
+    token = "<AddShift>"
+
+    def init_params(self, rng):
+        return {"shift": jnp.zeros((self.input_dim,), jnp.float32)}
+
+    def apply(self, params, x, state=None):
+        return x + params["shift"], state
+
+    def read_data(self, inp):
+        # tolerate the newer-nnet1 optional <LearnRateCoef>
+        if kio.peek_token(inp.stream) == "<LearnRateCoef>":
+            kio.read_token(inp)
+            kio.read_float(inp)
+        return {"shift": jnp.asarray(kio.read_vector(inp))}
+
+    def write_data(self, out, params):
+        kio.write_vector(out, np.asarray(params["shift"]))
+
+    def info(self, params):
+        return moment_statistics("shift", params["shift"])
+
+
+@register
+class Rescale(Component):
+    """Per-dim multiplicative rescale (CMVN 1/std,
+    google/feature_transform.nnet.txt:4-5)."""
+
+    token = "<Rescale>"
+
+    def init_params(self, rng):
+        return {"scale": jnp.ones((self.input_dim,), jnp.float32)}
+
+    def apply(self, params, x, state=None):
+        return x * params["scale"], state
+
+    def read_data(self, inp):
+        if kio.peek_token(inp.stream) == "<LearnRateCoef>":
+            kio.read_token(inp)
+            kio.read_float(inp)
+        return {"scale": jnp.asarray(kio.read_vector(inp))}
+
+    def write_data(self, out, params):
+        kio.write_vector(out, np.asarray(params["scale"]))
+
+    def info(self, params):
+        return moment_statistics("scale", params["scale"])
+
+
+# ---------------------------------------------------------------------------
+# affine / softmax
+# ---------------------------------------------------------------------------
+
+@register
+class AffineTransform(Component):
+    """y = x W^T + b with W [out, in] (Kaldi orientation). The 16k-senone
+    output layer of the reference nets (/root/reference/README.md:27)."""
+
+    token = "<AffineTransform>"
+    updatable = True
+
+    def __init__(self, input_dim, output_dim):
+        super().__init__(input_dim, output_dim)
+        self.learn_rate_coef = 1.0
+        self.bias_learn_rate_coef = 1.0
+        self.max_norm = 0.0
+
+    def init_params(self, rng, param_stddev: float = 0.1,
+                    bias_mean: float = 0.0, bias_range: float = 0.0):
+        k1, k2 = jax.random.split(rng)
+        w = jax.random.normal(
+            k1, (self.output_dim, self.input_dim), jnp.float32) * param_stddev
+        b = bias_mean + (jax.random.uniform(k2, (self.output_dim,),
+                                            jnp.float32) - 0.5) * bias_range
+        return {"linearity": w, "bias": b}
+
+    def apply(self, params, x, state=None):
+        y = jnp.dot(x, params["linearity"].T,
+                    preferred_element_type=x.dtype) + params["bias"]
+        return y, state
+
+    def read_data(self, inp):
+        while kio.peek_token(inp.stream) in ("<LearnRateCoef>",
+                                             "<BiasLearnRateCoef>",
+                                             "<MaxNorm>"):
+            tok = kio.read_token(inp)
+            val = kio.read_float(inp)
+            if tok == "<LearnRateCoef>":
+                self.learn_rate_coef = val
+            elif tok == "<BiasLearnRateCoef>":
+                self.bias_learn_rate_coef = val
+            else:
+                self.max_norm = val
+        w = kio.read_matrix(inp)
+        b = kio.read_vector(inp)
+        return {"linearity": jnp.asarray(w), "bias": jnp.asarray(b)}
+
+    def write_data(self, out, params):
+        kio.write_token(out, "<LearnRateCoef>")
+        kio.write_float(out, self.learn_rate_coef)
+        kio.write_token(out, "<BiasLearnRateCoef>")
+        kio.write_float(out, self.bias_learn_rate_coef)
+        kio.write_token(out, "<MaxNorm>")
+        kio.write_float(out, self.max_norm)
+        kio.write_matrix(out, np.asarray(params["linearity"]))
+        kio.write_vector(out, np.asarray(params["bias"]))
+
+    def init_from_config(self, tokens, rng):
+        return self.init_params(
+            rng,
+            param_stddev=float(tokens.get("<ParamStddev>", 0.1)),
+            bias_mean=float(tokens.get("<BiasMean>", 0.0)),
+            bias_range=float(tokens.get("<BiasRange>", 0.0)),
+        )
+
+    def info(self, params):
+        return (moment_statistics("linearity", params["linearity"]) + "\n  "
+                + moment_statistics("bias", params["bias"]))
+
+    def info_gradient(self, grads):
+        return (moment_statistics("linearity_grad", grads["linearity"])
+                + "\n  " + moment_statistics("bias_grad", grads["bias"]))
+
+
+@register
+class Softmax(Component):
+    """Row softmax. In training the loss consumes pre-softmax logits via
+    `Nnet.propagate(..., logits=True)` and jax.grad reproduces the combined
+    softmax+xent derivative (y - t) that nnet1 gets by pairing
+    Softmax::BackpropagateFnc with Xent (nnet-loss.cc:103-107)."""
+
+    token = "<Softmax>"
+
+    def apply(self, params, x, state=None):
+        return jax.nn.softmax(x, axis=-1), state
+
+
+# ---------------------------------------------------------------------------
+# projected LSTM components
+# ---------------------------------------------------------------------------
+
+class _LstmBase(Component):
+    updatable = True
+
+    def __init__(self, input_dim, output_dim, cell_dim: int = 0,
+                 param_scale: float = 0.02):
+        super().__init__(input_dim, output_dim)
+        self.cell_dim = int(cell_dim)
+        self.recur_dim = int(output_dim)
+        self.param_scale = float(param_scale)
+        self.cell_clip = 50.0  # bd-nnet-lstm-projected-streams.h:296-297
+
+    def init_params(self, rng) -> LstmParams:
+        return init_lstm_params(rng, self.input_dim, self.cell_dim,
+                                self.recur_dim, self.param_scale)
+
+    def _read_tensors(self, inp) -> LstmParams:
+        return LstmParams(
+            w_gifo_x=jnp.asarray(kio.read_matrix(inp)),
+            w_gifo_r=jnp.asarray(kio.read_matrix(inp)),
+            bias=jnp.asarray(kio.read_vector(inp)),
+            peephole_i_c=jnp.asarray(kio.read_vector(inp)),
+            peephole_f_c=jnp.asarray(kio.read_vector(inp)),
+            peephole_o_c=jnp.asarray(kio.read_vector(inp)),
+            w_r_m=jnp.asarray(kio.read_matrix(inp)),
+        )
+
+    def _write_tensors(self, out, p: LstmParams) -> None:
+        kio.write_matrix(out, np.asarray(p.w_gifo_x))
+        kio.write_matrix(out, np.asarray(p.w_gifo_r))
+        kio.write_vector(out, np.asarray(p.bias))
+        kio.write_vector(out, np.asarray(p.peephole_i_c))
+        kio.write_vector(out, np.asarray(p.peephole_f_c))
+        kio.write_vector(out, np.asarray(p.peephole_o_c))
+        kio.write_matrix(out, np.asarray(p.w_r_m))
+
+    def info(self, p: LstmParams):
+        return "\n  ".join([
+            moment_statistics("w_gifo_x_", p.w_gifo_x),
+            moment_statistics("w_gifo_r_", p.w_gifo_r),
+            moment_statistics("bias_", p.bias),
+            moment_statistics("peephole_i_c_", p.peephole_i_c),
+            moment_statistics("peephole_f_c_", p.peephole_f_c),
+            moment_statistics("peephole_o_c_", p.peephole_o_c),
+            moment_statistics("w_r_m_", p.w_r_m),
+        ])
+
+    def info_gradient(self, g: LstmParams):
+        return "\n  ".join([
+            moment_statistics("w_gifo_x_corr_", g.w_gifo_x),
+            moment_statistics("w_gifo_r_corr_", g.w_gifo_r),
+            moment_statistics("bias_corr_", g.bias),
+            moment_statistics("peephole_i_c_corr_", g.peephole_i_c),
+            moment_statistics("peephole_f_c_corr_", g.peephole_f_c),
+            moment_statistics("peephole_o_c_corr_", g.peephole_o_c),
+            moment_statistics("w_r_m_corr_", g.w_r_m),
+        ])
+
+
+@register
+class LstmProjected(_LstmBase):
+    """Single-sequence LSTMP: each call covers a whole utterance with zero
+    initial state, no carry (standard/nnet/nnet-lstm-projected.h:222-231,
+    state bridging explicitly disabled at decode)."""
+
+    token = "<LstmProjected>"
+
+    def apply(self, params: LstmParams, x, state=None):
+        S = x.shape[0]
+        st = zero_state(S, self.cell_dim, self.recur_dim, x.dtype)
+        out, _ = lstm_scan(params, x, st, self.cell_clip)
+        return out, None
+
+    def read_data(self, inp):
+        tok = kio.read_token(inp)
+        if tok != "<CellDim>":
+            raise ValueError(f"LstmProjected: expected <CellDim>, got {tok!r}")
+        self.cell_dim = kio.read_int32(inp)
+        return self._read_tensors(inp)
+
+    def write_data(self, out, params):
+        kio.write_token(out, "<CellDim>")
+        kio.write_int32(out, self.cell_dim)
+        self._write_tensors(out, params)
+
+    def init_from_config(self, tokens, rng):
+        self.cell_dim = int(tokens["<CellDim>"])
+        self.param_scale = float(tokens.get("<ParamScale>", 0.02))
+        return self.init_params(rng)
+
+
+@register
+class LstmProjectedStreams(_LstmBase):
+    """Multi-stream LSTMP with cross-chunk state carry. The carried (c, r)
+    state is functional: `apply` takes and returns it; per-stream resets
+    are a mask-multiply on the carry applied by the trainer *before* the
+    chunk (the reference's Nnet::Reset ordering,
+    bd-nnet-train-lstm-streams.cc:209 → …streams.h:212-220)."""
+
+    token = "<LstmProjectedStreams>"
+    stateful = True
+
+    def __init__(self, input_dim, output_dim, cell_dim: int = 0,
+                 nstream: int = 4, param_scale: float = 0.02):
+        super().__init__(input_dim, output_dim, cell_dim, param_scale)
+        self.nstream = int(nstream)
+
+    def init_state(self, nstream: int) -> LstmState:
+        return zero_state(nstream, self.cell_dim, self.recur_dim)
+
+    def apply(self, params: LstmParams, x, state: Optional[LstmState] = None):
+        if state is None:
+            state = zero_state(x.shape[0], self.cell_dim, self.recur_dim,
+                               x.dtype)
+        out, new_state = lstm_scan(params, x, state, self.cell_clip)
+        return out, new_state
+
+    def read_data(self, inp):
+        tok = kio.read_token(inp)
+        if tok != "<CellDim>":
+            raise ValueError(
+                f"LstmProjectedStreams: expected <CellDim>, got {tok!r}")
+        self.cell_dim = kio.read_int32(inp)
+        tok = kio.read_token(inp)
+        if tok != "<NumStream>":
+            raise ValueError(
+                f"LstmProjectedStreams: expected <NumStream>, got {tok!r}")
+        self.nstream = kio.read_int32(inp)
+        return self._read_tensors(inp)
+
+    def write_data(self, out, params):
+        kio.write_token(out, "<CellDim>")
+        kio.write_int32(out, self.cell_dim)
+        kio.write_token(out, "<NumStream>")
+        kio.write_int32(out, self.nstream)
+        self._write_tensors(out, params)
+
+    def init_from_config(self, tokens, rng):
+        self.cell_dim = int(tokens["<CellDim>"])
+        self.nstream = int(tokens.get("<NumStream>", 4))
+        self.param_scale = float(tokens.get("<ParamScale>", 0.02))
+        return self.init_params(rng)

@@ -1,0 +1,48 @@
+"""Copy / convert Nnet models — the `nnet-copy` equivalent plus the
+google→standard decode conversion the reference does by hand-editing text
+dumps (/root/reference/README.md:17-30: Transmit→TimeShift,
+LstmProjectedStreams→LstmProjected, drop <NumStream>).
+
+    python -m kaldi_lstm_tpu.tools.nnet_copy [--binary=false]
+        [--to-standard] [--time-shift=5] nnet.in nnet.out
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from kaldi_lstm_tpu.models import Nnet
+from kaldi_lstm_tpu.models.components import TimeShift
+from kaldi_lstm_tpu.utils import LOG
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Copy Neural Network model "
+                                "(possibly changing binary/text format or "
+                                "converting google->standard form)")
+    p.add_argument("model_in")
+    p.add_argument("model_out")
+    p.add_argument("--binary", default="true")
+    p.add_argument("--to-standard", action="store_true",
+                   help="Convert Transmit->TimeShift and "
+                        "LstmProjectedStreams->LstmProjected for decoding")
+    p.add_argument("--time-shift", type=int, default=5,
+                   help="<Shift> for the TimeShift produced by "
+                        "--to-standard (match --targets-delay)")
+    args = p.parse_args(argv)
+
+    nnet, params = Nnet.read(args.model_in)
+    if args.to_standard:
+        nnet = nnet.to_standard()
+        for c in nnet.components:
+            if isinstance(c, TimeShift):
+                c.shift = args.time_shift
+    nnet.write(args.model_out, params,
+               binary=str(args.binary).lower() in ("true", "1", "yes"))
+    LOG(f"Written model to {args.model_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

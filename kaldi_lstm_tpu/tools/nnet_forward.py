@@ -1,0 +1,105 @@
+"""Forward AM scorer — the `nnet-forward` equivalent (decode call stack,
+SURVEY.md §3.2): feeds whole utterances through the net (standard form,
+zero initial LSTM state per utterance), optionally applies log and
+divides by class priors, and writes scaled log-likelihood matrices for
+the decoder.
+
+    python -m kaldi_lstm_tpu.tools.nnet_forward [options]
+        <model-in> <feature-rspecifier> <feature-wspecifier>
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_lstm_tpu.io.kaldi_io import (
+    KaldiInput,
+    MatrixWriter,
+    SequentialMatrixReader,
+    read_vector,
+)
+from kaldi_lstm_tpu.models import Nnet
+from kaldi_lstm_tpu.utils import LOG, WARN
+
+
+def read_class_frame_counts(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        inp = KaldiInput(io.BufferedReader(io.FileIO(f.fileno(),
+                                                     closefd=False)))
+        return read_vector(inp)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Perform forward pass through "
+                                "Neural Network (acoustic-model scoring)")
+    p.add_argument("model_in")
+    p.add_argument("feature_rspecifier")
+    p.add_argument("feature_wspecifier")
+    p.add_argument("--feature-transform", default="",
+                   help="Feature transform in Nnet format")
+    p.add_argument("--apply-log", default="false",
+                   help="Transform NN output by log()")
+    p.add_argument("--no-softmax", default="false",
+                   help="No softmax on NN output (use when the decoder "
+                        "applies it or with log-likelihood output)")
+    p.add_argument("--class-frame-counts", default="",
+                   help="Vector with frame-counts of pdfs to compute "
+                        "log-priors")
+    p.add_argument("--prior-scale", type=float, default=1.0,
+                   help="Scaling factor applied to the log-priors")
+    p.add_argument("--prior-floor", type=float, default=1e-10,
+                   help="Floor applied to the priors before log")
+    args = p.parse_args(argv)
+
+    apply_log = str(args.apply_log).lower() in ("true", "1", "yes")
+    no_softmax = str(args.no_softmax).lower() in ("true", "1", "yes")
+
+    nnet, params = Nnet.read(args.model_in)
+    transf = transf_params = None
+    if args.feature_transform:
+        transf, transf_params = Nnet.read(args.feature_transform)
+
+    log_prior = None
+    if args.class_frame_counts:
+        counts = read_class_frame_counts(args.class_frame_counts)
+        priors = counts / max(counts.sum(), 1.0)
+        log_prior = args.prior_scale * np.log(
+            np.maximum(priors, args.prior_floor)).astype(np.float32)
+
+    @jax.jit
+    def forward(params, transf_params, x):
+        if transf is not None:
+            x = transf.feedforward(transf_params, x)
+        y, _ = nnet.propagate(params, x, logits=no_softmax)
+        return y
+
+    num_done = 0
+    tot_frames = 0
+    with MatrixWriter(args.feature_wspecifier) as writer:
+        for key, feats in SequentialMatrixReader(args.feature_rspecifier):
+            x = jnp.asarray(feats, jnp.float32)[None]  # [1, T, D]
+            y = np.asarray(forward(params, transf_params, x))[0]
+            if apply_log and not no_softmax:
+                y = np.log(np.maximum(y, 1e-20))
+            if log_prior is not None:
+                if not (apply_log or no_softmax):
+                    WARN("class-frame-counts given but output is not in "
+                         "log domain; taking log before prior division")
+                    y = np.log(np.maximum(y, 1e-20))
+                y = y - log_prior
+            writer.write(key, y)
+            num_done += 1
+            tot_frames += y.shape[0]
+
+    LOG(f"Done {num_done} files, {tot_frames} frames")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,124 @@
+"""Multi-stream truncated-BPTT trainer CLI.
+
+TPU-native equivalent of `bd-nnet-train-lstm-streams`
+(google/nnetbin/bd-nnet-train-lstm-streams.cc:18-25):
+
+    train_lstm_streams [options] <feature-rspecifier> <targets-rspecifier>
+                       <model-in> [<model-out>]
+
+e.g.  python -m kaldi_lstm_tpu.tools.train_lstm_streams \\
+          scp:feats.scp ark:post.ark nnet.init nnet.iter1
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+from kaldi_lstm_tpu.io.kaldi_io import (
+    RandomAccessPosteriorReader,
+    SequentialMatrixReader,
+)
+from kaldi_lstm_tpu.models import Nnet
+from kaldi_lstm_tpu.train import StreamScheduler, TrainOptions, run_epoch
+from kaldi_lstm_tpu.utils import LOG, WARN, set_verbose_level
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Perform one iteration of LSTM training by "
+                    "Stochastic Gradient Descent (multi-stream "
+                    "truncated BPTT).")
+    p.add_argument("feature_rspecifier")
+    p.add_argument("targets_rspecifier")
+    p.add_argument("model_in")
+    p.add_argument("model_out", nargs="?", default=None)
+    p.add_argument("--binary", default="true",
+                   help="Write output in binary mode (true|false)")
+    p.add_argument("--cross-validate", default="false",
+                   help="Perform cross-validation (don't backpropagate)")
+    p.add_argument("--feature-transform", default="",
+                   help="Feature transform in Nnet format")
+    p.add_argument("--objective-function", default="xent",
+                   help="Objective function : xent|mse")
+    p.add_argument("--learn-rate", type=float, default=1e-5)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--grad-clip", type=float, default=0.0,
+                   help="Element-wise gradient clip (50 reproduces the "
+                        "standard-variant behaviour)")
+    p.add_argument("--targets-delay", type=int, default=5,
+                   help="---LSTM--- BPTT targets delay")
+    p.add_argument("--batch-size", type=int, default=20,
+                   help="---LSTM--- BPTT batch size (Tbptt)")
+    p.add_argument("--num-stream", type=int, default=4,
+                   help="---LSTM--- BPTT multi-stream training")
+    p.add_argument("--dump-interval", type=int, default=50000,
+                   help="---LSTM--- num utts between model dumping")
+    p.add_argument("--verbose", type=int, default=0)
+    # dummy options for script compatibility (reference :65-69)
+    p.add_argument("--randomize", default="false", help="Dummy option, "
+                   "for compatibility")
+    p.add_argument("--length-tolerance", type=int, default=5,
+                   help="Dummy option, for compatibility")
+    p.add_argument("--use-gpu", default="yes", help="Dummy option (TPU "
+                   "backend is selected by JAX_PLATFORMS)")
+    return p
+
+
+def _bool(s: str) -> bool:
+    return str(s).lower() in ("true", "1", "yes")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    set_verbose_level(args.verbose)
+    crossvalidate = _bool(args.cross_validate)
+    if not crossvalidate and args.model_out is None:
+        print("error: <model-out> required unless --cross-validate=true",
+              file=sys.stderr)
+        return 1
+
+    transf = transf_params = None
+    if args.feature_transform:
+        transf, transf_params = Nnet.read(args.feature_transform)
+
+    nnet, params = Nnet.read(args.model_in)
+    opts = TrainOptions(learn_rate=args.learn_rate, momentum=args.momentum,
+                        grad_clip=args.grad_clip,
+                        objective=args.objective_function)
+
+    LOG(("CROSS-VALIDATION" if crossvalidate else "TRAINING") + " STARTED")
+
+    feats = SequentialMatrixReader(args.feature_rspecifier)
+    targets = RandomAccessPosteriorReader(args.targets_rspecifier)
+    scheduler = StreamScheduler(
+        iter(feats), targets, feat_dim=nnet.input_dim,
+        num_stream=args.num_stream, batch_size=args.batch_size,
+        targets_delay=args.targets_delay, warn=WARN)
+
+    def dump(p, num_done):
+        name = f"{args.model_out}_utt{num_done}"
+        nnet.write(name, p, binary=_bool(args.binary))
+        LOG(f"dumped model to {name}")
+
+    res = run_epoch(nnet, params, scheduler, opts,
+                    transf=transf, transf_params=transf_params,
+                    crossvalidate=crossvalidate,
+                    dump_interval=args.dump_interval, dump_fn=dump)
+
+    if not crossvalidate:
+        nnet.write(args.model_out, res.params, binary=_bool(args.binary))
+
+    LOG(f"Done {scheduler.num_done} files, {scheduler.num_no_tgt_mat} with "
+        f"no tgt_mats, {scheduler.num_other_error} with other errors. "
+        f"[{'CROSS-VALIDATION' if crossvalidate else 'TRAINING'}, "
+        f"{res.elapsed / 60:.2f} min, "
+        f"fps{res.total_frames / max(res.elapsed, 1e-9):.0f}]")
+    LOG(res.stats.report())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,156 @@
+"""Multi-stream truncated-BPTT batch scheduler (host logic).
+
+Reproduces the reference trainer's stream machinery
+(google/nnetbin/bd-nnet-train-lstm-streams.cc:143-206):
+
+* S parallel streams, each advancing through one utterance;
+* exhausted streams are refilled round-robin from the utterance source at
+  the start of each batch (missing targets / length mismatches are warned
+  and skipped with counters, :153-167);
+* every batch is a fixed-shape [S, Tbptt] chunk with
+  - frame_mask: 1 = valid frame, 0 = padding past the utterance end;
+  - targets padded by repeating the last frame (its gradient is masked,
+    but the LSTM state still advances through padded frames, :193-195);
+  - features shifted forward by `targets_delay` within the utterance,
+    clamped to the last frame (:198-202);
+  - reset_flags: 1 for streams that started a new utterance this batch
+    (the trainer zeroes their carried state *before* the chunk, :209);
+* iteration ends when every stream is exhausted and the source is dry
+  (:176-181).
+
+Pure host logic over numpy — property-test target (SURVEY.md §4). Batch
+layout is stream-major [S, T, ...].
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple, Optional
+
+import numpy as np
+
+from kaldi_lstm_tpu.io.kaldi_io import Posterior
+
+
+class StreamBatch(NamedTuple):
+    feats: np.ndarray        # [S, T, D] float32 (targets-delay applied)
+    tgt_ids: np.ndarray      # [S, T, Kmax] int32
+    tgt_weights: np.ndarray  # [S, T, Kmax] float32
+    mask: np.ndarray         # [S, T] float32 0/1
+    reset_flags: np.ndarray  # [S] int32, 1 = new utterance this batch
+    num_new_utts: int        # utterances fed this batch (progress counter)
+
+
+class StreamScheduler:
+    """Iterates fixed-shape multi-stream BPTT batches from an utterance
+    source.
+
+    Args:
+      utterances: iterator of (key, feats [L, D] float32).
+      targets: object with has_key(key) -> bool and value(key) -> Posterior
+        (e.g. RandomAccessPosteriorReader).
+      num_stream: S.
+      batch_size: Tbptt.
+      targets_delay: feature shift (future context).
+      max_entries: Kmax sparse-target width (1 for ali-to-post targets).
+      warn: logging callback for skipped utterances.
+    """
+
+    def __init__(self, utterances: Iterator[tuple[str, np.ndarray]],
+                 targets, feat_dim: int, num_stream: int = 4,
+                 batch_size: int = 20, targets_delay: int = 5,
+                 max_entries: int = 1, warn=None):
+        self.source = iter(utterances)
+        self.targets = targets
+        self.feat_dim = feat_dim
+        self.S = num_stream
+        self.T = batch_size
+        self.delay = targets_delay
+        self.K = max_entries
+        self.warn = warn or (lambda msg: None)
+
+        self.keys: list[str] = [""] * self.S
+        self.feats: list[Optional[np.ndarray]] = [None] * self.S
+        self.posts: list[Optional[Posterior]] = [None] * self.S
+        self.curt = np.zeros(self.S, np.int64)
+        self.lent = np.zeros(self.S, np.int64)
+        self.source_done = False
+
+        # counters mirroring num_done / num_no_tgt_mat / num_other_error
+        self.num_done = 0
+        self.num_no_tgt_mat = 0
+        self.num_other_error = 0
+        self.total_valid_frames = 0
+
+    # ------------------------------------------------------------------
+    def _next_utterance(self) -> Optional[tuple[str, np.ndarray, Posterior]]:
+        """Pull the next usable utterance, skipping bad ones."""
+        while True:
+            try:
+                key, feats = next(self.source)
+            except StopIteration:
+                self.source_done = True
+                return None
+            if not self.targets.has_key(key):
+                self.warn(f"{key}, missing targets")
+                self.num_no_tgt_mat += 1
+                continue
+            post = self.targets.value(key)
+            if feats.shape[0] != len(post):
+                self.warn(f"{key}, length miss-match between feats and "
+                          f"targets, skip")
+                self.num_other_error += 1
+                continue
+            return key, np.asarray(feats, np.float32), post
+
+    def _refill(self) -> np.ndarray:
+        """Feed exhausted streams; returns new_utt_flags [S]."""
+        flags = np.zeros(self.S, np.int32)
+        for s in range(self.S):
+            if self.curt[s] < self.lent[s]:
+                continue
+            nxt = self._next_utterance()
+            if nxt is None:
+                continue
+            self.keys[s], self.feats[s], self.posts[s] = nxt
+            self.curt[s] = 0
+            self.lent[s] = self.feats[s].shape[0]
+            flags[s] = 1
+        return flags
+
+    # ------------------------------------------------------------------
+    def __iter__(self) -> Iterator[StreamBatch]:
+        while True:
+            flags = self._refill()
+            if not np.any(self.curt < self.lent):
+                return  # every stream exhausted and source dry
+
+            S, T, D, K = self.S, self.T, self.feat_dim, self.K
+            feats = np.zeros((S, T, D), np.float32)
+            ids = np.zeros((S, T, K), np.int32)
+            weights = np.zeros((S, T, K), np.float32)
+            mask = np.zeros((S, T), np.float32)
+
+            for s in range(S):
+                if self.feats[s] is None:
+                    continue  # source was dry before this stream ever fed
+                fs, ps = self.feats[s], self.posts[s]
+                lent = int(self.lent[s])
+                for t in range(T):
+                    curt = int(self.curt[s])
+                    if curt < lent:
+                        mask[s, t] = 1.0
+                        frame = ps[curt]
+                    else:
+                        frame = ps[lent - 1]  # pad with last target
+                    for k, (pdf, w) in enumerate(frame[:K]):
+                        ids[s, t, k] = pdf
+                        weights[s, t, k] = w
+                    src = curt + self.delay
+                    feats[s, t] = fs[src if src < lent else lent - 1]
+                    self.curt[s] += 1
+
+            self.num_done += int(flags.sum())
+            self.total_valid_frames += int(mask.sum())
+            yield StreamBatch(feats=feats, tgt_ids=ids, tgt_weights=weights,
+                              mask=mask, reset_flags=flags,
+                              num_new_utts=int(flags.sum()))

@@ -1,0 +1,154 @@
+"""The jit'd training step and the epoch driver.
+
+One compiled function per epoch:
+
+    (params, opt_state, carry_states, batch, learn_rate)
+        -> (params', opt_state', carry_states', stats)
+
+covering what the reference does imperatively per minibatch
+(bd-nnet-train-lstm-streams.cc:209-229): per-stream state reset (mask
+multiply *before* the chunk), feature transform, forward, masked loss,
+BPTT via jax.grad, and the SGD+momentum update — all fused by XLA into a
+single device program. `learn_rate` is a traced scalar so the recipe's LR
+halving never recompiles.
+
+The epoch driver (`run_epoch`) adds the host side: the stream scheduler,
+progressive logging, fps reporting, and periodic model dumps
+(:232-281).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_lstm_tpu.models.nnet import Nnet
+from kaldi_lstm_tpu.train.loss import (
+    LossAux,
+    LossStats,
+    masked_mse_loss,
+    masked_xent_loss,
+)
+from kaldi_lstm_tpu.train.optim import (
+    MomentumState,
+    init_momentum,
+    momentum_update,
+)
+from kaldi_lstm_tpu.train.streams import StreamBatch, StreamScheduler
+from kaldi_lstm_tpu.utils import LOG, VLOG, Timer
+
+
+class TrainOptions(NamedTuple):
+    """NnetTrainOptions equivalent (nnet-trnopts.h upstream)."""
+    learn_rate: float = 1e-5
+    momentum: float = 0.9
+    grad_clip: float = 0.0    # 50.0 reproduces the standard variant
+    objective: str = "xent"   # xent | mse
+
+
+_LOSS_FNS = {"xent": masked_xent_loss, "mse": masked_mse_loss}
+
+
+def make_train_step(nnet: Nnet, opts: TrainOptions,
+                    transf: Optional[Nnet] = None,
+                    crossvalidate: bool = False):
+    """Build the jit'd step. `transf` is the feature-transform net (CMVN);
+    its params are passed per call (they are small and frozen)."""
+    loss_fn = _LOSS_FNS[opts.objective]
+
+    # donate params/opt_state/states buffers in training (they are consumed
+    # and re-emitted every step); CV must not donate — callers keep reading
+    # the same params across the pass
+    donate = () if crossvalidate else (0, 1, 2)
+
+    @functools.partial(jax.jit, donate_argnums=donate)
+    def step(params, opt_state, states, transf_params, feats, tgt_ids,
+             tgt_weights, mask, reset_flags, learn_rate):
+        states = nnet.reset_states(states, reset_flags)
+        x = feats
+        if transf is not None:
+            x = transf.feedforward(transf_params, x)
+
+        def objective(params):
+            logits, new_states = nnet.propagate(params, x, states,
+                                                logits=True)
+            loss, aux = loss_fn(logits, tgt_ids, tgt_weights, mask)
+            return loss, (aux, new_states)
+
+        if crossvalidate:
+            _, (aux, new_states) = objective(params)
+            return params, opt_state, new_states, aux
+
+        (_, (aux, new_states)), grads = jax.value_and_grad(
+            objective, has_aux=True)(params)
+        params, opt_state = momentum_update(
+            params, grads, opt_state, learn_rate, opts.momentum,
+            opts.grad_clip)
+        return params, opt_state, new_states, aux
+
+    return step
+
+
+class EpochResult(NamedTuple):
+    params: Any
+    opt_state: MomentumState
+    stats: LossStats
+    num_done: int
+    total_frames: int
+    elapsed: float
+
+
+def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
+              opts: TrainOptions,
+              transf: Optional[Nnet] = None, transf_params=(),
+              crossvalidate: bool = False,
+              opt_state: Optional[MomentumState] = None,
+              dump_interval: int = 0, dump_fn=None,
+              learn_rate: Optional[float] = None) -> EpochResult:
+    """One pass over the utterance source (one `bd-nnet-train-lstm-streams`
+    invocation). `dump_fn(params, num_done)` is called every
+    `dump_interval` utterances (:275-281)."""
+    step = make_train_step(nnet, opts, transf, crossvalidate)
+    if opt_state is None:
+        opt_state = init_momentum(params)
+    states = nnet.init_states(scheduler.S)
+    lr = jnp.float32(opts.learn_rate if learn_rate is None else learn_rate)
+
+    stats = LossStats("Xent" if opts.objective == "xent" else "Mse")
+    timer = Timer()
+    total_frames = 0
+    last_report_done = 0
+    last_dump_done = 0
+
+    for batch in scheduler:
+        params, opt_state, states, aux = step(
+            params, opt_state, states, transf_params,
+            jnp.asarray(batch.feats), jnp.asarray(batch.tgt_ids),
+            jnp.asarray(batch.tgt_weights), jnp.asarray(batch.mask),
+            jnp.asarray(batch.reset_flags), lr)
+        stats.add(aux, log_fn=lambda m: VLOG(1, m))
+        total_frames += int(aux.frames)
+
+        # speed report every 1000 utterances (:263-267)
+        if scheduler.num_done - last_report_done >= 1000:
+            last_report_done = scheduler.num_done - scheduler.num_done % 1000
+            t = timer.elapsed()
+            VLOG(1, f"After {scheduler.num_done} utterances: time elapsed = "
+                    f"{t / 60:.2f} min; processed {total_frames / t:.0f} "
+                    f"frames per second.")
+
+        if (dump_interval > 0 and dump_fn is not None
+                and scheduler.num_done - last_dump_done >= dump_interval):
+            last_dump_done = scheduler.num_done \
+                - scheduler.num_done % dump_interval
+            if not crossvalidate:
+                dump_fn(params, scheduler.num_done)
+
+    return EpochResult(params=params, opt_state=opt_state, stats=stats,
+                       num_done=scheduler.num_done,
+                       total_frames=total_frames,
+                       elapsed=timer.elapsed())

@@ -1,0 +1,89 @@
+"""Masked xent loss: gradient = (softmax - t) * mask, stats vs a dense
+numpy reference of Xent::EvalMasked (nnet-loss.cc:76-164)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_lstm_tpu.train.loss import (
+    LossStats,
+    masked_xent_loss,
+    posterior_to_sparse,
+)
+
+S, T, K = 2, 5, 7
+
+
+def make_batch(seed=0, kmax=2):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(S, T, K).astype(np.float32)
+    ids = rng.randint(0, K, (S, T, kmax)).astype(np.int32)
+    w = rng.rand(S, T, kmax).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    mask = (rng.rand(S, T) > 0.3).astype(np.float32)
+    return jnp.asarray(logits), jnp.asarray(ids), jnp.asarray(w), \
+        jnp.asarray(mask)
+
+
+def dense_target(ids, w):
+    t = np.zeros((S, T, K), np.float32)
+    for s in range(S):
+        for tt in range(T):
+            for k in range(ids.shape[-1]):
+                t[s, tt, ids[s, tt, k]] += w[s, tt, k]
+    return t
+
+
+def test_grad_is_masked_softmax_minus_target():
+    logits, ids, w, mask = make_batch()
+    g = jax.grad(lambda l: masked_xent_loss(l, ids, w, mask)[0])(logits)
+    y = jax.nn.softmax(logits, -1)
+    t = dense_target(np.asarray(ids), np.asarray(w))
+    expect = (np.asarray(y) - t) * np.asarray(mask)[..., None]
+    np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-5, atol=1e-6)
+
+
+def test_stats_match_dense_reference():
+    logits, ids, w, mask = make_batch(seed=1)
+    _, aux = masked_xent_loss(logits, ids, w, mask)
+    y = np.asarray(jax.nn.softmax(logits, -1))
+    t = dense_target(np.asarray(ids), np.asarray(w))
+    m = np.asarray(mask)
+    ref_xent = -np.sum(t * np.log(y) * m[..., None])
+    ref_ent = -np.sum(t * np.log(np.maximum(t, 1e-20)) * m[..., None])
+    ref_correct = int(np.sum((y.argmax(-1) == t.argmax(-1)) * (m == 1)))
+    np.testing.assert_allclose(float(aux.xent), ref_xent, rtol=1e-4)
+    np.testing.assert_allclose(float(aux.entropy), ref_ent, rtol=1e-4)
+    assert int(aux.correct) == ref_correct
+    assert int(aux.frames) == int(m.sum())
+
+
+def test_fully_masked_frame_contributes_nothing():
+    logits, ids, w, mask = make_batch(seed=2)
+    zero_mask = jnp.zeros_like(mask)
+    loss, aux = masked_xent_loss(logits, ids, w, zero_mask)
+    assert float(loss) == 0.0
+    assert int(aux.frames) == 0
+    g = jax.grad(lambda l: masked_xent_loss(l, ids, w, zero_mask)[0])(logits)
+    assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_posterior_to_sparse():
+    posts = [
+        [[(1, 1.0)], [(2, 0.5), (3, 0.5)]],
+        [[(0, 1.0)]],
+    ]
+    ids, w = posterior_to_sparse(posts, max_entries=2)
+    assert ids.shape == (2, 2, 2)
+    assert ids[0, 1, 0] == 2 and w[0, 1, 1] == 0.5
+    assert w[1, 1].sum() == 0.0  # padding frame
+
+
+def test_report_format():
+    stats = LossStats("Xent")
+    from kaldi_lstm_tpu.train.loss import LossAux
+    stats.add(LossAux(xent=jnp.float32(100.0), entropy=jnp.float32(10.0),
+                      correct=jnp.int32(50), frames=jnp.int32(80)))
+    rep = stats.report()
+    assert "AvgLoss:" in rep and "(Xent)" in rep
+    assert "FRAME_ACCURACY >> 62.5% <<" in rep

@@ -1,0 +1,117 @@
+"""End-to-end training-step tests: optimizer semantics, loss decrease on
+synthetic data, cross-validation purity, carry/reset ordering."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_lstm_tpu.models import Nnet
+from kaldi_lstm_tpu.train import (
+    StreamScheduler,
+    TrainOptions,
+    init_momentum,
+    momentum_update,
+    run_epoch,
+)
+
+PROTO = """<NnetProto>
+<LstmProjectedStreams> <InputDim> 6 <OutputDim> 8 <CellDim> 10 <ParamScale> 0.1 <NumStream> 2
+<AffineTransform> <InputDim> 8 <OutputDim> 5 <ParamStddev> 0.1
+<Softmax> <InputDim> 5 <OutputDim> 5
+</NnetProto>
+"""
+
+
+class DictTargets:
+    def __init__(self, table):
+        self.table = table
+
+    def has_key(self, key):
+        return key in self.table
+
+    def value(self, key):
+        return self.table[key]
+
+
+def synth_utts(n=8, feat_dim=6, nclass=5, seed=0):
+    """Learnable synthetic task: class depends on a linear readout of the
+    features, so even a few steps reduce loss."""
+    rng = np.random.RandomState(seed)
+    W = rng.randn(feat_dim, nclass)
+    utts, targets = [], {}
+    for i in range(n):
+        L = rng.randint(8, 17)
+        f = rng.randn(L, feat_dim).astype(np.float32)
+        labels = (f @ W).argmax(-1)
+        utts.append((f"utt{i}", f))
+        targets[f"utt{i}"] = [[(int(l), 1.0)] for l in labels]
+    return utts, DictTargets(targets)
+
+
+def make_sched(seed=0, **kw):
+    utts, targets = synth_utts(seed=seed)
+    kw.setdefault("num_stream", 2)
+    kw.setdefault("batch_size", 5)
+    kw.setdefault("targets_delay", 0)
+    return StreamScheduler(iter(utts), targets, feat_dim=6, **kw)
+
+
+def test_momentum_update_matches_reference_recurrence():
+    """corr = grad + mmt*corr; w -= lr*corr (…streams.h:465-513)."""
+    params = {"w": jnp.array([1.0, 2.0])}
+    opt = init_momentum(params)
+    g1 = {"w": jnp.array([0.5, -1.0])}
+    p1, opt = momentum_update(params, g1, opt, learn_rate=0.1, momentum=0.9)
+    np.testing.assert_allclose(p1["w"], [1.0 - 0.05, 2.0 + 0.1])
+    g2 = {"w": jnp.array([0.0, 0.0])}
+    p2, opt = momentum_update(p1, g2, opt, learn_rate=0.1, momentum=0.9)
+    # corr2 = 0 + 0.9*corr1
+    np.testing.assert_allclose(
+        p2["w"], np.asarray(p1["w"]) - 0.1 * 0.9 * np.asarray([0.5, -1.0]),
+        rtol=1e-6)
+
+
+def test_grad_clip_matches_standard_variant():
+    params = {"w": jnp.zeros(2)}
+    opt = init_momentum(params)
+    g = {"w": jnp.array([100.0, -0.5])}
+    p, opt = momentum_update(params, g, opt, learn_rate=1.0, momentum=0.0,
+                             grad_clip=50.0)
+    np.testing.assert_allclose(p["w"], [-50.0, 0.5])
+    # carried momentum buffer is the clipped one
+    np.testing.assert_allclose(opt.corr["w"], [50.0, -0.5])
+
+
+def test_epoch_reduces_loss():
+    nnet, params = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(0))
+    opts = TrainOptions(learn_rate=0.05, momentum=0.9)
+    res1 = run_epoch(nnet, params, make_sched(), opts)
+    avg1 = (res1.stats.loss - res1.stats.entropy) / res1.stats.frames
+    params, opt_state = res1.params, res1.opt_state
+    for _ in range(4):
+        res = run_epoch(nnet, params, make_sched(), opts,
+                        opt_state=opt_state)
+        params, opt_state = res.params, res.opt_state
+    avgN = (res.stats.loss - res.stats.entropy) / res.stats.frames
+    assert avgN < avg1 - 0.05, (avg1, avgN)
+
+
+def test_crossvalidate_does_not_update():
+    nnet, params = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(0))
+    opts = TrainOptions(learn_rate=0.05, momentum=0.9)
+    res = run_epoch(nnet, params, make_sched(), opts, crossvalidate=True)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(res.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert res.stats.frames > 0
+
+
+def test_cv_deterministic_across_runs():
+    """Two CV passes over identical data give identical stats (pure
+    functional state threading)."""
+    nnet, params = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(0))
+    opts = TrainOptions()
+    r1 = run_epoch(nnet, params, make_sched(), opts, crossvalidate=True)
+    r2 = run_epoch(nnet, params, make_sched(), opts, crossvalidate=True)
+    assert r1.stats.loss == r2.stats.loss
+    assert r1.stats.correct == r2.stats.correct

@@ -1,0 +1,103 @@
+"""Benchmark: audio-seconds of speech processed per wall-second per chip
+in multi-stream truncated-BPTT training (the BASELINE.json north-star
+metric; the reference reports the same quantity as "frames per second",
+bd-nnet-train-lstm-streams.cc:263-267, at 100 frames/audio-second).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+* value: full training-step throughput (fwd + BPTT + update) of the
+  flagship model (40 -> LSTMP 800c/512r -> 8000 senones) at a TPU-sized
+  stream count.
+* vs_baseline: speedup over the same step at the reference's original
+  configuration S=4 streams (google/train_lstm_streams.sh:6) — the
+  reference's own batching on this chip. The reference publishes no
+  absolute numbers (BASELINE.md), so the baseline is measured, not quoted.
+
+Details for each config go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_lstm_tpu.models import Nnet
+from kaldi_lstm_tpu.train import TrainOptions, init_momentum, make_train_step
+
+FRAMES_PER_AUDIO_SECOND = 100.0  # 10 ms frame shift
+
+PROTO = """<NnetProto>
+<Transmit> <InputDim> 40 <OutputDim> 40
+<LstmProjectedStreams> <InputDim> 40 <OutputDim> 512 <CellDim> 800 <ParamScale> 0.01 <NumStream> 4
+<AffineTransform> <InputDim> 512 <OutputDim> 8000 <BiasMean> 0.0 <BiasRange> 0.0 <ParamStddev> 0.04
+<Softmax> <InputDim> 8000 <OutputDim> 8000
+</NnetProto>
+"""
+
+
+def bench_config(nnet, params0, S, T, warmup=3, iters=20):
+    """Measure steady-state steps/s of the jit'd train step."""
+    opts = TrainOptions(learn_rate=1e-5, momentum=0.9)
+    step = make_train_step(nnet, opts)
+    params = jax.tree_util.tree_map(jnp.array, params0)
+    opt = init_momentum(params)
+    states = nnet.init_states(S)
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(S, T, 40), jnp.float32)
+    ids = jnp.asarray(rng.randint(0, 8000, (S, T, 1)), jnp.int32)
+    w = jnp.ones((S, T, 1), jnp.float32)
+    mask = jnp.ones((S, T), jnp.float32)
+    flags = jnp.zeros((S,), jnp.int32)
+    lr = jnp.float32(1e-5)
+
+    for _ in range(warmup):
+        params, opt, states, aux = step(params, opt, states, (), feats,
+                                        ids, w, mask, flags, lr)
+    jax.block_until_ready(params)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt, states, aux = step(params, opt, states, (), feats,
+                                        ids, w, mask, flags, lr)
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = iters / dt
+    audio_s_per_step = S * T / FRAMES_PER_AUDIO_SECOND
+    return steps_per_s * audio_s_per_step, steps_per_s
+
+
+def main():
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    nnet, params = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(0))
+
+    # reference configuration: S=4, Tbptt=20
+    base_tput, base_sps = bench_config(nnet, params, S=4, T=20)
+    print(f"reference config S=4 T=20: {base_tput:.1f} audio-s/s "
+          f"({base_sps:.1f} steps/s)", file=sys.stderr)
+
+    # TPU-sized multi-stream batch
+    best_tput, best_cfg = 0.0, None
+    for S in (64, 128, 256):
+        tput, sps = bench_config(nnet, params, S=S, T=20)
+        print(f"tpu config S={S} T=20: {tput:.1f} audio-s/s "
+              f"({sps:.1f} steps/s)", file=sys.stderr)
+        if tput > best_tput:
+            best_tput, best_cfg = tput, S
+
+    print(f"best: S={best_cfg}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "train_audio_seconds_per_s_per_chip",
+        "value": round(best_tput, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(best_tput / base_tput, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,16 +55,22 @@ def bench_config(nnet, params0, S, T, warmup=3, iters=20):
     flags = jnp.zeros((S,), jnp.int32)
     lr = jnp.float32(1e-5)
 
+    def host_sync():
+        # the experimental axon platform's block_until_ready can return
+        # before execution completes; a host copy of a value depending on
+        # the whole chained computation cannot (steps chain via params)
+        return float(jnp.sum(params[1].bias))
+
     for _ in range(warmup):
         params, opt, states, aux = step(params, opt, states, (), feats,
                                         ids, w, mask, flags, lr)
-    jax.block_until_ready(params)
+    host_sync()
 
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt, states, aux = step(params, opt, states, (), feats,
                                         ids, w, mask, flags, lr)
-    jax.block_until_ready(params)
+    host_sync()
     dt = time.perf_counter() - t0
 
     steps_per_s = iters / dt

@@ -278,6 +278,32 @@ def read_vector(inp: KaldiInput) -> np.ndarray:
     return _parse_floats(_read_until_bracket(inp))
 
 
+def write_int_vector(out: KaldiOutput, vec) -> None:
+    """Kaldi integer vector (alignments): size then per-element int32s."""
+    vec = np.asarray(vec, np.int32).reshape(-1)
+    if out.binary:
+        write_int32(out, len(vec))
+        for v in vec:
+            write_int32(out, int(v))
+    else:
+        out.stream.write(" ".join(str(int(v)) for v in vec).encode()
+                         + b"\n")
+
+
+def read_int_vector(inp: KaldiInput) -> np.ndarray:
+    if inp.binary:
+        n = read_int32(inp)
+        return np.array([read_int32(inp) for _ in range(n)], np.int32)
+    # text: rest of line
+    chars = []
+    while True:
+        c = inp.read(1)
+        if not c or c == b"\n":
+            break
+        chars.append(c)
+    return np.array(b"".join(chars).split(), np.int32)
+
+
 # ---------------------------------------------------------------------------
 # posteriors
 # ---------------------------------------------------------------------------
@@ -389,8 +415,23 @@ class SequentialMatrixReader:
 
     def __init__(self, rspecifier: str):
         self.kind, self.stream = _open_rspecifier(rspecifier)
+        self._native_records = None
+        _, _, rest = rspecifier.partition(":")
+        if (self.kind == "ark" and not rest.endswith("|")
+                and rest not in ("-", "")):
+            # zero-copy path: C++ offset scan + mmap views
+            from kaldi_lstm_tpu.io import native
+            try:
+                self._native_records = native.scan_matrix_ark(rest)
+            except ValueError:
+                self._native_records = None  # e.g. text ark -> fall back
+            if self._native_records is not None:
+                self.stream.close()
 
     def __iter__(self) -> Iterator[tuple[str, np.ndarray]]:
+        if self._native_records is not None:
+            yield from self._native_records
+            return
         if self.kind == "ark":
             stream = io.BufferedReader(self.stream) \
                 if not isinstance(self.stream, io.BufferedReader) \
@@ -431,12 +472,31 @@ def _split_offset(rxfilename: str):
 class RandomAccessPosteriorReader:
     """Random-access posterior reader. For `ark:` sources the table is read
     fully into memory (targets for an epoch fit on host); for `scp:` values
-    are fetched lazily by offset."""
+    are fetched lazily by offset.
 
-    def __init__(self, rspecifier: str):
+    Plain `ark:file` sources take the native C++ scan
+    (native/kltio.cc klt_scan_posterior_ark) and store targets densely as
+    [T, K] id/weight arrays — `value_dense` then hands the scheduler
+    zero-conversion tensors. Pipes/stdin/scp fall back to pure Python."""
+
+    def __init__(self, rspecifier: str, max_entries: int = 1):
         self.kind, stream = _open_rspecifier(rspecifier)
+        self.max_entries = max_entries
         self._table: dict[str, Posterior] = {}
+        self._dense: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._scp: dict[str, str] = {}
+        _, _, plain_path = rspecifier.partition(":")
+        if (self.kind == "ark" and not plain_path.endswith("|")
+                and plain_path not in ("-", "")):
+            from kaldi_lstm_tpu.io import native
+            try:
+                dense = native.scan_posterior_ark(plain_path, max_entries)
+            except ValueError:
+                dense = None  # fall back (e.g. text-mode ark)
+            if dense is not None:
+                self._dense = dense
+                stream.close()
+                return
         if self.kind == "ark":
             buffered = stream if isinstance(stream, io.BufferedReader) \
                 else io.BufferedReader(stream)
@@ -454,11 +514,15 @@ class RandomAccessPosteriorReader:
                     self._scp[key] = path
 
     def has_key(self, key: str) -> bool:
-        return key in self._table or key in self._scp
+        return key in self._table or key in self._dense or key in self._scp
 
     def value(self, key: str) -> Posterior:
         if key in self._table:
             return self._table[key]
+        if key in self._dense:
+            ids, w = self._dense[key]
+            return [[(int(i), float(x)) for i, x in zip(fi, fw) if x > 0]
+                    for fi, fw in zip(ids, w)]
         path, offset = _split_offset(self._scp[key])
         with open(path, "rb") as f:
             if offset is not None:
@@ -466,6 +530,26 @@ class RandomAccessPosteriorReader:
             inp = KaldiInput(io.BufferedReader(
                 io.FileIO(f.fileno(), closefd=False)))
             return read_posterior(inp)
+
+    def value_dense(self, key: str,
+                    max_entries: int = 1) -> tuple[np.ndarray, np.ndarray]:
+        """Targets as ([T, K] int32 ids, [T, K] float32 weights)."""
+        if key in self._dense and self._dense[key][0].shape[1] >= max_entries:
+            ids, w = self._dense[key]
+            return ids[:, :max_entries], w[:, :max_entries]
+        post = self.value(key)
+        ids = np.zeros((len(post), max_entries), np.int32)
+        w = np.zeros((len(post), max_entries), np.float32)
+        for t, frame in enumerate(post):
+            for k, (pdf, weight) in enumerate(frame[:max_entries]):
+                ids[t, k] = pdf
+                w[t, k] = weight
+        return ids, w
+
+    def num_frames(self, key: str) -> int:
+        if key in self._dense:
+            return self._dense[key][0].shape[0]
+        return len(self.value(key))
 
 
 class TableWriter:

@@ -1,0 +1,167 @@
+"""ctypes bindings to the native I/O library (native/kltio.cc).
+
+Zero-copy ark access: Python mmaps the ark, C++ scans record offsets, and
+tensors are numpy views into the mapping. Auto-builds the .so with the
+repo Makefile when missing; every caller must handle `get_lib()` returning
+None (pure-Python fallback paths stay in kaldi_io.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import mmap
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(_native_dir(), "libkltio.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", _native_dir()], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+
+    L = ctypes.c_long
+    I = ctypes.c_int
+    PL = ctypes.POINTER(L)
+    PI = ctypes.POINTER(I)
+    PF = ctypes.POINTER(ctypes.c_float)
+    lib.klt_scan_matrix_ark.restype = L
+    lib.klt_scan_matrix_ark.argtypes = [
+        ctypes.c_char_p, L, L, PL, PI, PL, PI, PI]
+    lib.klt_scan_posterior_ark.restype = L
+    lib.klt_scan_posterior_ark.argtypes = [
+        ctypes.c_char_p, L, I, L, L, PL, PI, PL, PI, PI, PF]
+    lib.klt_fill_stream.restype = L
+    lib.klt_fill_stream.argtypes = [
+        L, L, L, L, PF, L, PI, PF, L, PF, PI, PF, PF]
+    _LIB = lib
+    return _LIB
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def scan_matrix_ark(path: str):
+    """-> list[(key, np.ndarray view [rows, cols])] or None if the native
+    lib is unavailable. Views alias the file mapping (read-only)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open(path, "rb") as f:
+        size = os.fstat(f.fileno()).st_size
+        if size == 0:
+            return []
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    buf = np.frombuffer(mm, np.uint8)
+    cap = max(16, size // 64)  # records are >= ~64 bytes in practice
+    while True:
+        key_off = np.zeros(cap, np.int64)
+        key_len = np.zeros(cap, np.int32)
+        data_off = np.zeros(cap, np.int64)
+        rows = np.zeros(cap, np.int32)
+        cols = np.zeros(cap, np.int32)
+        n = lib.klt_scan_matrix_ark(
+            ctypes.c_char_p(buf.ctypes.data), size, cap,
+            _ptr(key_off, ctypes.c_long), _ptr(key_len, ctypes.c_int),
+            _ptr(data_off, ctypes.c_long), _ptr(rows, ctypes.c_int),
+            _ptr(cols, ctypes.c_int))
+        if n == -2:
+            cap *= 4
+            continue
+        if n < 0:
+            raise ValueError(f"malformed matrix ark: {path}")
+        break
+    out = []
+    raw = mm
+    for i in range(n):
+        key = bytes(raw[key_off[i]:key_off[i] + key_len[i]]).decode()
+        mat = np.frombuffer(
+            raw, np.float32, count=int(rows[i]) * int(cols[i]),
+            offset=int(data_off[i])).reshape(int(rows[i]), int(cols[i]))
+        out.append((key, mat))
+    return out
+
+
+def scan_posterior_ark(path: str, max_entries: int = 1):
+    """-> dict key -> (ids [T, K] int32, weights [T, K] float32), or None
+    if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    size = len(data)
+    if size == 0:
+        return {}
+    cap_rec = max(16, size // 32)
+    cap_frames = max(64, size // 10)
+    key_off = np.zeros(cap_rec, np.int64)
+    key_len = np.zeros(cap_rec, np.int32)
+    frame_off = np.zeros(cap_rec, np.int64)
+    num_frames = np.zeros(cap_rec, np.int32)
+    # phase 1: count
+    n = lib.klt_scan_posterior_ark(
+        data, size, max_entries, cap_rec, 1 << 62,
+        _ptr(key_off, ctypes.c_long), _ptr(key_len, ctypes.c_int),
+        _ptr(frame_off, ctypes.c_long), _ptr(num_frames, ctypes.c_int),
+        None, None)
+    if n < 0:
+        raise ValueError(f"malformed posterior ark: {path}")
+    total = int(frame_off[n - 1] + num_frames[n - 1]) if n > 0 else 0
+    ids = np.zeros((total, max_entries), np.int32)
+    weights = np.zeros((total, max_entries), np.float32)
+    n2 = lib.klt_scan_posterior_ark(
+        data, size, max_entries, cap_rec, total,
+        _ptr(key_off, ctypes.c_long), _ptr(key_len, ctypes.c_int),
+        _ptr(frame_off, ctypes.c_long), _ptr(num_frames, ctypes.c_int),
+        _ptr(ids, ctypes.c_int), _ptr(weights, ctypes.c_float))
+    assert n2 == n
+    out = {}
+    for i in range(n):
+        key = data[key_off[i]:key_off[i] + key_len[i]].decode()
+        a = int(frame_off[i])
+        b = a + int(num_frames[i])
+        out[key] = (ids[a:b], weights[a:b])
+    return out
+
+
+def fill_stream(T: int, delay: int, feats: np.ndarray, tgt_ids: np.ndarray,
+                tgt_w: np.ndarray, curt: int, out_feats: np.ndarray,
+                out_ids: np.ndarray, out_w: np.ndarray,
+                out_mask: np.ndarray) -> Optional[int]:
+    """One stream's [T] batch rows; returns new curt, or None without the
+    native lib. Arrays must be C-contiguous float32/int32."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lent, D = feats.shape
+    K = tgt_ids.shape[1]
+    return int(lib.klt_fill_stream(
+        T, D, K, delay,
+        _ptr(feats, ctypes.c_float), lent,
+        _ptr(tgt_ids, ctypes.c_int), _ptr(tgt_w, ctypes.c_float), curt,
+        _ptr(out_feats, ctypes.c_float), _ptr(out_ids, ctypes.c_int),
+        _ptr(out_w, ctypes.c_float), _ptr(out_mask, ctypes.c_float)))

@@ -315,6 +315,17 @@ class _LstmBase(Component):
         self.recur_dim = int(output_dim)
         self.param_scale = float(param_scale)
         self.cell_clip = 50.0  # bd-nnet-lstm-projected-streams.h:296-297
+        # "auto": fused Pallas kernel on TPU, lax.scan elsewhere
+        self.impl = "auto"
+
+    def _run_scan(self, params, x, state):
+        impl = self.impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+        if impl == "pallas":
+            from kaldi_lstm_tpu.ops.lstm_pallas import lstm_scan_pallas
+            return lstm_scan_pallas(params, x, state, self.cell_clip)
+        return lstm_scan(params, x, state, self.cell_clip)
 
     def init_params(self, rng) -> LstmParams:
         return init_lstm_params(rng, self.input_dim, self.cell_dim,
@@ -374,7 +385,7 @@ class LstmProjected(_LstmBase):
     def apply(self, params: LstmParams, x, state=None):
         S = x.shape[0]
         st = zero_state(S, self.cell_dim, self.recur_dim, x.dtype)
-        out, _ = lstm_scan(params, x, st, self.cell_clip)
+        out, _ = self._run_scan(params, x, st)
         return out, None
 
     def read_data(self, inp):
@@ -418,7 +429,7 @@ class LstmProjectedStreams(_LstmBase):
         if state is None:
             state = zero_state(x.shape[0], self.cell_dim, self.recur_dim,
                                x.dtype)
-        out, new_state = lstm_scan(params, x, state, self.cell_clip)
+        out, new_state = self._run_scan(params, x, state)
         return out, new_state
 
     def read_data(self, inp):

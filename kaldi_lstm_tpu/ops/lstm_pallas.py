@@ -1,0 +1,399 @@
+"""Fused Pallas TPU kernel for the projected-LSTM scan.
+
+This is the TPU replacement for the reference's L0/L1 hot path: the per-t
+loop of small GEMMs + elementwise kernels
+(bd-nnet-lstm-projected-streams.h:261-325 forward, :369-454 backward;
+custom CUDA ops in bd-cu-kernels.cu). Instead of T*~10 kernel launches
+per chunk, ONE kernel runs the whole time loop with:
+
+* recurrent weights (W_gifo_r^T, W_r_m^T) resident in VMEM across all
+  timesteps;
+* the (c, r) carry living in VMEM scratch between grid steps — never
+  touching HBM;
+* per-t HBM traffic limited to streaming xw(t) in and (gates, c, r) out,
+  double-buffered by the Mosaic pipeline;
+* all gate math fused on the VPU between the two MXU dots.
+
+Grid is (S_tiles, T) — time innermost (sequential dependence), stream
+tiles outer so arbitrarily many streams fit in fixed VMEM.
+
+The backward kernel replays the reverse recurrence
+(d_r -> d_m -> d_h/d_o -> d_c -> d_f/d_i/d_g, exactly the reference's
+"Version 1: precise gradients" structure) and emits per-t pre-activation
+gate gradients; all weight gradients are then single large MXU GEMMs over
+the [T*S] frame axis outside the kernel — the same hoisting the reference
+uses (…streams.h:465-487).
+
+Everything is padded to TPU tiles: C and R up to multiples of 128 (lane),
+S up to sublane/grid tiles. Padded lanes provably stay zero through both
+recurrences (zero-padded weights/inputs; see inline notes).
+
+Layouts inside the kernel are time-major [T, S, .]; the public API matches
+`lstm_cell.lstm_scan`: x [S, T, I], state (c [S, C], r [S, R]).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kaldi_lstm_tpu.ops.lstm_cell import LstmParams, LstmState
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
+                gifo_ref, c_ref, r_ref, c_s, r_s, *, cp: int,
+                cell_clip: float):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        c_s[:] = c0_ref[:]
+        r_s[:] = r0_ref[:]
+
+    c_prev = c_s[:]
+    gifo = xw_ref[0] + jnp.dot(r_s[:], wr_ref[:],
+                               preferred_element_type=jnp.float32)
+    g = jnp.tanh(gifo[:, 0 * cp:1 * cp])
+    i = jax.nn.sigmoid(gifo[:, 1 * cp:2 * cp] + c_prev * peep_ref[0:1, :])
+    f = jax.nn.sigmoid(gifo[:, 2 * cp:3 * cp] + c_prev * peep_ref[1:2, :])
+    c = g * i + c_prev * f
+    if cell_clip > 0:
+        c = jnp.clip(c, -cell_clip, cell_clip)
+    h = jnp.tanh(c)
+    o = jax.nn.sigmoid(gifo[:, 3 * cp:4 * cp] + c * peep_ref[2:3, :])
+    m = h * o
+    r = jnp.dot(m, wcr_ref[:], preferred_element_type=jnp.float32)
+
+    gifo_ref[0] = jnp.concatenate([g, i, f, o], axis=-1)
+    c_ref[0] = c
+    r_ref[0] = r
+    c_s[:] = c
+    r_s[:] = r
+
+
+def _fwd_call(xw, wr, wcr, peep, c0, r0, *, st: int, cell_clip: float,
+              interpret: bool):
+    T, sp, c4p = xw.shape
+    cp = c4p // 4
+    rp = wr.shape[0]
+    grid = (sp // st, T)
+
+    def idx_tsx(s, t):
+        return (t, s, 0)
+
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, cp=cp, cell_clip=cell_clip),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, st, 4 * cp), idx_tsx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, 4 * cp), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, rp), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, cp), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((st, cp), lambda s, t: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((st, rp), lambda s, t: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, st, 4 * cp), idx_tsx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, st, cp), idx_tsx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, st, rp), idx_tsx, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, sp, 4 * cp), jnp.float32),
+            jax.ShapeDtypeStruct((T, sp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((T, sp, rp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((st, cp), jnp.float32),
+            pltpu.VMEM((st, rp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw, wr, wcr, peep, c0, r0)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, wgr_ref, wrm_ref,
+                peep_ref, gcT_ref, dgifo_ref, drt_ref, dc0_ref, dr0_ref,
+                dc_s, dr_s, *, cp: int):
+    t = pl.program_id(1)          # 0 .. T-1, mapped to real time T-1-t
+    T = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        dc_s[:] = gcT_ref[:]      # cotangent of the final carried c
+        dr_s[:] = jnp.zeros_like(dr_s)
+
+    g = gifo_ref[0, :, 0 * cp:1 * cp]
+    i = gifo_ref[0, :, 1 * cp:2 * cp]
+    f = gifo_ref[0, :, 2 * cp:3 * cp]
+    o = gifo_ref[0, :, 3 * cp:4 * cp]
+    c = c_ref[0]
+    c_prev = cprev_ref[0]
+    h = jnp.tanh(c)
+
+    dr_total = gr_ref[0] + dr_s[:]
+    dm = jnp.dot(dr_total, wrm_ref[:], preferred_element_type=jnp.float32)
+    dh = dm * o
+    dc_from_h = dh * (1.0 - h * h)
+    do = dm * h * o * (1.0 - o)
+    # straight-through clip: d_c flows through the forward clip unchanged
+    # (reference backward reads clipped activations but never masks d_c)
+    dc_total = dc_s[:] + dc_from_h + do * peep_ref[2:3, :]
+    df = dc_total * c_prev * f * (1.0 - f)
+    di = dc_total * g * i * (1.0 - i)
+    dg = dc_total * i * (1.0 - g * g)
+    dgifo = jnp.concatenate([dg, di, df, do], axis=-1)
+
+    dgifo_ref[0] = dgifo
+    drt_ref[0] = dr_total
+    dc_s[:] = dc_total * f + di * peep_ref[0:1, :] + df * peep_ref[1:2, :]
+    dr_s[:] = jnp.dot(dgifo, wgr_ref[:], preferred_element_type=jnp.float32)
+
+    # after the last step (real t=0) the carries are the state gradients;
+    # constant-index output blocks flush their final contents
+    dc0_ref[:] = dc_s[:]
+    dr0_ref[:] = dr_s[:]
+    del T
+
+
+def _bwd_call(gifo, c_seq, c_prev_seq, g_r, wgr, wrm, peep, gcT, *,
+              st: int, interpret: bool):
+    T, sp, c4p = gifo.shape
+    cp = c4p // 4
+    rp = g_r.shape[2]
+    grid = (sp // st, T)
+
+    def idx_rev(s, t):
+        return (T - 1 - t, s, 0)
+
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, cp=cp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, st, 4 * cp), idx_rev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, st, cp), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, st, cp), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, st, rp), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * cp, rp), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, cp), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, cp), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((st, cp), lambda s, t: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, st, 4 * cp), idx_rev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, st, rp), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((st, cp), lambda s, t: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((st, rp), lambda s, t: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, sp, 4 * cp), jnp.float32),
+            jax.ShapeDtypeStruct((T, sp, rp), jnp.float32),
+            jax.ShapeDtypeStruct((sp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((sp, rp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((st, cp), jnp.float32),
+            pltpu.VMEM((st, rp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gifo, c_seq, c_prev_seq, g_r, wgr, wrm, peep, gcT)
+
+
+# ---------------------------------------------------------------------------
+# padding helpers
+# ---------------------------------------------------------------------------
+
+class _Dims(NamedTuple):
+    S: int
+    T: int
+    I: int
+    C: int
+    R: int
+    sp: int   # padded streams
+    st: int   # stream tile
+    cp: int   # padded cell dim
+    rp: int   # padded recurrent dim
+
+
+def _plan_dims(S, T, I, C, R, max_stream_tile=64) -> _Dims:
+    cp = _round_up(C, 128)
+    rp = _round_up(R, 128)
+    sp = _round_up(S, 8)
+    st = sp if sp <= max_stream_tile else max_stream_tile
+    sp = _round_up(sp, st)
+    return _Dims(S, T, I, C, R, sp, st, cp, rp)
+
+
+def _pad_gate_mat(w, cp):
+    """[4C, X] -> [4cp, X]: pad each of the g,i,f,o blocks to cp rows."""
+    C4, X = w.shape
+    C = C4 // 4
+    w = w.reshape(4, C, X)
+    w = jnp.pad(w, ((0, 0), (0, cp - C), (0, 0)))
+    return w.reshape(4 * cp, X)
+
+
+def _pad2(w, rows, cols):
+    return jnp.pad(w, ((0, rows - w.shape[0]), (0, cols - w.shape[1])))
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP public op
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _lstm_pallas(params: LstmParams, x, state: LstmState,
+                 cell_clip: float, interpret: bool):
+    primal, _ = _lstm_pallas_fwd(params, x, state, cell_clip, interpret)
+    return primal  # (r_seq [S,T,R], final LstmState)
+
+
+def _prepare(params: LstmParams, x, state: LstmState, d: _Dims):
+    """Pad operands to tile shapes; returns kernel-ready arrays."""
+    # xw: hoisted input projection, one big MXU GEMM (reference :246-259)
+    xw = jnp.dot(x.reshape(d.S * d.T, d.I), params.w_gifo_x.T,
+                 preferred_element_type=jnp.float32) + params.bias
+    xw = xw.reshape(d.S, d.T, 4 * d.C).swapaxes(0, 1)      # [T, S, 4C]
+    xw = xw.reshape(d.T, d.S, 4, d.C)
+    xw = jnp.pad(xw, ((0, 0), (0, d.sp - d.S), (0, 0), (0, d.cp - d.C)))
+    xw = xw.reshape(d.T, d.sp, 4 * d.cp)
+
+    wr = _pad_gate_mat(params.w_gifo_r, d.cp)               # [4cp, R]
+    wr = _pad2(wr, 4 * d.cp, d.rp).T                        # [rp, 4cp]
+    wcr = _pad2(params.w_r_m, d.rp, d.cp).T                 # [cp, rp]
+    peep = jnp.stack([params.peephole_i_c, params.peephole_f_c,
+                      params.peephole_o_c])
+    peep = jnp.pad(peep, ((0, 0), (0, d.cp - d.C)))         # [3, cp]
+    c0 = _pad2(state.c, d.sp, d.cp)
+    r0 = _pad2(state.r, d.sp, d.rp)
+    return xw, wr, wcr, peep, c0, r0
+
+
+def _lstm_pallas_fwd(params: LstmParams, x, state: LstmState,
+                     cell_clip: float, interpret: bool):
+    S, T, I = x.shape
+    C = params.cell_dim
+    R = params.recur_dim
+    d = _plan_dims(S, T, I, C, R)
+
+    xw, wr, wcr, peep, c0, r0 = _prepare(params, x, state, d)
+    gifo, c_seq, r_seq = _fwd_call(xw, wr, wcr, peep, c0, r0, st=d.st,
+                                   cell_clip=cell_clip,
+                                   interpret=interpret)
+
+    out = r_seq[:, :S, :R].swapaxes(0, 1)                   # [S, T, R]
+    final = LstmState(c=c_seq[T - 1, :S, :C], r=r_seq[T - 1, :S, :R])
+    residuals = (params, x, gifo, c_seq, r_seq, c0, r0)
+    return (out, final), residuals
+
+
+def _lstm_pallas_bwd(cell_clip, interpret, residuals, cotangents):
+    params, x, gifo, c_seq, r_seq, c0, r0 = residuals
+    g_out, g_final = cotangents
+    S, T, I = x.shape
+    C = params.cell_dim
+    R = params.recur_dim
+    d = _plan_dims(S, T, I, C, R)
+
+    # r_T == r_seq[T-1]: fold its extra cotangent into the sequence grad
+    g_r = jnp.zeros((T, d.sp, d.rp), jnp.float32)
+    g_r = g_r.at[:, :S, :R].set(g_out.swapaxes(0, 1))
+    g_r = g_r.at[T - 1, :S, :R].add(g_final.r)
+    gcT = jnp.zeros((d.sp, d.cp), jnp.float32)
+    gcT = gcT.at[:S, :C].set(g_final.c)
+
+    wgr = _pad_gate_mat(params.w_gifo_r, d.cp)              # [4cp, R]
+    wgr = _pad2(wgr, 4 * d.cp, d.rp)                        # [4cp, rp]
+    wrm = _pad2(params.w_r_m, d.rp, d.cp)                   # [rp, cp]
+    peep = jnp.stack([params.peephole_i_c, params.peephole_f_c,
+                      params.peephole_o_c])
+    peep = jnp.pad(peep, ((0, 0), (0, d.cp - d.C)))
+
+    c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
+
+    dgifo_p, drt_p, dc0_p, dr0_p = _bwd_call(
+        gifo, c_seq, c_prev_seq, g_r, wgr, wrm, peep, gcT, st=d.st,
+        interpret=interpret)
+
+    # strip padding: [T, sp, 4cp] -> [T*S, 4C]
+    dgifo = dgifo_p[:, :S].reshape(T, S, 4, d.cp)[..., :C]
+    dgifo_flat = dgifo.reshape(T * S, 4 * C)
+    drt = drt_p[:, :S, :R].reshape(T * S, R)
+
+    # frame-flattened sequences for the hoisted weight-gradient GEMMs
+    x_flat = x.swapaxes(0, 1).reshape(T * S, I)
+    r_prev = jnp.concatenate([r0[None], r_seq[:-1]], axis=0)
+    r_prev_flat = r_prev[:, :S, :R].reshape(T * S, R)
+    c_prev_flat = c_prev_seq[:, :S, :C].reshape(T * S, C)
+    c_flat = c_seq[:, :S, :C].reshape(T * S, C)
+    o_act = gifo[:, :S].reshape(T, S, 4, d.cp)[:, :, 3, :C]
+    m_flat = (jnp.tanh(c_flat)
+              * o_act.reshape(T * S, C))
+
+    dgifo_gates = dgifo.reshape(T * S, 4, C)
+    di = dgifo_gates[:, 1, :]
+    df = dgifo_gates[:, 2, :]
+    do = dgifo_gates[:, 3, :]
+
+    dparams = LstmParams(
+        w_gifo_x=jnp.dot(dgifo_flat.T, x_flat,
+                         preferred_element_type=jnp.float32),
+        w_gifo_r=jnp.dot(dgifo_flat.T, r_prev_flat,
+                         preferred_element_type=jnp.float32),
+        bias=jnp.sum(dgifo_flat, axis=0),
+        peephole_i_c=jnp.sum(di * c_prev_flat, axis=0),
+        peephole_f_c=jnp.sum(df * c_prev_flat, axis=0),
+        peephole_o_c=jnp.sum(do * c_flat, axis=0),
+        w_r_m=jnp.dot(drt.T, m_flat, preferred_element_type=jnp.float32),
+    )
+    dx = jnp.dot(dgifo_flat, params.w_gifo_x,
+                 preferred_element_type=jnp.float32)
+    dx = dx.reshape(T, S, I).swapaxes(0, 1)
+    dstate = LstmState(c=dc0_p[:S, :C], r=dr0_p[:S, :R])
+    return dparams, dx, dstate
+
+
+_lstm_pallas.defvjp(_lstm_pallas_fwd, _lstm_pallas_bwd)
+
+
+def lstm_scan_pallas(params: LstmParams, x, state: LstmState,
+                     cell_clip: float = 50.0,
+                     interpret: bool | None = None
+                     ) -> tuple[jax.Array, LstmState]:
+    """Drop-in replacement for `lstm_cell.lstm_scan` backed by the fused
+    Pallas kernels. `interpret=None` auto-selects interpreter mode off-TPU
+    (for CPU tests)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _lstm_pallas(params, x, state, cell_clip, interpret)

@@ -70,10 +70,13 @@ class StreamScheduler:
 
         self.keys: list[str] = [""] * self.S
         self.feats: list[Optional[np.ndarray]] = [None] * self.S
-        self.posts: list[Optional[Posterior]] = [None] * self.S
+        self.tgt_ids: list[Optional[np.ndarray]] = [None] * self.S
+        self.tgt_w: list[Optional[np.ndarray]] = [None] * self.S
         self.curt = np.zeros(self.S, np.int64)
         self.lent = np.zeros(self.S, np.int64)
         self.source_done = False
+        from kaldi_lstm_tpu.io import native as _native
+        self._native = _native if _native.get_lib() is not None else None
 
         # counters mirroring num_done / num_no_tgt_mat / num_other_error
         self.num_done = 0
@@ -82,8 +85,9 @@ class StreamScheduler:
         self.total_valid_frames = 0
 
     # ------------------------------------------------------------------
-    def _next_utterance(self) -> Optional[tuple[str, np.ndarray, Posterior]]:
-        """Pull the next usable utterance, skipping bad ones."""
+    def _next_utterance(self):
+        """Pull the next usable utterance, skipping bad ones. Targets come
+        back dense ([L, K] ids/weights) — converted once per utterance."""
         while True:
             try:
                 key, feats = next(self.source)
@@ -94,13 +98,23 @@ class StreamScheduler:
                 self.warn(f"{key}, missing targets")
                 self.num_no_tgt_mat += 1
                 continue
-            post = self.targets.value(key)
-            if feats.shape[0] != len(post):
+            if hasattr(self.targets, "value_dense"):
+                ids, w = self.targets.value_dense(key, self.K)
+            else:
+                post = self.targets.value(key)
+                ids = np.zeros((len(post), self.K), np.int32)
+                w = np.zeros((len(post), self.K), np.float32)
+                for t, frame in enumerate(post):
+                    for k, (pdf, weight) in enumerate(frame[:self.K]):
+                        ids[t, k] = pdf
+                        w[t, k] = weight
+            if feats.shape[0] != ids.shape[0]:
                 self.warn(f"{key}, length miss-match between feats and "
                           f"targets, skip")
                 self.num_other_error += 1
                 continue
-            return key, np.asarray(feats, np.float32), post
+            return (key, np.ascontiguousarray(feats, np.float32),
+                    np.ascontiguousarray(ids), np.ascontiguousarray(w))
 
     def _refill(self) -> np.ndarray:
         """Feed exhausted streams; returns new_utt_flags [S]."""
@@ -111,7 +125,7 @@ class StreamScheduler:
             nxt = self._next_utterance()
             if nxt is None:
                 continue
-            self.keys[s], self.feats[s], self.posts[s] = nxt
+            self.keys[s], self.feats[s], self.tgt_ids[s], self.tgt_w[s] = nxt
             self.curt[s] = 0
             self.lent[s] = self.feats[s].shape[0]
             flags[s] = 1
@@ -133,21 +147,21 @@ class StreamScheduler:
             for s in range(S):
                 if self.feats[s] is None:
                     continue  # source was dry before this stream ever fed
-                fs, ps = self.feats[s], self.posts[s]
+                fs = self.feats[s]
                 lent = int(self.lent[s])
-                for t in range(T):
-                    curt = int(self.curt[s])
-                    if curt < lent:
-                        mask[s, t] = 1.0
-                        frame = ps[curt]
-                    else:
-                        frame = ps[lent - 1]  # pad with last target
-                    for k, (pdf, w) in enumerate(frame[:K]):
-                        ids[s, t, k] = pdf
-                        weights[s, t, k] = w
-                    src = curt + self.delay
-                    feats[s, t] = fs[src if src < lent else lent - 1]
-                    self.curt[s] += 1
+                curt = int(self.curt[s])
+                if self._native is not None:
+                    self.curt[s] = self._native.fill_stream(
+                        T, self.delay, fs, self.tgt_ids[s], self.tgt_w[s],
+                        curt, feats[s], ids[s], weights[s], mask[s])
+                else:
+                    idx = curt + np.arange(T)
+                    row = np.minimum(idx, lent - 1)
+                    mask[s] = (idx < lent).astype(np.float32)
+                    ids[s] = self.tgt_ids[s][row]
+                    weights[s] = self.tgt_w[s][row]
+                    feats[s] = fs[np.minimum(idx + self.delay, lent - 1)]
+                    self.curt[s] = curt + T
 
             self.num_done += int(flags.sum())
             self.total_valid_frames += int(mask.sum())

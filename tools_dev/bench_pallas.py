@@ -1,0 +1,93 @@
+"""Dev benchmark: fused Pallas LSTM scan vs lax.scan on the TPU chip,
+flagship dims (C=800, R=512, I=40), fwd and fwd+bwd.
+
+Measurement notes: the axon platform is experimental — block_until_ready
+can return before execution, and unconsumed results may be skipped. Every
+timed loop therefore CHAINS iterations (output feeds the next input) and
+ends with a host materialization of a value depending on the whole chain.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from kaldi_lstm_tpu.ops import LstmState, init_lstm_params, lstm_scan, \
+    zero_state
+from kaldi_lstm_tpu.ops.lstm_pallas import lstm_scan_pallas
+
+I, C, R = 40, 800, 512
+
+
+def timeit_chained(step, carry, iters=30, warmup=5):
+    """step: carry -> carry (jitted). Chains iterations; returns s/iter."""
+    for _ in range(warmup):
+        carry = step(carry)
+    float(jnp.sum(jax.tree_util.tree_leaves(carry)[0]))  # host sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = step(carry)
+    float(jnp.sum(jax.tree_util.tree_leaves(carry)[0]))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    print("devices:", jax.devices(), file=sys.stderr)
+    key = jax.random.PRNGKey(0)
+    params = init_lstm_params(key, I, C, R, 0.02)
+
+    for S, T in [(4, 20), (64, 20), (128, 20), (256, 20)]:
+        x = jax.random.normal(jax.random.PRNGKey(1), (S, T, I))
+        st0 = zero_state(S, C, R)
+
+        # forward: carry = state
+        @jax.jit
+        def fwd_scan(st):
+            out, fin = lstm_scan(params, x, st)
+            return fin
+
+        @jax.jit
+        def fwd_pal(st):
+            out, fin = lstm_scan_pallas(params, x, st)
+            return fin
+
+        # fwd+bwd: carry = params (grad step keeps the chain honest)
+        def loss_scan(p, st):
+            out, fin = lstm_scan(p, x, st)
+            return jnp.sum(out) + jnp.sum(fin.c)
+
+        def loss_pal(p, st):
+            out, fin = lstm_scan_pallas(p, x, st)
+            return jnp.sum(out) + jnp.sum(fin.c)
+
+        @jax.jit
+        def train_scan(p):
+            g = jax.grad(loss_scan)(p, st0)
+            return jax.tree_util.tree_map(lambda a, b: a - 1e-7 * b, p, g)
+
+        @jax.jit
+        def train_pal(p):
+            g = jax.grad(loss_pal)(p, st0)
+            return jax.tree_util.tree_map(lambda a, b: a - 1e-7 * b, p, g)
+
+        # correctness spot check on-device
+        o1, _ = jax.jit(lambda: lstm_scan(params, x, st0))()
+        o2, _ = jax.jit(lambda: lstm_scan_pallas(params, x, st0))()
+        err = float(jnp.max(jnp.abs(o1 - o2)))
+
+        tf_scan = timeit_chained(fwd_scan, st0)
+        tf_pal = timeit_chained(fwd_pal, st0)
+        tg_scan = timeit_chained(train_scan, params)
+        tg_pal = timeit_chained(train_pal, params)
+        frames = S * T
+        print(f"S={S:4d} T={T}: fwd scan {tf_scan*1e3:7.3f}ms "
+              f"pallas {tf_pal*1e3:7.3f}ms ({tf_scan/tf_pal:5.2f}x) | "
+              f"fwd+bwd scan {tg_scan*1e3:7.3f}ms pallas "
+              f"{tg_pal*1e3:7.3f}ms ({tg_scan/tg_pal:5.2f}x) | "
+              f"max|dy|={err:.2e} | pallas train "
+              f"{frames/tg_pal/100:9.0f} audio-s/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

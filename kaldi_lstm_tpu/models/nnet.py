@@ -19,6 +19,7 @@ from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from kaldi_lstm_tpu.io import kaldi_io as kio
 from kaldi_lstm_tpu.models import components as comp
@@ -124,6 +125,22 @@ class Nnet:
             s = c.info(p)
             if s:
                 lines.append("  " + s)
+        return "\n".join(lines)
+
+    def info_propagate(self, params: ParamsList, x: jax.Array,
+                       states: Optional[StatesList] = None) -> str:
+        """Per-component activation moment statistics (the reference's
+        InfoPropagate dump at the first minibatch and every 25k frames,
+        bd-nnet-train-lstm-streams.cc:232-260)."""
+        from kaldi_lstm_tpu.models.components import moment_statistics
+        if states is None:
+            states = tuple(None for _ in self.components)
+        lines = [f"### Forward propagation buffer content :"]
+        lines.append("  " + moment_statistics("[input]", np.asarray(x)))
+        for c, p, s in zip(self.components, params, states):
+            x, _ = c.apply(p, x, s)
+            lines.append("  " + moment_statistics(
+                f"[output of {c.token[1:-1]}]", np.asarray(x)))
         return "\n".join(lines)
 
     def info_gradient(self, grads: ParamsList) -> str:

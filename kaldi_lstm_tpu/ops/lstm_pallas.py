@@ -131,6 +131,77 @@ def _fwd_call(xw, wr, wcr, peep, c0, r0, *, st: int, cell_clip: float,
     )(xw, wr, wcr, peep, c0, r0)
 
 
+def _infer_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
+                  r_ref, cT_ref, c_s, r_s, *, cp: int, cell_clip: float):
+    """Inference-only forward: no gate/cell residual writes (those cost
+    ~5x the r output in HBM write bandwidth)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        c_s[:] = c0_ref[:]
+        r_s[:] = r0_ref[:]
+
+    c_prev = c_s[:]
+    gifo = xw_ref[0] + jnp.dot(r_s[:], wr_ref[:],
+                               preferred_element_type=jnp.float32)
+    g = jnp.tanh(gifo[:, 0 * cp:1 * cp])
+    i = jax.nn.sigmoid(gifo[:, 1 * cp:2 * cp] + c_prev * peep_ref[0:1, :])
+    f = jax.nn.sigmoid(gifo[:, 2 * cp:3 * cp] + c_prev * peep_ref[1:2, :])
+    c = g * i + c_prev * f
+    if cell_clip > 0:
+        c = jnp.clip(c, -cell_clip, cell_clip)
+    h = jnp.tanh(c)
+    o = jax.nn.sigmoid(gifo[:, 3 * cp:4 * cp] + c * peep_ref[2:3, :])
+    r = jnp.dot(h * o, wcr_ref[:], preferred_element_type=jnp.float32)
+
+    r_ref[0] = r
+    cT_ref[:] = c
+    c_s[:] = c
+    r_s[:] = r
+
+
+def _infer_call(xw, wr, wcr, peep, c0, r0, *, st: int, cell_clip: float,
+                interpret: bool):
+    T, sp, c4p = xw.shape
+    cp = c4p // 4
+    rp = wr.shape[0]
+
+    return pl.pallas_call(
+        functools.partial(_infer_kernel, cp=cp, cell_clip=cell_clip),
+        grid=(sp // st, T),
+        in_specs=[
+            pl.BlockSpec((1, st, 4 * cp), lambda s, t: (t, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, 4 * cp), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, rp), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, cp), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((st, cp), lambda s, t: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((st, rp), lambda s, t: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, st, rp), lambda s, t: (t, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((st, cp), lambda s, t: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, sp, rp), jnp.float32),
+            jax.ShapeDtypeStruct((sp, cp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((st, cp), jnp.float32),
+            pltpu.VMEM((st, rp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw, wr, wcr, peep, c0, r0)
+
+
 # ---------------------------------------------------------------------------
 # backward kernel
 # ---------------------------------------------------------------------------
@@ -275,19 +346,31 @@ def _pad2(w, rows, cols):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _lstm_pallas(params: LstmParams, x, state: LstmState,
                  cell_clip: float, interpret: bool):
-    primal, _ = _lstm_pallas_fwd(params, x, state, cell_clip, interpret)
-    return primal  # (r_seq [S,T,R], final LstmState)
+    # primal = inference path (custom_vjp only calls _lstm_pallas_fwd
+    # under differentiation): skip all residual outputs
+    S, T, I = x.shape
+    d = _plan_dims(S, T, I, params.cell_dim, params.recur_dim)
+    xw, wr, wcr, peep, c0, r0 = _prepare(params, x, state, d)
+    r_seq, c_last = _infer_call(xw, wr, wcr, peep, c0, r0, st=d.st,
+                                cell_clip=cell_clip, interpret=interpret)
+    out = r_seq[:, :S, :params.recur_dim].swapaxes(0, 1)
+    final = LstmState(c=c_last[:S, :params.cell_dim],
+                      r=r_seq[T - 1, :S, :params.recur_dim])
+    return out, final
 
 
 def _prepare(params: LstmParams, x, state: LstmState, d: _Dims):
     """Pad operands to tile shapes; returns kernel-ready arrays."""
-    # xw: hoisted input projection, one big MXU GEMM (reference :246-259)
-    xw = jnp.dot(x.reshape(d.S * d.T, d.I), params.w_gifo_x.T,
-                 preferred_element_type=jnp.float32) + params.bias
-    xw = xw.reshape(d.S, d.T, 4 * d.C).swapaxes(0, 1)      # [T, S, 4C]
-    xw = xw.reshape(d.T, d.S, 4, d.C)
-    xw = jnp.pad(xw, ((0, 0), (0, d.sp - d.S), (0, 0), (0, d.cp - d.C)))
-    xw = xw.reshape(d.T, d.sp, 4 * d.cp)
+    # xw: hoisted input projection, one big MXU GEMM (reference :246-259).
+    # Padding the (small) weight/bias first makes the GEMM emit the padded
+    # gate layout directly — no [T,S,4C]-sized pad copy per chunk.
+    wxp = _pad_gate_mat(params.w_gifo_x, d.cp)              # [4cp, I]
+    biasp = jnp.pad(params.bias.reshape(4, d.C),
+                    ((0, 0), (0, d.cp - d.C))).reshape(4 * d.cp)
+    xw = jnp.dot(x.reshape(d.S * d.T, d.I), wxp.T,
+                 preferred_element_type=jnp.float32) + biasp
+    xw = xw.reshape(d.S, d.T, 4 * d.cp).swapaxes(0, 1)      # [T, S, 4cp]
+    xw = jnp.pad(xw, ((0, 0), (0, d.sp - d.S), (0, 0)))
 
     wr = _pad_gate_mat(params.w_gifo_r, d.cp)               # [4cp, R]
     wr = _pad2(wr, 4 * d.cp, d.rp).T                        # [rp, 4cp]

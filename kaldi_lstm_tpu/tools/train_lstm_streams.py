@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dump-interval", type=int, default=50000,
                    help="---LSTM--- num utts between model dumping")
     p.add_argument("--verbose", type=int, default=0)
+    p.add_argument("--state-in", default="",
+                   help="Resume full train state (params + momentum) from "
+                        "a .npz written by --state-out")
+    p.add_argument("--state-out", default="",
+                   help="Write full train state (params + momentum) for "
+                        "bit-exact resume")
+    p.add_argument("--profile-dir", default="",
+                   help="Write a jax.profiler trace of the steady-state "
+                        "steps to this directory")
     # dummy options for script compatibility (reference :65-69)
     p.add_argument("--randomize", default="false", help="Dummy option, "
                    "for compatibility")
@@ -103,13 +112,35 @@ def main(argv=None) -> int:
         nnet.write(name, p, binary=_bool(args.binary))
         LOG(f"dumped model to {name}")
 
+    opt_state = None
+    if args.state_in:
+        from kaldi_lstm_tpu.train.checkpoint import load_train_state
+        params, opt_state, meta = load_train_state(args.state_in, params)
+        LOG(f"resumed train state from {args.state_in} (meta: {meta})")
+
+    profiling = False
+    if args.profile_dir and not crossvalidate:
+        jax.profiler.start_trace(args.profile_dir)
+        profiling = True
+
     res = run_epoch(nnet, params, scheduler, opts,
                     transf=transf, transf_params=transf_params,
-                    crossvalidate=crossvalidate,
-                    dump_interval=args.dump_interval, dump_fn=dump)
+                    crossvalidate=crossvalidate, opt_state=opt_state,
+                    dump_interval=args.dump_interval, dump_fn=dump,
+                    monitor_verbose=args.verbose)
+
+    if profiling:
+        jax.profiler.stop_trace()
+        LOG(f"profiler trace written to {args.profile_dir}")
 
     if not crossvalidate:
         nnet.write(args.model_out, res.params, binary=_bool(args.binary))
+        if args.state_out:
+            from kaldi_lstm_tpu.train.checkpoint import save_train_state
+            save_train_state(args.state_out, res.params, res.opt_state,
+                             meta={"learn_rate": args.learn_rate,
+                                   "num_done": scheduler.num_done})
+            LOG(f"wrote train state to {args.state_out}")
 
     LOG(f"Done {scheduler.num_done} files, {scheduler.num_no_tgt_mat} with "
         f"no tgt_mats, {scheduler.num_other_error} with other errors. "

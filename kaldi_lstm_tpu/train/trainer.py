@@ -93,6 +93,29 @@ def make_train_step(nnet: Nnet, opts: TrainOptions,
     return step
 
 
+def _monitor_first_batch(nnet, params, transf, transf_params, batch, opts,
+                         crossvalidate):
+    """First-minibatch network introspection (reference :232-239):
+    activation moments, and gradient moments when training."""
+    x = jnp.asarray(batch.feats)
+    if transf is not None:
+        x = transf.feedforward(transf_params, x)
+    states = nnet.init_states(batch.feats.shape[0])
+    VLOG(1, "### After 0 frames,")
+    VLOG(1, nnet.info_propagate(params, x, states))
+    if not crossvalidate:
+        loss_fn = _LOSS_FNS[opts.objective]
+
+        def objective(p):
+            logits, _ = nnet.propagate(p, x, states, logits=True)
+            return loss_fn(logits, jnp.asarray(batch.tgt_ids),
+                           jnp.asarray(batch.tgt_weights),
+                           jnp.asarray(batch.mask))[0]
+
+        grads = jax.grad(objective)(params)
+        VLOG(1, nnet.info_gradient(grads))
+
+
 class EpochResult(NamedTuple):
     params: Any
     opt_state: MomentumState
@@ -108,10 +131,13 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
               crossvalidate: bool = False,
               opt_state: Optional[MomentumState] = None,
               dump_interval: int = 0, dump_fn=None,
-              learn_rate: Optional[float] = None) -> EpochResult:
+              learn_rate: Optional[float] = None,
+              monitor_verbose: int = 0) -> EpochResult:
     """One pass over the utterance source (one `bd-nnet-train-lstm-streams`
     invocation). `dump_fn(params, num_done)` is called every
-    `dump_interval` utterances (:275-281)."""
+    `dump_interval` utterances (:275-281). `monitor_verbose>=1` prints
+    InfoPropagate/InfoGradient moment dumps at the first minibatch
+    (:232-239)."""
     step = make_train_step(nnet, opts, transf, crossvalidate)
     if opt_state is None:
         opt_state = init_momentum(params)
@@ -123,8 +149,13 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
     total_frames = 0
     last_report_done = 0
     last_dump_done = 0
+    first_batch = True
 
     for batch in scheduler:
+        if first_batch and monitor_verbose >= 1:
+            _monitor_first_batch(nnet, params, transf, transf_params,
+                                 batch, opts, crossvalidate)
+        first_batch = False
         params, opt_state, states, aux = step(
             params, opt_state, states, transf_params,
             jnp.asarray(batch.feats), jnp.asarray(batch.tgt_ids),

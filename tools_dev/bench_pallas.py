@@ -37,7 +37,9 @@ def main():
     key = jax.random.PRNGKey(0)
     params = init_lstm_params(key, I, C, R, 0.02)
 
-    for S, T in [(4, 20), (64, 20), (128, 20), (256, 20)]:
+    import os
+    cfgs = os.environ.get("KLT_BENCH_CFGS", "4,128")
+    for S, T in [(int(s), 20) for s in cfgs.split(",")]:
         x = jax.random.normal(jax.random.PRNGKey(1), (S, T, I))
         st0 = zero_state(S, C, R)
 
@@ -71,22 +73,20 @@ def main():
             g = jax.grad(loss_pal)(p, st0)
             return jax.tree_util.tree_map(lambda a, b: a - 1e-7 * b, p, g)
 
-        # correctness spot check on-device
-        o1, _ = jax.jit(lambda: lstm_scan(params, x, st0))()
-        o2, _ = jax.jit(lambda: lstm_scan_pallas(params, x, st0))()
-        err = float(jnp.max(jnp.abs(o1 - o2)))
-
         tf_scan = timeit_chained(fwd_scan, st0)
+        print(f"S={S} fwd scan {tf_scan*1e3:.3f}ms", flush=True)
         tf_pal = timeit_chained(fwd_pal, st0)
+        print(f"S={S} fwd pallas {tf_pal*1e3:.3f}ms "
+              f"({tf_scan/tf_pal:.2f}x)", flush=True)
         tg_scan = timeit_chained(train_scan, params)
+        print(f"S={S} fwd+bwd scan {tg_scan*1e3:.3f}ms", flush=True)
         tg_pal = timeit_chained(train_pal, params)
         frames = S * T
-        print(f"S={S:4d} T={T}: fwd scan {tf_scan*1e3:7.3f}ms "
-              f"pallas {tf_pal*1e3:7.3f}ms ({tf_scan/tf_pal:5.2f}x) | "
+        print(f"S={S:4d} T={T}: fwd {tf_scan/tf_pal:5.2f}x | "
               f"fwd+bwd scan {tg_scan*1e3:7.3f}ms pallas "
               f"{tg_pal*1e3:7.3f}ms ({tg_scan/tg_pal:5.2f}x) | "
-              f"max|dy|={err:.2e} | pallas train "
-              f"{frames/tg_pal/100:9.0f} audio-s/s", flush=True)
+              f"pallas train {frames/tg_pal/100:9.0f} audio-s/s",
+              flush=True)
 
 
 if __name__ == "__main__":

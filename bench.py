@@ -96,6 +96,16 @@ def main():
         if tput > best_tput:
             best_tput, best_cfg = tput, S
 
+    # bf16 matmul variant (informational; accuracy-parity gating pending)
+    from kaldi_lstm_tpu.models.components import set_matmul_dtype
+    set_matmul_dtype(jnp.bfloat16)
+    try:
+        tput16, sps16 = bench_config(nnet, params, S=best_cfg, T=20)
+        print(f"bf16 matmuls S={best_cfg} T=20: {tput16:.1f} audio-s/s "
+              f"({sps16:.1f} steps/s)", file=sys.stderr)
+    finally:
+        set_matmul_dtype(None)
+
     print(f"best: S={best_cfg}", file=sys.stderr)
     print(json.dumps({
         "metric": "train_audio_seconds_per_s_per_chip",

@@ -367,7 +367,14 @@ def _prepare(params: LstmParams, x, state: LstmState, d: _Dims):
     wxp = _pad_gate_mat(params.w_gifo_x, d.cp)              # [4cp, I]
     biasp = jnp.pad(params.bias.reshape(4, d.C),
                     ((0, 0), (0, d.cp - d.C))).reshape(4 * d.cp)
-    xw = jnp.dot(x.reshape(d.S * d.T, d.I), wxp.T,
+    from kaldi_lstm_tpu.models.components import get_matmul_dtype
+    mm_dt = get_matmul_dtype()
+    xr = x.reshape(d.S * d.T, d.I)
+    if mm_dt is not None:
+        xr, wxp_c = xr.astype(mm_dt), wxp.astype(mm_dt)
+    else:
+        wxp_c = wxp
+    xw = jnp.dot(xr, wxp_c.T,
                  preferred_element_type=jnp.float32) + biasp
     xw = xw.reshape(d.S, d.T, 4 * d.cp).swapaxes(0, 1)      # [T, S, 4cp]
     xw = jnp.pad(xw, ((0, 0), (0, d.sp - d.S), (0, 0)))

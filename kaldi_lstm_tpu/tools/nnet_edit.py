@@ -1,0 +1,78 @@
+"""Model surgery — the reference does this by hand-editing text dumps
+(/root/reference/README.md Q2: stacking a second LSTM layer between the
+pretrained LSTM and the softmax). Native operations here:
+
+    # insert a freshly initialized component before index 2
+    python -m kaldi_lstm_tpu.tools.nnet_edit nnet.in nnet.out \\
+        --insert-at 2 --proto-line "<LstmProjectedStreams> <InputDim> 512 \\
+        <OutputDim> 512 <CellDim> 800 <NumStream> 4 <ParamScale> 0.01"
+
+    # remove component 0
+    python -m kaldi_lstm_tpu.tools.nnet_edit nnet.in nnet.out --remove-at 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+from kaldi_lstm_tpu.models import Nnet
+from kaldi_lstm_tpu.models import components as comp
+from kaldi_lstm_tpu.utils import LOG
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Edit an Nnet: insert or "
+                                "remove components (model surgery)")
+    p.add_argument("model_in")
+    p.add_argument("model_out")
+    p.add_argument("--binary", default="true")
+    p.add_argument("--insert-at", type=int, default=None,
+                   help="Component index to insert --proto-line before "
+                        "(negative counts from the end)")
+    p.add_argument("--proto-line", default="",
+                   help="One <NnetProto>-style component line to insert")
+    p.add_argument("--remove-at", type=int, default=None)
+    p.add_argument("--seed", type=int, default=777)
+    args = p.parse_args(argv)
+
+    nnet, params = Nnet.read(args.model_in)
+    params = list(params)
+
+    if args.remove_at is not None:
+        idx = args.remove_at % len(nnet.components)
+        c = nnet.components.pop(idx)
+        params.pop(idx)
+        LOG(f"removed component {idx} ({c.token})")
+
+    if args.insert_at is not None:
+        if not args.proto_line:
+            print("error: --insert-at requires --proto-line",
+                  file=sys.stderr)
+            return 1
+        sub, sub_params = Nnet.init_from_proto(
+            args.proto_line, jax.random.PRNGKey(args.seed))
+        idx = args.insert_at % (len(nnet.components) + 1) \
+            if args.insert_at >= 0 else \
+            len(nnet.components) + 1 + args.insert_at
+        for j, (c, pp) in enumerate(zip(sub.components, sub_params)):
+            nnet.components.insert(idx + j, c)
+            params.insert(idx + j, pp)
+            LOG(f"inserted {c.token} at {idx + j}")
+
+    # dimension sanity
+    for a, b in zip(nnet.components, nnet.components[1:]):
+        if a.output_dim != b.input_dim:
+            print(f"warning: dim mismatch {a.token}({a.output_dim}) -> "
+                  f"{b.token}({b.input_dim})", file=sys.stderr)
+
+    nnet.write(args.model_out, tuple(params),
+               binary=str(args.binary).lower() in ("true", "1", "yes"))
+    LOG(f"Written model to {args.model_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--state-out", default="",
                    help="Write full train state (params + momentum) for "
                         "bit-exact resume")
+    p.add_argument("--bf16", default="false",
+                   help="Run the large matmuls (senone affine, LSTM input "
+                        "projection) in bfloat16 with f32 accumulation")
     p.add_argument("--profile-dir", default="",
                    help="Write a jax.profiler trace of the steady-state "
                         "steps to this directory")
@@ -92,6 +95,11 @@ def main(argv=None) -> int:
     transf = transf_params = None
     if args.feature_transform:
         transf, transf_params = Nnet.read(args.feature_transform)
+
+    if _bool(args.bf16):
+        import jax.numpy as jnp
+        from kaldi_lstm_tpu.models.components import set_matmul_dtype
+        set_matmul_dtype(jnp.bfloat16)
 
     nnet, params = Nnet.read(args.model_in)
     opts = TrainOptions(learn_rate=args.learn_rate, momentum=args.momentum,

@@ -3,3 +3,9 @@ from kaldi_lstm_tpu.parallel.mesh import (
     make_mesh,
 )
 from kaldi_lstm_tpu.parallel.sharded_trainer import make_sharded_train_step
+from kaldi_lstm_tpu.parallel.multihost import (
+    SyncedScheduler,
+    count_batches,
+    empty_batch,
+    shard_batch_to_mesh,
+)

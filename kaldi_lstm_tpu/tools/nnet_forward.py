@@ -55,6 +55,9 @@ def main(argv=None) -> int:
                    help="Scaling factor applied to the log-priors")
     p.add_argument("--prior-floor", type=float, default=1e-10,
                    help="Floor applied to the priors before log")
+    p.add_argument("--length-bucket", type=int, default=128,
+                   help="Pad utterance length to multiples of this so XLA "
+                        "compiles one program per bucket, not per length")
     args = p.parse_args(argv)
 
     apply_log = str(args.apply_log).lower() in ("true", "1", "yes")
@@ -81,10 +84,16 @@ def main(argv=None) -> int:
 
     num_done = 0
     tot_frames = 0
+    bucket = max(args.length_bucket, 1)
     with MatrixWriter(args.feature_wspecifier) as writer:
         for key, feats in SequentialMatrixReader(args.feature_rspecifier):
-            x = jnp.asarray(feats, jnp.float32)[None]  # [1, T, D]
-            y = np.asarray(forward(params, transf_params, x))[0]
+            L = feats.shape[0]
+            T = -(-L // bucket) * bucket
+            x = np.zeros((1, T, feats.shape[1]), np.float32)
+            x[0, :L] = feats
+            x[0, L:] = feats[L - 1]  # repeat last frame into padding
+            y = np.asarray(forward(params, transf_params,
+                                   jnp.asarray(x)))[0, :L]
             if apply_log and not no_softmax:
                 y = np.log(np.maximum(y, 1e-20))
             if log_prior is not None:

@@ -65,7 +65,8 @@ def _fwd_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
         r_s[:] = r0_ref[:]
 
     c_prev = c_s[:]
-    gifo = xw_ref[0] + jnp.dot(r_s[:], wr_ref[:],
+    wdt = wr_ref.dtype  # bf16 weights -> bf16 MXU dots, f32 accumulation
+    gifo = xw_ref[0] + jnp.dot(r_s[:].astype(wdt), wr_ref[:],
                                preferred_element_type=jnp.float32)
     g = jnp.tanh(gifo[:, 0 * cp:1 * cp])
     i = jax.nn.sigmoid(gifo[:, 1 * cp:2 * cp] + c_prev * peep_ref[0:1, :])
@@ -76,7 +77,8 @@ def _fwd_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
     h = jnp.tanh(c)
     o = jax.nn.sigmoid(gifo[:, 3 * cp:4 * cp] + c * peep_ref[2:3, :])
     m = h * o
-    r = jnp.dot(m, wcr_ref[:], preferred_element_type=jnp.float32)
+    r = jnp.dot(m.astype(wdt), wcr_ref[:],
+                preferred_element_type=jnp.float32)
 
     gifo_ref[0] = jnp.concatenate([g, i, f, o], axis=-1)
     c_ref[0] = c
@@ -143,7 +145,8 @@ def _infer_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
         r_s[:] = r0_ref[:]
 
     c_prev = c_s[:]
-    gifo = xw_ref[0] + jnp.dot(r_s[:], wr_ref[:],
+    wdt = wr_ref.dtype
+    gifo = xw_ref[0] + jnp.dot(r_s[:].astype(wdt), wr_ref[:],
                                preferred_element_type=jnp.float32)
     g = jnp.tanh(gifo[:, 0 * cp:1 * cp])
     i = jax.nn.sigmoid(gifo[:, 1 * cp:2 * cp] + c_prev * peep_ref[0:1, :])
@@ -153,7 +156,8 @@ def _infer_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
         c = jnp.clip(c, -cell_clip, cell_clip)
     h = jnp.tanh(c)
     o = jax.nn.sigmoid(gifo[:, 3 * cp:4 * cp] + c * peep_ref[2:3, :])
-    r = jnp.dot(h * o, wcr_ref[:], preferred_element_type=jnp.float32)
+    r = jnp.dot((h * o).astype(wdt), wcr_ref[:],
+                preferred_element_type=jnp.float32)
 
     r_ref[0] = r
     cT_ref[:] = c
@@ -225,8 +229,10 @@ def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, wgr_ref, wrm_ref,
     c_prev = cprev_ref[0]
     h = jnp.tanh(c)
 
+    wdt = wgr_ref.dtype
     dr_total = gr_ref[0] + dr_s[:]
-    dm = jnp.dot(dr_total, wrm_ref[:], preferred_element_type=jnp.float32)
+    dm = jnp.dot(dr_total.astype(wdt), wrm_ref[:],
+                 preferred_element_type=jnp.float32)
     dh = dm * o
     dc_from_h = dh * (1.0 - h * h)
     do = dm * h * o * (1.0 - o)
@@ -241,7 +247,8 @@ def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, wgr_ref, wrm_ref,
     dgifo_ref[0] = dgifo
     drt_ref[0] = dr_total
     dc_s[:] = dc_total * f + di * peep_ref[0:1, :] + df * peep_ref[1:2, :]
-    dr_s[:] = jnp.dot(dgifo, wgr_ref[:], preferred_element_type=jnp.float32)
+    dr_s[:] = jnp.dot(dgifo.astype(wdt), wgr_ref[:],
+                      preferred_element_type=jnp.float32)
 
     # after the last step (real t=0) the carries are the state gradients;
     # constant-index output blocks flush their final contents
@@ -382,6 +389,9 @@ def _prepare(params: LstmParams, x, state: LstmState, d: _Dims):
     wr = _pad_gate_mat(params.w_gifo_r, d.cp)               # [4cp, R]
     wr = _pad2(wr, 4 * d.cp, d.rp).T                        # [rp, 4cp]
     wcr = _pad2(params.w_r_m, d.rp, d.cp).T                 # [cp, rp]
+    if mm_dt is not None:
+        wr = wr.astype(mm_dt)
+        wcr = wcr.astype(mm_dt)
     peep = jnp.stack([params.peephole_i_c, params.peephole_f_c,
                       params.peephole_o_c])
     peep = jnp.pad(peep, ((0, 0), (0, d.cp - d.C)))         # [3, cp]
@@ -423,9 +433,14 @@ def _lstm_pallas_bwd(cell_clip, interpret, residuals, cotangents):
     gcT = jnp.zeros((d.sp, d.cp), jnp.float32)
     gcT = gcT.at[:S, :C].set(g_final.c)
 
+    from kaldi_lstm_tpu.models.components import get_matmul_dtype
+    mm_dt = get_matmul_dtype()
     wgr = _pad_gate_mat(params.w_gifo_r, d.cp)              # [4cp, R]
     wgr = _pad2(wgr, 4 * d.cp, d.rp)                        # [4cp, rp]
     wrm = _pad2(params.w_r_m, d.rp, d.cp)                   # [rp, cp]
+    if mm_dt is not None:
+        wgr = wgr.astype(mm_dt)
+        wrm = wrm.astype(mm_dt)
     peep = jnp.stack([params.peephole_i_c, params.peephole_f_c,
                       params.peephole_o_c])
     peep = jnp.pad(peep, ((0, 0), (0, d.cp - d.C)))
@@ -456,19 +471,21 @@ def _lstm_pallas_bwd(cell_clip, interpret, residuals, cotangents):
     df = dgifo_gates[:, 2, :]
     do = dgifo_gates[:, 3, :]
 
+    def mm(a, b):
+        if mm_dt is not None:
+            a, b = a.astype(mm_dt), b.astype(mm_dt)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
     dparams = LstmParams(
-        w_gifo_x=jnp.dot(dgifo_flat.T, x_flat,
-                         preferred_element_type=jnp.float32),
-        w_gifo_r=jnp.dot(dgifo_flat.T, r_prev_flat,
-                         preferred_element_type=jnp.float32),
+        w_gifo_x=mm(dgifo_flat.T, x_flat),
+        w_gifo_r=mm(dgifo_flat.T, r_prev_flat),
         bias=jnp.sum(dgifo_flat, axis=0),
         peephole_i_c=jnp.sum(di * c_prev_flat, axis=0),
         peephole_f_c=jnp.sum(df * c_prev_flat, axis=0),
         peephole_o_c=jnp.sum(do * c_flat, axis=0),
-        w_r_m=jnp.dot(drt.T, m_flat, preferred_element_type=jnp.float32),
+        w_r_m=mm(drt.T, m_flat),
     )
-    dx = jnp.dot(dgifo_flat, params.w_gifo_x,
-                 preferred_element_type=jnp.float32)
+    dx = mm(dgifo_flat, params.w_gifo_x)
     dx = dx.reshape(T, S, I).swapaxes(0, 1)
     dstate = LstmState(c=dc0_p[:S, :C], r=dr0_p[:S, :R])
     return dparams, dx, dstate

@@ -35,6 +35,28 @@ def test_forward_close_to_f32():
                                rtol=0.05, atol=0.02)
 
 
+def test_pallas_bf16_close_to_f32():
+    from kaldi_lstm_tpu.ops import LstmState, init_lstm_params
+    from kaldi_lstm_tpu.ops.lstm_pallas import lstm_scan_pallas
+    key = jax.random.PRNGKey(0)
+    params = init_lstm_params(key, 5, 9, 6, 0.3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 5))
+    st = LstmState(c=jnp.zeros((2, 9)), r=jnp.zeros((2, 6)))
+    out32, _ = lstm_scan_pallas(params, x, st, interpret=True)
+    g32 = jax.grad(lambda p: jnp.sum(
+        lstm_scan_pallas(p, x, st, interpret=True)[0]))(params)
+    set_matmul_dtype(jnp.bfloat16)
+    out16, _ = lstm_scan_pallas(params, x, st, interpret=True)
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=0.05, atol=0.02)
+    g16 = jax.grad(lambda p: jnp.sum(
+        lstm_scan_pallas(p, x, st, interpret=True)[0]))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g32),
+                    jax.tree_util.tree_leaves(g16)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0.1, atol=0.05)
+
+
 def test_bf16_training_learns():
     from tests.test_trainer import make_sched
     set_matmul_dtype(jnp.bfloat16)

@@ -35,8 +35,10 @@ def init_momentum(params: Params) -> MomentumState:
 
 def momentum_update(params: Params, grads: Params, opt_state: MomentumState,
                     learn_rate: float, momentum: float = 0.0,
-                    grad_clip: float = 0.0
+                    grad_clip: float = 0.0, lr_scale: Params = None
                     ) -> tuple[Params, MomentumState]:
+    """`lr_scale` is an optional pytree of per-leaf scalars implementing
+    nnet1's <LearnRateCoef>/<BiasLearnRateCoef> (0 freezes a tensor)."""
     def acc(g, c):
         new = g + momentum * c
         if grad_clip > 0:
@@ -44,6 +46,11 @@ def momentum_update(params: Params, grads: Params, opt_state: MomentumState,
         return new
 
     corr = jax.tree_util.tree_map(acc, grads, opt_state.corr)
-    new_params = jax.tree_util.tree_map(
-        lambda p, c: p - learn_rate * c, params, corr)
+    if lr_scale is None:
+        new_params = jax.tree_util.tree_map(
+            lambda p, c: p - learn_rate * c, params, corr)
+    else:
+        new_params = jax.tree_util.tree_map(
+            lambda p, c, s: p - (learn_rate * s) * c, params, corr,
+            lr_scale)
     return new_params, MomentumState(corr=corr)

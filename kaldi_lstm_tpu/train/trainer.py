@@ -53,6 +53,20 @@ class TrainOptions(NamedTuple):
 _LOSS_FNS = {"xent": masked_xent_loss, "mse": masked_mse_loss}
 
 
+def build_lr_scale(nnet: Nnet, params):
+    """Per-leaf learn-rate multipliers from component config — nnet1's
+    <LearnRateCoef>/<BiasLearnRateCoef> (0 freezes a tensor)."""
+    from kaldi_lstm_tpu.models.components import AffineTransform
+    out = []
+    for c, p in zip(nnet.components, params):
+        if isinstance(c, AffineTransform):
+            out.append({"linearity": float(c.learn_rate_coef),
+                        "bias": float(c.bias_learn_rate_coef)})
+        else:
+            out.append(jax.tree_util.tree_map(lambda _: 1.0, p))
+    return tuple(out)
+
+
 def make_train_step(nnet: Nnet, opts: TrainOptions,
                     transf: Optional[Nnet] = None,
                     crossvalidate: bool = False):
@@ -87,7 +101,7 @@ def make_train_step(nnet: Nnet, opts: TrainOptions,
             objective, has_aux=True)(params)
         params, opt_state = momentum_update(
             params, grads, opt_state, learn_rate, opts.momentum,
-            opts.grad_clip)
+            opts.grad_clip, lr_scale=build_lr_scale(nnet, params))
         return params, opt_state, new_states, aux
 
     return step

@@ -93,6 +93,19 @@ class Component:
                 f"out={self.output_dim})")
 
 
+def _on_tpu() -> bool:
+    """True when the default device is a TPU — including bridged
+    platforms whose backend name is not 'tpu' (e.g. the axon tunnel,
+    where default_backend() == 'axon' but the device is a TPU chip)."""
+    if jax.default_backend() == "tpu":
+        return True
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return False
+    return "TPU" in getattr(dev, "device_kind", "")
+
+
 # Global matmul compute dtype: None = full f32; jnp.bfloat16 runs the
 # large GEMMs (senone affine, LSTM input projection) in bf16 with f32
 # accumulation — ~2x MXU throughput, opt-in pending accuracy parity.
@@ -416,7 +429,7 @@ class _LstmBase(Component):
     def _run_scan(self, params, x, state):
         impl = self.impl
         if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+            impl = "pallas" if _on_tpu() else "scan"
         if impl == "pallas":
             from kaldi_lstm_tpu.ops.lstm_pallas import lstm_scan_pallas
             return lstm_scan_pallas(params, x, state, self.cell_clip)

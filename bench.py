@@ -89,7 +89,7 @@ def main():
 
     # TPU-sized multi-stream batch
     best_tput, best_cfg = 0.0, None
-    for S in (64, 128, 256):
+    for S in (64, 128, 256, 512):
         tput, sps = bench_config(nnet, params, S=S, T=20)
         print(f"tpu config S={S} T=20: {tput:.1f} audio-s/s "
               f"({sps:.1f} steps/s)", file=sys.stderr)

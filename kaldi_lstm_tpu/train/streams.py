@@ -40,6 +40,41 @@ class StreamBatch(NamedTuple):
     num_new_utts: int        # utterances fed this batch (progress counter)
 
 
+class PrefetchIterator:
+    """Run an iterator on a background thread with a bounded queue so
+    host-side batch assembly (ark reads, stream fill) overlaps device
+    compute. The reference's single-threaded loop serializes these
+    (bd-nnet-train-lstm-streams.cc:143-282)."""
+
+    def __init__(self, iterable, depth: int = 2):
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._err = None
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as e:  # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._sentinel:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+
 class StreamScheduler:
     """Iterates fixed-shape multi-stream BPTT batches from an utterance
     source.

@@ -165,7 +165,8 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
     last_dump_done = 0
     first_batch = True
 
-    for batch in scheduler:
+    from kaldi_lstm_tpu.train.streams import PrefetchIterator
+    for batch in PrefetchIterator(scheduler, depth=2):
         if first_batch and monitor_verbose >= 1:
             _monitor_first_batch(nnet, params, transf, transf_params,
                                  batch, opts, crossvalidate)

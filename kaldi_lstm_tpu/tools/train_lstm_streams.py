@@ -69,8 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", default="",
                    help="Write a jax.profiler trace of the steady-state "
                         "steps to this directory")
-    # dummy options for script compatibility (reference :65-69)
+    # dummy options for script compatibility (reference :65-69; the
+    # reference registers --frame-weights but never applies it, :110-113)
     p.add_argument("--randomize", default="false", help="Dummy option, "
+                   "for compatibility")
+    p.add_argument("--frame-weights", default="", help="Dummy option, "
                    "for compatibility")
     p.add_argument("--length-tolerance", type=int, default=5,
                    help="Dummy option, for compatibility")

@@ -58,6 +58,9 @@ def main(argv=None) -> int:
     p.add_argument("--length-bucket", type=int, default=128,
                    help="Pad utterance length to multiples of this so XLA "
                         "compiles one program per bucket, not per length")
+    p.add_argument("--batch-utts", type=int, default=8,
+                   help="Score this many utterances per device batch "
+                        "(padded to the longest; 1 = reference behaviour)")
     args = p.parse_args(argv)
 
     apply_log = str(args.apply_log).lower() in ("true", "1", "yes")
@@ -85,26 +88,46 @@ def main(argv=None) -> int:
     num_done = 0
     tot_frames = 0
     bucket = max(args.length_bucket, 1)
-    with MatrixWriter(args.feature_wspecifier) as writer:
-        for key, feats in SequentialMatrixReader(args.feature_rspecifier):
-            L = feats.shape[0]
-            T = -(-L // bucket) * bucket
-            x = np.zeros((1, T, feats.shape[1]), np.float32)
-            x[0, :L] = feats
-            x[0, L:] = feats[L - 1]  # repeat last frame into padding
-            y = np.asarray(forward(params, transf_params,
-                                   jnp.asarray(x)))[0, :L]
-            if apply_log and not no_softmax:
+    B = max(args.batch_utts, 1)
+
+    def postprocess(y):
+        if apply_log and not no_softmax:
+            y = np.log(np.maximum(y, 1e-20))
+        if log_prior is not None:
+            if not (apply_log or no_softmax):
+                WARN("class-frame-counts given but output is not in log "
+                     "domain; taking log before prior division")
                 y = np.log(np.maximum(y, 1e-20))
-            if log_prior is not None:
-                if not (apply_log or no_softmax):
-                    WARN("class-frame-counts given but output is not in "
-                         "log domain; taking log before prior division")
-                    y = np.log(np.maximum(y, 1e-20))
-                y = y - log_prior
+            y = y - log_prior
+        return y
+
+    def flush(group, writer):
+        nonlocal num_done, tot_frames
+        if not group:
+            return
+        T = -(-max(f.shape[0] for _, f in group) // bucket) * bucket
+        D = group[0][1].shape[1]
+        # always shape [B, ...] so the last partial group reuses the
+        # compiled program (extra rows are zeros, never written out)
+        x = np.zeros((B, T, D), np.float32)
+        for i, (_, f) in enumerate(group):
+            x[i, :f.shape[0]] = f
+            x[i, f.shape[0]:] = f[-1]  # repeat last frame into padding
+        out = np.asarray(forward(params, transf_params, jnp.asarray(x)))
+        for i, (key, f) in enumerate(group):
+            y = postprocess(out[i, :f.shape[0]])
             writer.write(key, y)
             num_done += 1
             tot_frames += y.shape[0]
+
+    with MatrixWriter(args.feature_wspecifier) as writer:
+        group = []
+        for key, feats in SequentialMatrixReader(args.feature_rspecifier):
+            group.append((key, feats))
+            if len(group) >= B:
+                flush(group, writer)
+                group = []
+        flush(group, writer)
 
     LOG(f"Done {num_done} files, {tot_frames} frames")
     return 0

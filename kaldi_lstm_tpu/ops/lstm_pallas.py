@@ -129,6 +129,8 @@ def _fwd_call(xw, wr, wcr, peep, c0, r0, *, st: int, cell_clip: float,
             pltpu.VMEM((st, cp), jnp.float32),
             pltpu.VMEM((st, rp), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xw, wr, wcr, peep, c0, r0)
 
@@ -202,6 +204,8 @@ def _infer_call(xw, wr, wcr, peep, c0, r0, *, st: int, cell_clip: float,
             pltpu.VMEM((st, cp), jnp.float32),
             pltpu.VMEM((st, rp), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xw, wr, wcr, peep, c0, r0)
 
@@ -304,6 +308,8 @@ def _bwd_call(gifo, c_seq, c_prev_seq, g_r, wgr, wrm, peep, gcT, *,
             pltpu.VMEM((st, cp), jnp.float32),
             pltpu.VMEM((st, rp), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(gifo, c_seq, c_prev_seq, g_r, wgr, wrm, peep, gcT)
 
@@ -324,7 +330,18 @@ class _Dims(NamedTuple):
     rp: int   # padded recurrent dim
 
 
-def _plan_dims(S, T, I, C, R, max_stream_tile=64) -> _Dims:
+import os
+
+# Stream-tile size: bigger tiles feed the MXU fuller rows (128 = full
+# sublane tile) at the cost of VMEM; overridable for tuning.
+_DEFAULT_STREAM_TILE = int(os.environ.get("KLT_LSTM_STREAM_TILE", "128"))
+_VMEM_LIMIT = int(os.environ.get("KLT_LSTM_VMEM_LIMIT",
+                                 str(100 * 1024 * 1024)))
+
+
+def _plan_dims(S, T, I, C, R, max_stream_tile=None) -> _Dims:
+    if max_stream_tile is None:
+        max_stream_tile = _DEFAULT_STREAM_TILE
     cp = _round_up(C, 128)
     rp = _round_up(R, 128)
     sp = _round_up(S, 8)
@@ -447,8 +464,12 @@ def _lstm_pallas_bwd(cell_clip, interpret, residuals, cotangents):
 
     c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
 
+    # the backward kernel streams 4 inputs + 2 outputs per step — at
+    # st=128 its VMEM working set defeats double-buffering, so it tiles
+    # streams at 64 (sp is a multiple of 128, so 64 always divides it)
+    st_bwd = min(d.st, 64)
     dgifo_p, drt_p, dc0_p, dr0_p = _bwd_call(
-        gifo, c_seq, c_prev_seq, g_r, wgr, wrm, peep, gcT, st=d.st,
+        gifo, c_seq, c_prev_seq, g_r, wgr, wrm, peep, gcT, st=st_bwd,
         interpret=interpret)
 
     # strip padding: [T, sp, 4cp] -> [T*S, 4C]

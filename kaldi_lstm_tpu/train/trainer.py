@@ -128,6 +128,44 @@ def _monitor_first_batch(nnet, params, transf, transf_params, batch, opts,
 
         grads = jax.grad(objective)(params)
         VLOG(1, nnet.info_gradient(grads))
+        VLOG(1, _info_backpropagate(nnet, params, x, states, batch,
+                                    loss_fn))
+
+
+def _info_backpropagate(nnet, params, x, states, batch, loss_fn) -> str:
+    """Backpropagate-buffer moment statistics (reference InfoBackPropagate
+    at the first minibatch): d(loss)/d(input of component i), computed by
+    re-running the sub-stack from that input under jax.grad. O(n^2)
+    forwards but only for monitoring on the first batch."""
+    from kaldi_lstm_tpu.models.components import Softmax, moment_statistics
+    ids = jnp.asarray(batch.tgt_ids)
+    w = jnp.asarray(batch.tgt_weights)
+    mask = jnp.asarray(batch.mask)
+    comps = nnet.components
+
+    acts = [x]
+    a = x
+    for c, p, s in zip(comps, params, states):
+        a, _ = c.apply(p, a, s)
+        acts.append(a)
+
+    lines = ["### Backward propagation buffer content :"]
+    for i in range(len(comps)):
+        if isinstance(comps[i], Softmax) and i == len(comps) - 1:
+            continue  # combined softmax+xent: diff enters at the logits
+
+        def from_here(a):
+            y = a
+            for c, p, s in zip(comps[i:], params[i:], states[i:]):
+                if isinstance(c, Softmax) and c is comps[-1]:
+                    break
+                y, _ = c.apply(p, y, s)
+            return loss_fn(y, ids, w, mask)[0]
+
+        g = jax.grad(from_here)(acts[i])
+        lines.append("  " + moment_statistics(
+            f"[diff at input of {comps[i].token[1:-1]}]", np.asarray(g)))
+    return "\n".join(lines)
 
 
 class EpochResult(NamedTuple):

@@ -127,4 +127,5 @@ def test_monitor_first_batch_runs(data_dir, capsys):
         klog.set_verbose_level(0)
     err = capsys.readouterr().err
     assert "Forward propagation buffer content" in err
+    assert "Backward propagation buffer content" in err
     assert "w_gifo_x_corr_" in err

@@ -565,3 +565,73 @@ class LstmProjectedStreams(_LstmBase):
         self.nstream = int(tokens.get("<NumStream>", 4))
         self.param_scale = float(tokens.get("<ParamScale>", 0.02))
         return self.init_params(rng)
+
+
+@register
+class BLstmProjectedStreams(_LstmBase):
+    """Bidirectional projected LSTM: independent forward and backward
+    cells over the whole chunk, outputs concatenated (output_dim = 2R).
+    The reference lists BLSTM as its TODO (standard/README.md); upstream
+    nnet1 later grew the same component. No cross-chunk state carry —
+    the backward direction needs the full future context, so each call
+    covers a complete utterance (per-utterance training / decode)."""
+
+    token = "<BLstmProjectedStreams>"
+
+    def __init__(self, input_dim, output_dim, cell_dim: int = 0,
+                 nstream: int = 4, param_scale: float = 0.02):
+        super().__init__(input_dim, output_dim, cell_dim, param_scale)
+        self.recur_dim = int(output_dim) // 2
+        self.nstream = int(nstream)
+
+    def init_params(self, rng):
+        k1, k2 = jax.random.split(rng)
+        return {
+            "fw": init_lstm_params(k1, self.input_dim, self.cell_dim,
+                                   self.recur_dim, self.param_scale),
+            "bw": init_lstm_params(k2, self.input_dim, self.cell_dim,
+                                   self.recur_dim, self.param_scale),
+        }
+
+    def apply(self, params, x, state=None):
+        S = x.shape[0]
+        st = zero_state(S, self.cell_dim, self.recur_dim, x.dtype)
+        out_f, _ = self._run_scan(params["fw"], x, st)
+        out_b, _ = self._run_scan(params["bw"], x[:, ::-1], st)
+        return jnp.concatenate([out_f, out_b[:, ::-1]], axis=-1), None
+
+    def read_data(self, inp):
+        tok = kio.read_token(inp)
+        if tok != "<CellDim>":
+            raise ValueError(
+                f"BLstmProjectedStreams: expected <CellDim>, got {tok!r}")
+        self.cell_dim = kio.read_int32(inp)
+        tok = kio.read_token(inp)
+        if tok != "<NumStream>":
+            raise ValueError(
+                f"BLstmProjectedStreams: expected <NumStream>, got {tok!r}")
+        self.nstream = kio.read_int32(inp)
+        return {"fw": self._read_tensors(inp),
+                "bw": self._read_tensors(inp)}
+
+    def write_data(self, out, params):
+        kio.write_token(out, "<CellDim>")
+        kio.write_int32(out, self.cell_dim)
+        kio.write_token(out, "<NumStream>")
+        kio.write_int32(out, self.nstream)
+        self._write_tensors(out, params["fw"])
+        self._write_tensors(out, params["bw"])
+
+    def init_from_config(self, tokens, rng):
+        self.cell_dim = int(tokens["<CellDim>"])
+        self.nstream = int(tokens.get("<NumStream>", 4))
+        self.param_scale = float(tokens.get("<ParamScale>", 0.02))
+        return self.init_params(rng)
+
+    def info(self, p):
+        return ("forward:\n  " + super().info(p["fw"])
+                + "\n  backward:\n  " + super().info(p["bw"]))
+
+    def info_gradient(self, g):
+        return ("forward:\n  " + super().info_gradient(g["fw"])
+                + "\n  backward:\n  " + super().info_gradient(g["bw"]))

@@ -427,9 +427,15 @@ class _LstmBase(Component):
         self.impl = "auto"
 
     def _run_scan(self, params, x, state):
-        impl = self.impl
+        # Measured on v5e (tools_dev/bench_ab_impl.py): XLA's scan wins the
+        # full *training* step (its residual flows fuse end-to-end), while
+        # the fused Pallas inference kernel wins pure forward by ~1.5x. So
+        # "auto" = scan; the decode tools switch LSTM components to
+        # "pallas". KLT_LSTM_IMPL overrides for A/B runs.
+        import os
+        impl = os.environ.get("KLT_LSTM_IMPL", self.impl)
         if impl == "auto":
-            impl = "pallas" if _on_tpu() else "scan"
+            impl = "scan"
         if impl == "pallas":
             from kaldi_lstm_tpu.ops.lstm_pallas import lstm_scan_pallas
             return lstm_scan_pallas(params, x, state, self.cell_clip)

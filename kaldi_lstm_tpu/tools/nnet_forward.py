@@ -67,6 +67,13 @@ def main(argv=None) -> int:
     no_softmax = str(args.no_softmax).lower() in ("true", "1", "yes")
 
     nnet, params = Nnet.read(args.model_in)
+    # decode is pure forward: the fused Pallas inference kernel wins ~1.5x
+    # over lax.scan on TPU (training keeps scan; see components._run_scan)
+    from kaldi_lstm_tpu.models.components import _LstmBase, _on_tpu
+    if _on_tpu():
+        for c in nnet.components:
+            if isinstance(c, _LstmBase):
+                c.impl = "pallas"
     transf = transf_params = None
     if args.feature_transform:
         transf, transf_params = Nnet.read(args.feature_transform)

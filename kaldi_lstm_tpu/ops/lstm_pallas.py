@@ -80,7 +80,10 @@ def _fwd_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
     r = jnp.dot(m.astype(wdt), wcr_ref[:],
                 preferred_element_type=jnp.float32)
 
-    gifo_ref[0] = jnp.concatenate([g, i, f, o], axis=-1)
+    # gate residuals stream out in the weights' dtype (bf16 mode halves
+    # this ~75 MB/chunk write + the backward's re-read)
+    gifo_ref[0] = jnp.concatenate([g, i, f, o],
+                                  axis=-1).astype(gifo_ref.dtype)
     c_ref[0] = c
     r_ref[0] = r
     c_s[:] = c
@@ -121,7 +124,7 @@ def _fwd_call(xw, wr, wcr, peep, c0, r0, *, st: int, cell_clip: float,
             pl.BlockSpec((1, st, rp), idx_tsx, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, sp, 4 * cp), jnp.float32),
+            jax.ShapeDtypeStruct((T, sp, 4 * cp), wr.dtype),
             jax.ShapeDtypeStruct((T, sp, cp), jnp.float32),
             jax.ShapeDtypeStruct((T, sp, rp), jnp.float32),
         ],
@@ -225,10 +228,10 @@ def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, wgr_ref, wrm_ref,
         dc_s[:] = gcT_ref[:]      # cotangent of the final carried c
         dr_s[:] = jnp.zeros_like(dr_s)
 
-    g = gifo_ref[0, :, 0 * cp:1 * cp]
-    i = gifo_ref[0, :, 1 * cp:2 * cp]
-    f = gifo_ref[0, :, 2 * cp:3 * cp]
-    o = gifo_ref[0, :, 3 * cp:4 * cp]
+    g = gifo_ref[0, :, 0 * cp:1 * cp].astype(jnp.float32)
+    i = gifo_ref[0, :, 1 * cp:2 * cp].astype(jnp.float32)
+    f = gifo_ref[0, :, 2 * cp:3 * cp].astype(jnp.float32)
+    o = gifo_ref[0, :, 3 * cp:4 * cp].astype(jnp.float32)
     c = c_ref[0]
     c_prev = cprev_ref[0]
     h = jnp.tanh(c)
@@ -472,42 +475,49 @@ def _lstm_pallas_bwd(cell_clip, interpret, residuals, cotangents):
         gifo, c_seq, c_prev_seq, g_r, wgr, wrm, peep, gcT, st=st_bwd,
         interpret=interpret)
 
-    # strip padding: [T, sp, 4cp] -> [T*S, 4C]
-    dgifo = dgifo_p[:, :S].reshape(T, S, 4, d.cp)[..., :C]
-    dgifo_flat = dgifo.reshape(T * S, 4 * C)
-    drt = drt_p[:, :S, :R].reshape(T * S, R)
+    # weight-gradient GEMMs run IN PADDED SPACE (padded rows/lanes carry
+    # zeros, so they contribute nothing) and only the small [·, ·] results
+    # are sliced — this avoids unpadding/relayout copies of the ~100 MB
+    # dgifo/gifo streams.
+    def unpad_gates_rows(w_p):  # [4cp, X] -> [4C, X]
+        return w_p.reshape(4, d.cp, -1)[:, :C].reshape(4 * C, -1)
 
-    # frame-flattened sequences for the hoisted weight-gradient GEMMs
-    x_flat = x.swapaxes(0, 1).reshape(T * S, I)
-    r_prev = jnp.concatenate([r0[None], r_seq[:-1]], axis=0)
-    r_prev_flat = r_prev[:, :S, :R].reshape(T * S, R)
-    c_prev_flat = c_prev_seq[:, :S, :C].reshape(T * S, C)
-    c_flat = c_seq[:, :S, :C].reshape(T * S, C)
-    o_act = gifo[:, :S].reshape(T, S, 4, d.cp)[:, :, 3, :C]
-    m_flat = (jnp.tanh(c_flat)
-              * o_act.reshape(T * S, C))
+    dgifo_flat_p = dgifo_p.reshape(T * d.sp, 4 * d.cp)
+    drt_flat_p = drt_p.reshape(T * d.sp, d.rp)
 
-    dgifo_gates = dgifo.reshape(T * S, 4, C)
-    di = dgifo_gates[:, 1, :]
-    df = dgifo_gates[:, 2, :]
-    do = dgifo_gates[:, 3, :]
+    x_pad = jnp.pad(x.swapaxes(0, 1), ((0, 0), (0, d.sp - S), (0, 0)))
+    x_flat_p = x_pad.reshape(T * d.sp, I)
+    r_prev_p = jnp.concatenate([r0[None], r_seq[:-1]], axis=0)
+    r_prev_flat_p = r_prev_p.reshape(T * d.sp, d.rp)
+    c_prev_flat_p = c_prev_seq.reshape(T * d.sp, d.cp)
+    c_flat_p = c_seq.reshape(T * d.sp, d.cp)
+    o_flat_p = gifo.reshape(T * d.sp, 4, d.cp)[:, 3, :].astype(jnp.float32)
+    m_flat_p = jnp.tanh(c_flat_p) * o_flat_p
+
+    dgifo_gates_p = dgifo_p.reshape(T * d.sp, 4, d.cp)
+    di_p = dgifo_gates_p[:, 1, :]
+    df_p = dgifo_gates_p[:, 2, :]
+    do_p = dgifo_gates_p[:, 3, :]
 
     def mm(a, b):
         if mm_dt is not None:
             a, b = a.astype(mm_dt), b.astype(mm_dt)
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
+    wxp = _pad_gate_mat(params.w_gifo_x, d.cp)               # [4cp, I]
     dparams = LstmParams(
-        w_gifo_x=mm(dgifo_flat.T, x_flat),
-        w_gifo_r=mm(dgifo_flat.T, r_prev_flat),
-        bias=jnp.sum(dgifo_flat, axis=0),
-        peephole_i_c=jnp.sum(di * c_prev_flat, axis=0),
-        peephole_f_c=jnp.sum(df * c_prev_flat, axis=0),
-        peephole_o_c=jnp.sum(do * c_flat, axis=0),
-        w_r_m=mm(drt.T, m_flat),
+        w_gifo_x=unpad_gates_rows(mm(dgifo_flat_p.T, x_flat_p)),
+        w_gifo_r=unpad_gates_rows(
+            mm(dgifo_flat_p.T, r_prev_flat_p))[:, :R],
+        bias=unpad_gates_rows(
+            jnp.sum(dgifo_flat_p, axis=0)[:, None])[:, 0],
+        peephole_i_c=jnp.sum(di_p * c_prev_flat_p, axis=0)[:C],
+        peephole_f_c=jnp.sum(df_p * c_prev_flat_p, axis=0)[:C],
+        peephole_o_c=jnp.sum(do_p * c_flat_p, axis=0)[:C],
+        w_r_m=mm(drt_flat_p.T, m_flat_p)[:R, :C],
     )
-    dx = mm(dgifo_flat, params.w_gifo_x)
-    dx = dx.reshape(T, S, I).swapaxes(0, 1)
+    dx = mm(dgifo_flat_p, wxp)                               # [T*sp, I]
+    dx = dx.reshape(T, d.sp, I)[:, :S].swapaxes(0, 1)
     dstate = LstmState(c=dc0_p[:S, :C], r=dr0_p[:S, :R])
     return dparams, dx, dstate
 

@@ -217,6 +217,15 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
         stats.add(aux, log_fn=lambda m: VLOG(1, m))
         total_frames += int(aux.frames)
 
+        # health check (the reference polls CheckGpuHealth every 1000
+        # utterances, :269-272): a non-finite loss means the run is dead —
+        # fail loudly with context instead of training on garbage
+        if not np.isfinite(float(aux.xent)):
+            raise FloatingPointError(
+                f"non-finite loss after {scheduler.num_done} utterances "
+                f"({total_frames} frames) — learning rate too high or "
+                f"corrupt input; last xent={float(aux.xent)}")
+
         # speed report every 1000 utterances (:263-267)
         if scheduler.num_done - last_report_done >= 1000:
             last_report_done = scheduler.num_done - scheduler.num_done % 1000

@@ -425,8 +425,27 @@ class _LstmBase(Component):
         self.cell_clip = 50.0  # bd-nnet-lstm-projected-streams.h:296-297
         # "auto": fused Pallas kernel on TPU, lax.scan elsewhere
         self.impl = "auto"
+        # forward-connection dropout on the gate pre-activations —
+        # implemented properly (inverted dropout) where the reference
+        # leaves it commented out (README.md Q4)
+        self.dropout_rate = 0.0
 
-    def _run_scan(self, params, x, state):
+    uses_rng = True
+
+    def _dropout_mask(self, rng, x):
+        if self.dropout_rate <= 0.0 or rng is None:
+            return None
+        keep = 1.0 - self.dropout_rate
+        S, T, _ = x.shape
+        return (jax.random.bernoulli(rng, keep, (S, T, 4 * self.cell_dim))
+                .astype(x.dtype) / keep)
+
+    def _run_scan(self, params, x, state, dropout_mask=None):
+        if dropout_mask is not None:
+            # dropout path uses lax.scan (the pallas kernels do not take
+            # a mask operand yet)
+            return lstm_scan(params, x, state, self.cell_clip,
+                             gate_dropout_mask=dropout_mask)
         # Measured on v5e (tools_dev/bench_ab_impl.py): XLA's scan wins the
         # full *training* step (its residual flows fuse end-to-end), while
         # the fused Pallas inference kernel wins pure forward by ~1.5x. So
@@ -496,10 +515,12 @@ class LstmProjected(_LstmBase):
 
     token = "<LstmProjected>"
 
-    def apply(self, params: LstmParams, x, state=None):
+    def apply(self, params: LstmParams, x, state=None, rng=None,
+              train=False):
         S = x.shape[0]
         st = zero_state(S, self.cell_dim, self.recur_dim, x.dtype)
-        out, _ = self._run_scan(params, x, st)
+        mask = self._dropout_mask(rng, x) if train else None
+        out, _ = self._run_scan(params, x, st, mask)
         return out, None
 
     def read_data(self, inp):
@@ -507,16 +528,23 @@ class LstmProjected(_LstmBase):
         if tok != "<CellDim>":
             raise ValueError(f"LstmProjected: expected <CellDim>, got {tok!r}")
         self.cell_dim = kio.read_int32(inp)
+        if kio.peek_token(inp.stream) == "<DropoutRate>":
+            kio.read_token(inp)
+            self.dropout_rate = kio.read_float(inp)
         return self._read_tensors(inp)
 
     def write_data(self, out, params):
         kio.write_token(out, "<CellDim>")
         kio.write_int32(out, self.cell_dim)
+        if self.dropout_rate > 0:
+            kio.write_token(out, "<DropoutRate>")
+            kio.write_float(out, self.dropout_rate)
         self._write_tensors(out, params)
 
     def init_from_config(self, tokens, rng):
         self.cell_dim = int(tokens["<CellDim>"])
         self.param_scale = float(tokens.get("<ParamScale>", 0.02))
+        self.dropout_rate = float(tokens.get("<DropoutRate>", 0.0))
         return self.init_params(rng)
 
 
@@ -539,11 +567,13 @@ class LstmProjectedStreams(_LstmBase):
     def init_state(self, nstream: int) -> LstmState:
         return zero_state(nstream, self.cell_dim, self.recur_dim)
 
-    def apply(self, params: LstmParams, x, state: Optional[LstmState] = None):
+    def apply(self, params: LstmParams, x, state: Optional[LstmState] = None,
+              rng=None, train=False):
         if state is None:
             state = zero_state(x.shape[0], self.cell_dim, self.recur_dim,
                                x.dtype)
-        out, new_state = self._run_scan(params, x, state)
+        mask = self._dropout_mask(rng, x) if train else None
+        out, new_state = self._run_scan(params, x, state, mask)
         return out, new_state
 
     def read_data(self, inp):
@@ -557,6 +587,9 @@ class LstmProjectedStreams(_LstmBase):
             raise ValueError(
                 f"LstmProjectedStreams: expected <NumStream>, got {tok!r}")
         self.nstream = kio.read_int32(inp)
+        if kio.peek_token(inp.stream) == "<DropoutRate>":
+            kio.read_token(inp)
+            self.dropout_rate = kio.read_float(inp)
         return self._read_tensors(inp)
 
     def write_data(self, out, params):
@@ -564,12 +597,16 @@ class LstmProjectedStreams(_LstmBase):
         kio.write_int32(out, self.cell_dim)
         kio.write_token(out, "<NumStream>")
         kio.write_int32(out, self.nstream)
+        if self.dropout_rate > 0:
+            kio.write_token(out, "<DropoutRate>")
+            kio.write_float(out, self.dropout_rate)
         self._write_tensors(out, params)
 
     def init_from_config(self, tokens, rng):
         self.cell_dim = int(tokens["<CellDim>"])
         self.nstream = int(tokens.get("<NumStream>", 4))
         self.param_scale = float(tokens.get("<ParamScale>", 0.02))
+        self.dropout_rate = float(tokens.get("<DropoutRate>", 0.0))
         return self.init_params(rng)
 
 
@@ -599,11 +636,16 @@ class BLstmProjectedStreams(_LstmBase):
                                    self.recur_dim, self.param_scale),
         }
 
-    def apply(self, params, x, state=None):
+    def apply(self, params, x, state=None, rng=None, train=False):
         S = x.shape[0]
         st = zero_state(S, self.cell_dim, self.recur_dim, x.dtype)
-        out_f, _ = self._run_scan(params["fw"], x, st)
-        out_b, _ = self._run_scan(params["bw"], x[:, ::-1], st)
+        m_f = m_b = None
+        if train and rng is not None and self.dropout_rate > 0:
+            rf, rb = jax.random.split(rng)
+            m_f = self._dropout_mask(rf, x)
+            m_b = self._dropout_mask(rb, x)
+        out_f, _ = self._run_scan(params["fw"], x, st, m_f)
+        out_b, _ = self._run_scan(params["bw"], x[:, ::-1], st, m_b)
         return jnp.concatenate([out_f, out_b[:, ::-1]], axis=-1), None
 
     def read_data(self, inp):

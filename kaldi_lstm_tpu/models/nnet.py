@@ -65,12 +65,14 @@ class Nnet:
 
     def propagate(self, params: ParamsList, x: jax.Array,
                   states: Optional[StatesList] = None,
-                  logits: bool = False) -> tuple[jax.Array, StatesList]:
+                  logits: bool = False, rng: Optional[jax.Array] = None,
+                  train: bool = False) -> tuple[jax.Array, StatesList]:
         """Forward through all components ([S, T, D] activations).
 
         With ``logits=True`` a trailing Softmax is skipped so the loss can
         consume pre-softmax activations (jax.grad then reproduces nnet1's
-        combined softmax+xent backward, diff = y - t).
+        combined softmax+xent backward, diff = y - t). ``rng``/``train``
+        feed stochastic components (LSTM gate dropout).
         """
         if states is None:
             states = tuple(None for _ in self.components)
@@ -80,7 +82,11 @@ class Nnet:
                     isinstance(c, Softmax):
                 new_states.append(s)
                 break
-            x, s2 = c.apply(p, x, s)
+            if getattr(c, "uses_rng", False):
+                crng = None if rng is None else jax.random.fold_in(rng, i)
+                x, s2 = c.apply(p, x, s, rng=crng, train=train)
+            else:
+                x, s2 = c.apply(p, x, s)
             new_states.append(s2)
         return x, tuple(new_states)
 

@@ -153,7 +153,9 @@ def lstm_step(params: LstmParams, state: LstmState, xw_t: jax.Array,
 
 def lstm_scan(params: LstmParams, x: jax.Array, state: LstmState,
               cell_clip: float = 50.0,
-              compute_dtype=None) -> tuple[jax.Array, LstmState]:
+              compute_dtype=None,
+              gate_dropout_mask: jax.Array | None = None
+              ) -> tuple[jax.Array, LstmState]:
     """Run the projected LSTM over a [S, T, I] chunk.
 
     Args:
@@ -164,6 +166,11 @@ def lstm_scan(params: LstmParams, x: jax.Array, state: LstmState,
         bd-nnet-train-lstm-streams.cc:209).
       compute_dtype: optional dtype for the matmul inputs (e.g. bfloat16);
         the carry and outputs stay float32.
+      gate_dropout_mask: optional [S, T, 4C] multiplier applied to the
+        input-projection pre-activations before the bias — forward-
+        connection dropout per Zaremba et al. 2014, the feature the
+        reference stubs out (bd-nnet-lstm-projected-streams.h:247-256);
+        here with proper inverted-dropout retention scaling.
 
     Returns: (r_out [S, T, R], final state).
     """
@@ -177,7 +184,10 @@ def lstm_scan(params: LstmParams, x: jax.Array, state: LstmState,
     # Hoisted input projection: one [S*T, I] x [I, 4C] matmul.
     xw = jnp.dot(xc.reshape(S * T, I), wx.T,
                  preferred_element_type=jnp.float32)
-    xw = xw.reshape(S, T, 4 * params.cell_dim) + params.bias
+    xw = xw.reshape(S, T, 4 * params.cell_dim)
+    if gate_dropout_mask is not None:
+        xw = xw * gate_dropout_mask
+    xw = xw + params.bias
 
     def step(carry, xw_t):
         new_state, r = lstm_step(params, carry, xw_t, cell_clip)

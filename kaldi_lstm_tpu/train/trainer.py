@@ -81,15 +81,16 @@ def make_train_step(nnet: Nnet, opts: TrainOptions,
 
     @functools.partial(jax.jit, donate_argnums=donate)
     def step(params, opt_state, states, transf_params, feats, tgt_ids,
-             tgt_weights, mask, reset_flags, learn_rate):
+             tgt_weights, mask, reset_flags, learn_rate, rng=None):
         states = nnet.reset_states(states, reset_flags)
         x = feats
         if transf is not None:
             x = transf.feedforward(transf_params, x)
 
         def objective(params):
-            logits, new_states = nnet.propagate(params, x, states,
-                                                logits=True)
+            logits, new_states = nnet.propagate(
+                params, x, states, logits=True, rng=rng,
+                train=not crossvalidate)
             loss, aux = loss_fn(logits, tgt_ids, tgt_weights, mask)
             return loss, (aux, new_states)
 
@@ -202,6 +203,10 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
     last_report_done = 0
     last_dump_done = 0
     first_batch = True
+    use_dropout = (not crossvalidate and any(
+        getattr(c, "dropout_rate", 0.0) > 0 for c in nnet.components))
+    drop_key = jax.random.PRNGKey(777)
+    batch_idx = 0
 
     from kaldi_lstm_tpu.train.streams import PrefetchIterator
     for batch in PrefetchIterator(scheduler, depth=2):
@@ -209,11 +214,17 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
             _monitor_first_batch(nnet, params, transf, transf_params,
                                  batch, opts, crossvalidate)
         first_batch = False
-        params, opt_state, states, aux = step(
-            params, opt_state, states, transf_params,
-            jnp.asarray(batch.feats), jnp.asarray(batch.tgt_ids),
-            jnp.asarray(batch.tgt_weights), jnp.asarray(batch.mask),
-            jnp.asarray(batch.reset_flags), lr)
+        step_args = (params, opt_state, states, transf_params,
+                     jnp.asarray(batch.feats), jnp.asarray(batch.tgt_ids),
+                     jnp.asarray(batch.tgt_weights),
+                     jnp.asarray(batch.mask),
+                     jnp.asarray(batch.reset_flags), lr)
+        if use_dropout:
+            params, opt_state, states, aux = step(
+                *step_args, rng=jax.random.fold_in(drop_key, batch_idx))
+        else:
+            params, opt_state, states, aux = step(*step_args)
+        batch_idx += 1
         stats.add(aux, log_fn=lambda m: VLOG(1, m))
         total_frames += int(aux.frames)
 

@@ -446,15 +446,15 @@ class _LstmBase(Component):
             # a mask operand yet)
             return lstm_scan(params, x, state, self.cell_clip,
                              gate_dropout_mask=dropout_mask)
-        # Measured on v5e (tools_dev/bench_ab_impl.py): XLA's scan wins the
-        # full *training* step (its residual flows fuse end-to-end), while
-        # the fused Pallas inference kernel wins pure forward by ~1.5x. So
-        # "auto" = scan; the decode tools switch LSTM components to
-        # "pallas". KLT_LSTM_IMPL overrides for A/B runs.
+        # Measured on v5e (tools_dev/bench_ab_impl.py): the fused Pallas
+        # kernels win both training (in-VMEM weight-grad accumulation in
+        # the backward — 4.22 vs 4.52 ms/step full model at S=256) and
+        # inference forward (~1.5x). KLT_LSTM_IMPL=scan|pallas overrides
+        # for A/B runs.
         import os
         impl = os.environ.get("KLT_LSTM_IMPL", self.impl)
         if impl == "auto":
-            impl = "scan"
+            impl = "pallas" if _on_tpu() else "scan"
         if impl == "pallas":
             from kaldi_lstm_tpu.ops.lstm_pallas import lstm_scan_pallas
             return lstm_scan_pallas(params, x, state, self.cell_clip)

@@ -217,16 +217,42 @@ def _infer_call(xw, wr, wcr, peep, c0, r0, *, st: int, cell_clip: float,
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, wgr_ref, wrm_ref,
-                peep_ref, gcT_ref, dgifo_ref, drt_ref, dc0_ref, dr0_ref,
-                dc_s, dr_s, *, cp: int):
+def _contract0(a, b):
+    """a [st, M], b [st, N] -> [M, N], contracting the stream axis (the
+    per-step slice of a weight-gradient GEMM)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, x_ref, rprev_ref,
+                wgr_ref, wrm_ref, wxp_ref, peep_ref, gcT_ref,
+                dx_ref, dwx_ref, dwr_ref, dwrm_ref, dbias_ref, dpeep_ref,
+                dc0_ref, dr0_ref, dc_s, dr_s, *, cp: int):
+    """Reverse recurrence with IN-VMEM weight-gradient accumulation.
+
+    The reference (and kernel v1/v2) materializes per-t gate gradients to
+    memory and runs hoisted [T*S] GEMMs (…streams.h:465-487) — on TPU
+    that costs a ~100 MB dgifo stream written then re-read 4x. Here the
+    dW/dbias/dpeephole accumulators live in constant-index output blocks
+    (resident in VMEM across the whole grid, ≥120 MB on v5e) and each
+    step contracts its [st, ·] slices directly — the only per-t output
+    is dx.
+    """
+    s = pl.program_id(0)
     t = pl.program_id(1)          # 0 .. T-1, mapped to real time T-1-t
-    T = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _():
         dc_s[:] = gcT_ref[:]      # cotangent of the final carried c
         dr_s[:] = jnp.zeros_like(dr_s)
+
+    @pl.when((t == 0) & (s == 0))
+    def _():
+        dwx_ref[:] = jnp.zeros_like(dwx_ref)
+        dwr_ref[:] = jnp.zeros_like(dwr_ref)
+        dwrm_ref[:] = jnp.zeros_like(dwrm_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        dpeep_ref[:] = jnp.zeros_like(dpeep_ref)
 
     g = gifo_ref[0, :, 0 * cp:1 * cp].astype(jnp.float32)
     i = gifo_ref[0, :, 1 * cp:2 * cp].astype(jnp.float32)
@@ -251,28 +277,45 @@ def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, wgr_ref, wrm_ref,
     dg = dc_total * i * (1.0 - g * g)
     dgifo = jnp.concatenate([dg, di, df, do], axis=-1)
 
-    dgifo_ref[0] = dgifo
-    drt_ref[0] = dr_total
     dc_s[:] = dc_total * f + di * peep_ref[0:1, :] + df * peep_ref[1:2, :]
     dr_s[:] = jnp.dot(dgifo.astype(wdt), wgr_ref[:],
                       preferred_element_type=jnp.float32)
+
+    # per-t outputs and accumulations
+    dx_ref[0] = jnp.dot(dgifo.astype(wdt), wxp_ref[:],
+                        preferred_element_type=jnp.float32)
+    dgifo_c = dgifo.astype(wdt)
+    dwx_ref[:] += _contract0(dgifo_c, x_ref[0].astype(wdt))
+    dwr_ref[:] += _contract0(dgifo_c, rprev_ref[0].astype(wdt))
+    m = h * o
+    dwrm_ref[:] += _contract0(dr_total.astype(wdt), m.astype(wdt))
+    dbias_ref[0:1, :] += jnp.sum(dgifo, axis=0, keepdims=True)
+    dpeep_ref[0:1, :] += jnp.sum(di * c_prev, axis=0, keepdims=True)
+    dpeep_ref[1:2, :] += jnp.sum(df * c_prev, axis=0, keepdims=True)
+    dpeep_ref[2:3, :] += jnp.sum(do * c, axis=0, keepdims=True)
 
     # after the last step (real t=0) the carries are the state gradients;
     # constant-index output blocks flush their final contents
     dc0_ref[:] = dc_s[:]
     dr0_ref[:] = dr_s[:]
-    del T
 
 
-def _bwd_call(gifo, c_seq, c_prev_seq, g_r, wgr, wrm, peep, gcT, *,
-              st: int, interpret: bool):
+def _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm, wxp,
+              peep, gcT, *, st: int, interpret: bool):
     T, sp, c4p = gifo.shape
     cp = c4p // 4
     rp = g_r.shape[2]
+    ip = x_pad.shape[2]
     grid = (sp // st, T)
 
     def idx_rev(s, t):
         return (T - 1 - t, s, 0)
+
+    def idx_const(s, t):
+        return (0, 0)
+
+    def idx_s(s, t):
+        return (s, 0)
 
     return pl.pallas_call(
         functools.partial(_bwd_kernel, cp=cp),
@@ -283,29 +326,33 @@ def _bwd_call(gifo, c_seq, c_prev_seq, g_r, wgr, wrm, peep, gcT, *,
             pl.BlockSpec((1, st, cp), idx_rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, st, cp), idx_rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, st, rp), idx_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * cp, rp), lambda s, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp, cp), lambda s, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, cp), lambda s, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((st, cp), lambda s, t: (s, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, st, ip), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, st, rp), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * cp, rp), idx_const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, cp), idx_const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * cp, ip), idx_const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, cp), idx_const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((st, cp), idx_s, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, st, 4 * cp), idx_rev,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, st, rp), idx_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((st, cp), lambda s, t: (s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((st, rp), lambda s, t: (s, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, st, ip), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * cp, ip), idx_const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * cp, rp), idx_const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, cp), idx_const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 4 * cp), idx_const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cp), idx_const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((st, cp), idx_s, memory_space=pltpu.VMEM),
+            pl.BlockSpec((st, rp), idx_s, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, sp, 4 * cp), jnp.float32),
-            jax.ShapeDtypeStruct((T, sp, rp), jnp.float32),
-            jax.ShapeDtypeStruct((sp, cp), jnp.float32),
-            jax.ShapeDtypeStruct((sp, rp), jnp.float32),
+            jax.ShapeDtypeStruct((T, sp, ip), jnp.float32),   # dx
+            jax.ShapeDtypeStruct((4 * cp, ip), jnp.float32),  # dWx
+            jax.ShapeDtypeStruct((4 * cp, rp), jnp.float32),  # dWr
+            jax.ShapeDtypeStruct((rp, cp), jnp.float32),      # dWrm
+            jax.ShapeDtypeStruct((8, 4 * cp), jnp.float32),   # dbias (row 0)
+            jax.ShapeDtypeStruct((8, cp), jnp.float32),       # dpeep (rows 0-2)
+            jax.ShapeDtypeStruct((sp, cp), jnp.float32),      # dc0
+            jax.ShapeDtypeStruct((sp, rp), jnp.float32),      # dr0
         ],
         scratch_shapes=[
             pltpu.VMEM((st, cp), jnp.float32),
@@ -314,7 +361,8 @@ def _bwd_call(gifo, c_seq, c_prev_seq, g_r, wgr, wrm, peep, gcT, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(gifo, c_seq, c_prev_seq, g_r, wgr, wrm, peep, gcT)
+    )(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm, wxp, peep,
+      gcT)
 
 
 # ---------------------------------------------------------------------------
@@ -466,58 +514,34 @@ def _lstm_pallas_bwd(cell_clip, interpret, residuals, cotangents):
     peep = jnp.pad(peep, ((0, 0), (0, d.cp - d.C)))
 
     c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
+    r_prev_seq = jnp.concatenate([r0[None], r_seq[:-1]], axis=0)
+    ip = _round_up(I, 128)
+    x_pad = jnp.pad(x.swapaxes(0, 1),
+                    ((0, 0), (0, d.sp - S), (0, ip - I)))     # [T, sp, ip]
+    wxp = _pad_gate_mat(params.w_gifo_x, d.cp)                # [4cp, I]
+    wxp = jnp.pad(wxp, ((0, 0), (0, ip - I)))                 # [4cp, ip]
+    if mm_dt is not None:
+        wxp = wxp.astype(mm_dt)
 
-    # the backward kernel streams 4 inputs + 2 outputs per step — at
-    # st=128 its VMEM working set defeats double-buffering, so it tiles
-    # streams at 64 (sp is a multiple of 128, so 64 always divides it)
-    st_bwd = min(d.st, 64)
-    dgifo_p, drt_p, dc0_p, dr0_p = _bwd_call(
-        gifo, c_seq, c_prev_seq, g_r, wgr, wrm, peep, gcT, st=st_bwd,
-        interpret=interpret)
+    st_bwd = min(d.st, 128)
+    (dx_p, dwx_p, dwr_p, dwrm_p, dbias_p, dpeep_p, dc0_p, dr0_p) = \
+        _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev_seq,
+                  wgr, wrm, wxp, peep, gcT, st=st_bwd,
+                  interpret=interpret)
 
-    # weight-gradient GEMMs run IN PADDED SPACE (padded rows/lanes carry
-    # zeros, so they contribute nothing) and only the small [·, ·] results
-    # are sliced — this avoids unpadding/relayout copies of the ~100 MB
-    # dgifo/gifo streams.
     def unpad_gates_rows(w_p):  # [4cp, X] -> [4C, X]
         return w_p.reshape(4, d.cp, -1)[:, :C].reshape(4 * C, -1)
 
-    dgifo_flat_p = dgifo_p.reshape(T * d.sp, 4 * d.cp)
-    drt_flat_p = drt_p.reshape(T * d.sp, d.rp)
-
-    x_pad = jnp.pad(x.swapaxes(0, 1), ((0, 0), (0, d.sp - S), (0, 0)))
-    x_flat_p = x_pad.reshape(T * d.sp, I)
-    r_prev_p = jnp.concatenate([r0[None], r_seq[:-1]], axis=0)
-    r_prev_flat_p = r_prev_p.reshape(T * d.sp, d.rp)
-    c_prev_flat_p = c_prev_seq.reshape(T * d.sp, d.cp)
-    c_flat_p = c_seq.reshape(T * d.sp, d.cp)
-    o_flat_p = gifo.reshape(T * d.sp, 4, d.cp)[:, 3, :].astype(jnp.float32)
-    m_flat_p = jnp.tanh(c_flat_p) * o_flat_p
-
-    dgifo_gates_p = dgifo_p.reshape(T * d.sp, 4, d.cp)
-    di_p = dgifo_gates_p[:, 1, :]
-    df_p = dgifo_gates_p[:, 2, :]
-    do_p = dgifo_gates_p[:, 3, :]
-
-    def mm(a, b):
-        if mm_dt is not None:
-            a, b = a.astype(mm_dt), b.astype(mm_dt)
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
-    wxp = _pad_gate_mat(params.w_gifo_x, d.cp)               # [4cp, I]
     dparams = LstmParams(
-        w_gifo_x=unpad_gates_rows(mm(dgifo_flat_p.T, x_flat_p)),
-        w_gifo_r=unpad_gates_rows(
-            mm(dgifo_flat_p.T, r_prev_flat_p))[:, :R],
-        bias=unpad_gates_rows(
-            jnp.sum(dgifo_flat_p, axis=0)[:, None])[:, 0],
-        peephole_i_c=jnp.sum(di_p * c_prev_flat_p, axis=0)[:C],
-        peephole_f_c=jnp.sum(df_p * c_prev_flat_p, axis=0)[:C],
-        peephole_o_c=jnp.sum(do_p * c_flat_p, axis=0)[:C],
-        w_r_m=mm(drt_flat_p.T, m_flat_p)[:R, :C],
+        w_gifo_x=unpad_gates_rows(dwx_p)[:, :I],
+        w_gifo_r=unpad_gates_rows(dwr_p)[:, :R],
+        bias=unpad_gates_rows(dbias_p[0:1, :].T)[:, 0],
+        peephole_i_c=dpeep_p[0, :C],
+        peephole_f_c=dpeep_p[1, :C],
+        peephole_o_c=dpeep_p[2, :C],
+        w_r_m=dwrm_p[:R, :C],
     )
-    dx = mm(dgifo_flat_p, wxp)                               # [T*sp, I]
-    dx = dx.reshape(T, d.sp, I)[:, :S].swapaxes(0, 1)
+    dx = dx_p[:, :S, :I].swapaxes(0, 1)
     dstate = LstmState(c=dc0_p[:S, :C], r=dr0_p[:S, :R])
     return dparams, dx, dstate
 

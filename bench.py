@@ -38,6 +38,16 @@ PROTO = """<NnetProto>
 </NnetProto>
 """
 
+# BASELINE.json config 4: stacked 2-layer LSTMP into 16624 senones
+PROTO_DEEP = """<NnetProto>
+<Transmit> <InputDim> 40 <OutputDim> 40
+<LstmProjectedStreams> <InputDim> 40 <OutputDim> 512 <CellDim> 800 <ParamScale> 0.01 <NumStream> 4
+<LstmProjectedStreams> <InputDim> 512 <OutputDim> 512 <CellDim> 800 <ParamScale> 0.01 <NumStream> 4
+<AffineTransform> <InputDim> 512 <OutputDim> 16624 <ParamStddev> 0.04
+<Softmax> <InputDim> 16624 <OutputDim> 16624
+</NnetProto>
+"""
+
 
 def bench_config(nnet, params0, S, T, warmup=3, iters=20):
     """Measure steady-state steps/s of the jit'd train step."""
@@ -46,10 +56,11 @@ def bench_config(nnet, params0, S, T, warmup=3, iters=20):
     params = jax.tree_util.tree_map(jnp.array, params0)
     opt = init_momentum(params)
     states = nnet.init_states(S)
+    nclass = nnet.output_dim
 
     rng = np.random.RandomState(0)
     feats = jnp.asarray(rng.randn(S, T, 40), jnp.float32)
-    ids = jnp.asarray(rng.randint(0, 8000, (S, T, 1)), jnp.int32)
+    ids = jnp.asarray(rng.randint(0, nclass, (S, T, 1)), jnp.int32)
     w = jnp.ones((S, T, 1), jnp.float32)
     mask = jnp.ones((S, T), jnp.float32)
     flags = jnp.zeros((S,), jnp.int32)
@@ -95,6 +106,13 @@ def main():
               f"({sps:.1f} steps/s)", file=sys.stderr)
         if tput > best_tput:
             best_tput, best_cfg = tput, S
+
+    # BASELINE config 4: stacked 2-layer LSTMP into 16624 senones
+    nnet_deep, params_deep = Nnet.init_from_proto(PROTO_DEEP,
+                                                  jax.random.PRNGKey(1))
+    tput_d, sps_d = bench_config(nnet_deep, params_deep, S=256, T=20)
+    print(f"deep config (2xLSTMP -> 16624) S=256 T=20: {tput_d:.1f} "
+          f"audio-s/s ({sps_d:.1f} steps/s)", file=sys.stderr)
 
     # bf16 matmul variant (informational; accuracy-parity gating pending)
     from kaldi_lstm_tpu.models.components import set_matmul_dtype

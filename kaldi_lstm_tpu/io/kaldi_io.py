@@ -576,8 +576,6 @@ class TableWriter:
         offset = self.ark.tell()
         out = KaldiOutput(self.ark, binary=self.binary)
         self.write_fn(out, value)
-        if not self.binary:
-            pass
         if self.scp is not None:
             self.scp.write(f"{key} {self.ark_path}:{offset}\n")
 

@@ -130,11 +130,9 @@ def lstm_step(params: LstmParams, state: LstmState, xw_t: jax.Array,
     Returns: (new_state, r_t [S, R]).
     """
     c_prev, r_prev = state.c, state.r
-    ncell = params.cell_dim
-    compute_t = xw_t.dtype
 
     gifo = xw_t + jnp.dot(r_prev, params.w_gifo_r.T,
-                          preferred_element_type=compute_t)
+                          preferred_element_type=xw_t.dtype)
     g_pre, i_pre, f_pre, o_pre = jnp.split(gifo, 4, axis=-1)
 
     i = jax.nn.sigmoid(i_pre + c_prev * params.peephole_i_c)
@@ -146,8 +144,7 @@ def lstm_step(params: LstmParams, state: LstmState, xw_t: jax.Array,
     h = jnp.tanh(c)
     o = jax.nn.sigmoid(o_pre + c * params.peephole_o_c)
     m = h * o
-    r = jnp.dot(m, params.w_r_m.T, preferred_element_type=compute_t)
-    del ncell
+    r = jnp.dot(m, params.w_r_m.T, preferred_element_type=xw_t.dtype)
     return LstmState(c=c, r=r), r
 
 

@@ -207,6 +207,7 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
         getattr(c, "dropout_rate", 0.0) > 0 for c in nnet.components))
     drop_key = jax.random.PRNGKey(777)
     batch_idx = 0
+    pending: list = []
 
     from kaldi_lstm_tpu.train.streams import PrefetchIterator
     for batch in PrefetchIterator(scheduler, depth=2):
@@ -225,20 +226,20 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
         else:
             params, opt_state, states, aux = step(*step_args)
         batch_idx += 1
-        stats.add(aux, log_fn=lambda m: VLOG(1, m))
-        total_frames += int(aux.frames)
 
-        # health check (the reference polls CheckGpuHealth every 1000
-        # utterances, :269-272): a non-finite loss means the run is dead —
-        # fail loudly with context instead of training on garbage
-        if not np.isfinite(float(aux.xent)):
-            raise FloatingPointError(
-                f"non-finite loss after {scheduler.num_done} utterances "
-                f"({total_frames} frames) — learning rate too high or "
-                f"corrupt input; last xent={float(aux.xent)}")
+        # Buffer per-batch stats on DEVICE and fetch in blocks: a
+        # per-step host transfer would serialize the pipeline (the
+        # reference syncs every minibatch — cheap on its single GPU,
+        # ruinous through a device queue at hundreds of steps/s).
+        pending.append(aux)
+        if len(pending) >= STATS_FLUSH:
+            total_frames = _flush_stats(pending, stats, scheduler,
+                                        total_frames)
 
         # speed report every 1000 utterances (:263-267)
         if scheduler.num_done - last_report_done >= 1000:
+            total_frames = _flush_stats(pending, stats, scheduler,
+                                        total_frames)
             last_report_done = scheduler.num_done - scheduler.num_done % 1000
             t = timer.elapsed()
             VLOG(1, f"After {scheduler.num_done} utterances: time elapsed = "
@@ -252,7 +253,36 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
             if not crossvalidate:
                 dump_fn(params, scheduler.num_done)
 
+    total_frames = _flush_stats(pending, stats, scheduler, total_frames)
     return EpochResult(params=params, opt_state=opt_state, stats=stats,
                        num_done=scheduler.num_done,
                        total_frames=total_frames,
                        elapsed=timer.elapsed())
+
+
+STATS_FLUSH = 32  # batches of device stats fetched per host transfer
+
+
+def _flush_stats(pending, stats: LossStats, scheduler,
+                 total_frames: int) -> int:
+    """Fetch buffered per-batch LossAux scalars in one transfer and feed
+    the host accumulator; health-check for non-finite loss here (the
+    reference polls CheckGpuHealth every 1000 utterances, :269-272)."""
+    if not pending:
+        return total_frames
+    block = np.asarray(jnp.stack(
+        [jnp.stack([a.xent, a.entropy,
+                    a.correct.astype(jnp.float32),
+                    a.frames.astype(jnp.float32)]) for a in pending]))
+    pending.clear()
+    for xent, ent, correct, frames in block:
+        if not np.isfinite(xent):
+            raise FloatingPointError(
+                f"non-finite loss after {scheduler.num_done} utterances "
+                f"— learning rate too high or corrupt input; "
+                f"xent={xent}")
+        stats.add(LossAux(xent=float(xent), entropy=float(ent),
+                          correct=int(correct), frames=int(frames)),
+                  log_fn=lambda m: VLOG(1, m))
+        total_frames += int(frames)
+    return total_frames

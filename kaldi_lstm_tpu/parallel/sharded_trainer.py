@@ -45,15 +45,16 @@ def make_sharded_train_step(nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
     opt_shard = MomentumState(corr=p_shard)
 
     def step_fn(params, opt_state, states, transf_params, feats, tgt_ids,
-                tgt_weights, mask, reset_flags, learn_rate):
+                tgt_weights, mask, reset_flags, learn_rate, rng=None):
         states = nnet.reset_states(states, reset_flags)
         x = feats
         if transf is not None:
             x = transf.feedforward(transf_params, x)
 
         def objective(params):
-            logits, new_states = nnet.propagate(params, x, states,
-                                                logits=True)
+            logits, new_states = nnet.propagate(
+                params, x, states, logits=True, rng=rng,
+                train=not crossvalidate)
             loss, aux = loss_fn(logits, tgt_ids, tgt_weights, mask)
             return loss, (aux, new_states)
 

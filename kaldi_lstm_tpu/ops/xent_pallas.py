@@ -1,0 +1,310 @@
+"""Fused senone-output kernel: AffineTransform + Softmax + masked
+cross-entropy in one pass, logits never materialized.
+
+The reference computes the output layer as a [T*S, R] x [R, K] GEMM, a
+softmax, a dense-target subtraction and log/sum passes over the full
+[T*S, K] posterior matrix (nnet-loss.cc:76-141 + the AffineTransform /
+Softmax components). At K = 16624 senones those logits are ~340 MB per
+batch and dominate HBM traffic on TPU. This kernel streams class tiles
+through VMEM with an online (flash-style) logsumexp / argmax, and the
+backward recomputes each tile's logits and accumulates dW / db in
+VMEM-resident blocks — nothing of size [N, K] ever reaches HBM.
+
+Layouts: frames N = S*T flattened; W is Kaldi-orientation [K, R]. The
+weight matrix and its gradient stay resident in VMEM across the whole
+grid (~34 MB at K=16k — the chip has >=120 MB, see BENCH_NOTES.md).
+
+Semantics match train.loss.masked_xent_loss exactly: summed masked xent
+over sparse (id, weight) targets, d/dlogits = (softmax*w_tot - t)*mask,
+frame accuracy via first-max argmax, target entropy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kaldi_lstm_tpu.train.loss import LossAux
+
+_NEG = -1e30
+_FT = 256   # frame tile
+_KT = 512   # class tile
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# forward kernel: per-row lse, weighted picked-logit sum, argmax
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(r_ref, w_ref, b_ref, ids_ref, tw_ref,
+                lse_ref, picked_ref, amax_ref, aidx_ref,
+                m_s, s_s, p_s, av_s, ai_s, *, kt: int, km: int):
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, _NEG)
+        s_s[:] = jnp.zeros_like(s_s)
+        p_s[:] = jnp.zeros_like(p_s)
+        av_s[:] = jnp.full_like(av_s, _NEG)
+        ai_s[:] = jnp.zeros_like(ai_s)
+
+    wk = w_ref[pl.ds(k * kt, kt), :]                     # [kt, Rp]
+    z = jax.lax.dot_general(r_ref[:], wk, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    z = z + b_ref[0:1, pl.ds(k * kt, kt)]                # [ft, kt]
+
+    tile_max = jnp.max(z, axis=-1, keepdims=True)        # [ft, 1]
+    m_old = m_s[:, 0:1]
+    m_new = jnp.maximum(m_old, tile_max)
+    s_s[:, 0:1] = (s_s[:, 0:1] * jnp.exp(m_old - m_new)
+                   + jnp.sum(jnp.exp(z - m_new), axis=-1, keepdims=True))
+    m_s[:, 0:1] = m_new
+
+    # weighted picked logits for each sparse target entry in this tile
+    ft = z.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ft, kt), 1)
+    for j in range(km):
+        local = ids_ref[:, j:j + 1] - k * kt
+        sel = jnp.where(lane == local, z, 0.0)
+        p_s[:, 0:1] += tw_ref[:, j:j + 1] * jnp.sum(sel, axis=-1,
+                                                    keepdims=True)
+
+    # running argmax (strictly-greater keeps the FIRST max, FindRowMaxId
+    # semantics)
+    tile_arg = jnp.argmax(z, axis=-1).reshape(ft, 1).astype(jnp.float32)
+    upd = tile_max > av_s[:, 0:1]
+    ai_s[:, 0:1] = jnp.where(upd, k * kt + tile_arg, ai_s[:, 0:1])
+    av_s[:, 0:1] = jnp.where(upd, tile_max, av_s[:, 0:1])
+
+    @pl.when(k == nk - 1)
+    def _():
+        lse_ref[:, 0:1] = m_s[:, 0:1] + jnp.log(s_s[:, 0:1])
+        picked_ref[:, 0:1] = p_s[:, 0:1]
+        amax_ref[:, 0:1] = av_s[:, 0:1]
+        aidx_ref[:, 0:1] = ai_s[:, 0:1]
+
+
+def _fwd_call(r, w, b, ids, tw, *, interpret):
+    npad, rp = r.shape
+    kp = w.shape[0]
+    km = ids.shape[1]
+    ft, kt = _FT, _KT
+    grid = (npad // ft, kp // kt)
+
+    def row(s, k):
+        return (s, 0)
+
+    outs = [jax.ShapeDtypeStruct((npad, 128), jnp.float32)
+            for _ in range(4)]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, kt=kt, km=km),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ft, rp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, rp), lambda s, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp), lambda s, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ft, km), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ft, km), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((ft, 128), row, memory_space=pltpu.VMEM)
+                   for _ in range(4)],
+        out_shape=outs,
+        scratch_shapes=[pltpu.VMEM((ft, 128), jnp.float32)
+                        for _ in range(5)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(r, w, b, ids, tw)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel: dr per frame tile; dW/db accumulated in VMEM
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(r_ref, w_ref, b_ref, ids_ref, tw_ref, lse_ref, scale_ref,
+                dr_ref, dw_ref, db_ref, dr_s, *, kt: int, km: int):
+    s = pl.program_id(0)
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        dr_s[:] = jnp.zeros_like(dr_s)
+
+    @pl.when((s == 0) & (k == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    wk = w_ref[pl.ds(k * kt, kt), :]
+    z = jax.lax.dot_general(r_ref[:], wk, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    z = z + b_ref[0:1, pl.ds(k * kt, kt)]
+    y = jnp.exp(z - lse_ref[:, 0:1])                       # softmax tile
+
+    # dz = scale * (w_total * y - sum_j w_j * onehot_j); scale folds the
+    # upstream loss cotangent and the frame mask (zero on padded frames)
+    ft = z.shape[0]
+    wtot = scale_ref[:, 1:2]
+    dz = y * wtot
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ft, kt), 1)
+    for j in range(km):
+        local = ids_ref[:, j:j + 1] - k * kt
+        dz = dz - jnp.where(lane == local, tw_ref[:, j:j + 1], 0.0)
+    dz = dz * scale_ref[:, 0:1]
+
+    dr_s[:] += jnp.dot(dz, wk, preferred_element_type=jnp.float32)
+    dw_ref[pl.ds(k * kt, kt), :] += jax.lax.dot_general(
+        dz, r_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_ref[0:1, pl.ds(k * kt, kt)] += jnp.sum(dz, axis=0, keepdims=True)
+
+    @pl.when(k == nk - 1)
+    def _():
+        dr_ref[:] = dr_s[:]
+
+
+def _bwd_call(r, w, b, ids, tw, lse, scale, *, interpret):
+    npad, rp = r.shape
+    kp = w.shape[0]
+    km = ids.shape[1]
+    ft, kt = _FT, _KT
+    grid = (npad // ft, kp // kt)
+
+    def row(s, k):
+        return (s, 0)
+
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, kt=kt, km=km),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ft, rp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, rp), lambda s, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp), lambda s, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ft, km), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ft, km), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ft, 128), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ft, 128), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ft, rp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, rp), lambda s, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, kp), lambda s, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, rp), jnp.float32),
+            jax.ShapeDtypeStruct((kp, rp), jnp.float32),
+            jax.ShapeDtypeStruct((8, kp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((ft, rp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(r, w, b, ids, tw, lse, scale)
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+def _pad_inputs(r, w, b, ids, tw, mask):
+    n, R = r.shape
+    K = w.shape[0]
+    npad = _round_up(n, _FT)
+    rp = _round_up(R, 128)
+    kp = _round_up(K, _KT)
+    r_p = jnp.pad(r, ((0, npad - n), (0, rp - R)))
+    w_p = jnp.pad(w, ((0, kp - K), (0, rp - R)))
+    # padded classes get -inf bias so they vanish from lse/argmax
+    b_p = jnp.pad(b.reshape(1, K), ((0, 0), (0, kp - K)),
+                  constant_values=_NEG)
+    ids_p = jnp.pad(ids, ((0, npad - n), (0, 0)))
+    tw_p = jnp.pad(tw, ((0, npad - n), (0, 0)))
+    mask_p = jnp.pad(mask, ((0, npad - n),))
+    return r_p, w_p, b_p, ids_p, tw_p, mask_p, npad, rp, kp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_affine_xent(r, w, b, ids, tw, mask, interpret=False):
+    """loss_sum = masked xent of softmax(r @ w.T + b) vs sparse targets.
+
+    r [N, R] frame activations; w [K, R] (Kaldi orientation), b [K];
+    ids/tw [N, Km] sparse targets; mask [N]. Returns (loss, LossAux) —
+    identical numbers to masked_xent_loss(logits, ...) without forming
+    logits. Differentiable in r, w, b.
+    """
+    out, _ = _fused_fwd(r, w, b, ids, tw, mask, interpret)
+    return out
+
+
+def _fused_fwd(r, w, b, ids, tw, mask, interpret):
+    n = r.shape[0]
+    r_p, w_p, b_p, ids_p, tw_p, mask_p, npad, rp, kp = _pad_inputs(
+        r, w, b, ids, tw, mask)
+    lse, picked, amax, aidx = _fwd_call(r_p, w_p, b_p, ids_p, tw_p,
+                                        interpret=interpret)
+    lse = lse[:n, 0]
+    picked = picked[:n, 0]
+    aidx = aidx[:n, 0].astype(jnp.int32)
+
+    m = mask.astype(jnp.float32)
+    wtot = jnp.sum(tw, axis=-1)
+    xent = jnp.sum((wtot * lse - picked) * m)
+
+    # stats identical to masked_xent_loss
+    ent = -jnp.sum(jnp.sum(jnp.where(tw > 0, tw * jnp.log(
+        jnp.maximum(tw, 1e-20)), 0.0), -1) * m)
+    tgt_best = jnp.take_along_axis(
+        ids, jnp.argmax(jnp.where(tw > 0, tw, -jnp.inf), -1,
+                        keepdims=True), -1)[..., 0]
+    correct = jnp.sum((aidx == tgt_best) * mask.astype(jnp.int32))
+    frames = jnp.sum(mask.astype(jnp.int32))
+    aux = LossAux(xent=jax.lax.stop_gradient(xent),
+                  entropy=jax.lax.stop_gradient(ent),
+                  correct=correct, frames=frames)
+    residuals = (r, w, b, ids, tw, mask, lse)
+    return (xent, aux), residuals
+
+
+def _fused_bwd(interpret, residuals, cotangents):
+    r, w, b, ids, tw, mask, lse = residuals
+    g_loss, _ = cotangents  # aux is stop_gradiented
+    n = r.shape[0]
+    R = r.shape[1]
+    K = w.shape[0]
+    r_p, w_p, b_p, ids_p, tw_p, mask_p, npad, rp, kp = _pad_inputs(
+        r, w, b, ids, tw, mask)
+    lse_p = jnp.zeros((npad, 128), jnp.float32).at[:n, 0].set(lse)
+    scale = jnp.zeros((npad, 128), jnp.float32)
+    scale = scale.at[:n, 0].set(g_loss * mask.astype(jnp.float32))
+    scale = scale.at[:n, 1].set(jnp.sum(tw, axis=-1))
+
+    dr_p, dw_p, db_p = _bwd_call(r_p, w_p, b_p, ids_p, tw_p, lse_p,
+                                 scale, interpret=interpret)
+    return (dr_p[:n, :R], dw_p[:K, :R], db_p[0, :K], None, None, None)
+
+
+fused_affine_xent.defvjp(_fused_fwd, _fused_bwd)
+
+
+def masked_xent_affine(r, w, b, ids, tw, mask):
+    """Auto-selecting entry point: interpreter mode off-TPU (CPU tests),
+    compiled kernel on TPU."""
+    from kaldi_lstm_tpu.models.components import _on_tpu
+    return fused_affine_xent(r, w, b, ids, tw, mask, not _on_tpu())

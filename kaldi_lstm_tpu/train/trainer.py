@@ -48,6 +48,17 @@ class TrainOptions(NamedTuple):
     momentum: float = 0.9
     grad_clip: float = 0.0    # 50.0 reproduces the standard variant
     objective: str = "xent"   # xent | mse
+    # fuse the senone AffineTransform+Softmax+xent into one Pallas kernel
+    # (logits never materialized; requires the net to end with
+    # [AffineTransform, Softmax] and objective == xent)
+    fused_xent: bool = False
+
+
+def _tail_is_affine_softmax(nnet: Nnet) -> bool:
+    from kaldi_lstm_tpu.models.components import AffineTransform, Softmax
+    return (len(nnet.components) >= 2
+            and isinstance(nnet.components[-2], AffineTransform)
+            and isinstance(nnet.components[-1], Softmax))
 
 
 _LOSS_FNS = {"xent": masked_xent_loss, "mse": masked_mse_loss}
@@ -73,6 +84,8 @@ def make_train_step(nnet: Nnet, opts: TrainOptions,
     """Build the jit'd step. `transf` is the feature-transform net (CMVN);
     its params are passed per call (they are small and frozen)."""
     loss_fn = _LOSS_FNS[opts.objective]
+    use_fused = (opts.fused_xent and opts.objective == "xent"
+                 and _tail_is_affine_softmax(nnet))
 
     # donate params/opt_state/states buffers in training (they are consumed
     # and re-emitted every step); CV must not donate — callers keep reading
@@ -88,6 +101,32 @@ def make_train_step(nnet: Nnet, opts: TrainOptions,
             x = transf.feedforward(transf_params, x)
 
         def objective(params):
+            if use_fused:
+                # run the stack up to the senone affine, then the fused
+                # affine+softmax+xent kernel on flattened frames
+                from kaldi_lstm_tpu.ops.xent_pallas import \
+                    masked_xent_affine as fused_affine_xent
+                y = x
+                new_states = []
+                for i, (c, p, s) in enumerate(
+                        zip(nnet.components[:-2], params[:-2], states)):
+                    if getattr(c, "uses_rng", False):
+                        crng = None if rng is None else \
+                            jax.random.fold_in(rng, i)
+                        y, s2 = c.apply(p, y, s, rng=crng,
+                                        train=not crossvalidate)
+                    else:
+                        y, s2 = c.apply(p, y, s)
+                    new_states.append(s2)
+                new_states += [None, None]
+                S, T, R = y.shape
+                aff = params[-2]
+                loss, aux = fused_affine_xent(
+                    y.reshape(S * T, R), aff["linearity"], aff["bias"],
+                    tgt_ids.reshape(S * T, -1),
+                    tgt_weights.reshape(S * T, -1),
+                    mask.reshape(S * T))
+                return loss, (aux, tuple(new_states))
             logits, new_states = nnet.propagate(
                 params, x, states, logits=True, rng=rng,
                 train=not crossvalidate)

@@ -50,8 +50,10 @@ class TrainOptions(NamedTuple):
     objective: str = "xent"   # xent | mse
     # fuse the senone AffineTransform+Softmax+xent into one Pallas kernel
     # (logits never materialized; requires the net to end with
-    # [AffineTransform, Softmax] and objective == xent)
-    fused_xent: bool = False
+    # [AffineTransform, Softmax] and objective == xent).
+    # None = auto: on when running on TPU (measured faster at both 8k and
+    # 16.6k senones); True/False forces.
+    fused_xent: Optional[bool] = None
 
 
 def _tail_is_affine_softmax(nnet: Nnet) -> bool:
@@ -84,7 +86,10 @@ def make_train_step(nnet: Nnet, opts: TrainOptions,
     """Build the jit'd step. `transf` is the feature-transform net (CMVN);
     its params are passed per call (they are small and frozen)."""
     loss_fn = _LOSS_FNS[opts.objective]
-    use_fused = (opts.fused_xent and opts.objective == "xent"
+    from kaldi_lstm_tpu.models.components import _on_tpu
+    fused_wanted = (_on_tpu() if opts.fused_xent is None
+                    else opts.fused_xent)
+    use_fused = (fused_wanted and opts.objective == "xent"
                  and _tail_is_affine_softmax(nnet))
 
     # donate params/opt_state/states buffers in training (they are consumed

@@ -62,6 +62,8 @@ def main(argv=None) -> int:
                    help="Score this many utterances per device batch "
                         "(padded to the longest; 1 = reference behaviour)")
     args = p.parse_args(argv)
+    from kaldi_lstm_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     apply_log = str(args.apply_log).lower() in ("true", "1", "yes")
     no_softmax = str(args.no_softmax).lower() in ("true", "1", "yes")

@@ -59,6 +59,8 @@ def main(argv=None) -> int:
                    help="Pad utterance length to multiples of this")
     p.add_argument("--verbose", type=int, default=0)
     args = p.parse_args(argv)
+    from kaldi_lstm_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     set_verbose_level(args.verbose)
     crossvalidate = _bool(args.cross_validate)

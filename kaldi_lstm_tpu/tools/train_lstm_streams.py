@@ -88,6 +88,8 @@ def _bool(s: str) -> bool:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from kaldi_lstm_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     set_verbose_level(args.verbose)
     crossvalidate = _bool(args.cross_validate)
     if not crossvalidate and args.model_out is None:

@@ -31,9 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kaldi_lstm_tpu.train.loss import LossAux
 
+import os
+
 _NEG = -1e30
-_FT = 256   # frame tile
-_KT = 512   # class tile
+_FT = int(os.environ.get("KLT_XENT_FRAME_TILE", "256"))  # frame tile
+_KT = int(os.environ.get("KLT_XENT_CLASS_TILE", "512"))  # class tile
 
 
 def _round_up(x, m):

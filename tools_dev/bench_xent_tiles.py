@@ -1,12 +1,9 @@
-"""Sweep fused-xent frame/class tiles on the flagship shape
-(N = 512*20 frames, K = 8000). Run separately per tile config (tiles are
-module constants bound at import):
+"""Sweep fused-xent frame/class tiles on the flagship shape in ONE
+process (per-process TPU claim + compile makes bash-loop sweeps
+impractical); tiles are module constants, so each config reloads the
+module."""
 
-    for ft in 128 256 512; do for kt in 512 1024 2048; do
-      KLT_XENT_FRAME_TILE=$ft KLT_XENT_CLASS_TILE=$kt \
-        python tools_dev/bench_xent_tiles.py; done; done
-"""
-
+import importlib
 import os
 import sys
 import time
@@ -15,12 +12,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kaldi_lstm_tpu.ops.xent_pallas import fused_affine_xent
-
 N, R, K = 512 * 20, 512, 8000
 
 
-def main():
+def run(ft, kt):
+    os.environ["KLT_XENT_FRAME_TILE"] = str(ft)
+    os.environ["KLT_XENT_CLASS_TILE"] = str(kt)
+    import kaldi_lstm_tpu.ops.xent_pallas as xp
+    importlib.reload(xp)
+
     rng = np.random.RandomState(0)
     r = jnp.asarray(rng.randn(N, R), jnp.float32)
     w = jnp.asarray(rng.randn(K, R) * 0.05, jnp.float32)
@@ -31,8 +31,8 @@ def main():
 
     @jax.jit
     def train(w):
-        g = jax.grad(lambda w: fused_affine_xent(r, w, b, ids, tw, mask,
-                                                 False)[0])(w)
+        g = jax.grad(lambda w: xp.fused_affine_xent(
+            r, w, b, ids, tw, mask, False)[0])(w)
         return w - 1e-9 * g
 
     for _ in range(3):
@@ -43,9 +43,14 @@ def main():
         w = train(w)
     float(jnp.sum(w))
     dt = (time.perf_counter() - t0) / 30
-    print(f"ft={os.environ.get('KLT_XENT_FRAME_TILE', '256'):>4s} "
-          f"kt={os.environ.get('KLT_XENT_CLASS_TILE', '512'):>5s}: "
-          f"{dt*1e3:7.3f} ms fwd+bwd", flush=True)
+    print(f"ft={ft:4d} kt={kt:5d}: {dt*1e3:7.3f} ms fwd+bwd", flush=True)
+
+
+def main():
+    print("devices:", jax.devices(), file=sys.stderr)
+    for ft, kt in [(256, 512), (128, 1024), (256, 1024), (512, 1024),
+                   (256, 2048), (512, 2048)]:
+        run(ft, kt)
 
 
 if __name__ == "__main__":

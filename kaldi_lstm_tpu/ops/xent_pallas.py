@@ -34,8 +34,10 @@ from kaldi_lstm_tpu.train.loss import LossAux
 import os
 
 _NEG = -1e30
-_FT = int(os.environ.get("KLT_XENT_FRAME_TILE", "256"))  # frame tile
-_KT = int(os.environ.get("KLT_XENT_CLASS_TILE", "512"))  # class tile
+# tile defaults from the on-chip sweep (tools_dev/bench_xent_tiles.py:
+# 512/1024 is 12% faster than 256/512 at N=10240, K=8000)
+_FT = int(os.environ.get("KLT_XENT_FRAME_TILE", "512"))   # frame tile
+_KT = int(os.environ.get("KLT_XENT_CLASS_TILE", "1024"))  # class tile
 
 
 def _round_up(x, m):
@@ -96,11 +98,10 @@ def _fwd_kernel(r_ref, w_ref, b_ref, ids_ref, tw_ref,
         aidx_ref[:, 0:1] = ai_s[:, 0:1]
 
 
-def _fwd_call(r, w, b, ids, tw, *, interpret):
+def _fwd_call(r, w, b, ids, tw, *, ft, kt, interpret):
     npad, rp = r.shape
     kp = w.shape[0]
     km = ids.shape[1]
-    ft, kt = _FT, _KT
     grid = (npad // ft, kp // kt)
 
     def row(s, k):
@@ -178,11 +179,10 @@ def _bwd_kernel(r_ref, w_ref, b_ref, ids_ref, tw_ref, lse_ref, scale_ref,
         dr_ref[:] = dr_s[:]
 
 
-def _bwd_call(r, w, b, ids, tw, lse, scale, *, interpret):
+def _bwd_call(r, w, b, ids, tw, lse, scale, *, ft, kt, interpret):
     npad, rp = r.shape
     kp = w.shape[0]
     km = ids.shape[1]
-    ft, kt = _FT, _KT
     grid = (npad // ft, kp // kt)
 
     def row(s, k):
@@ -225,12 +225,21 @@ def _bwd_call(r, w, b, ids, tw, lse, scale, *, interpret):
 # public op with custom VJP
 # ---------------------------------------------------------------------------
 
+def _tiles(n, K):
+    """Effective tiles: shrink to the (128-aligned) problem size so small
+    batches (per-utterance decode/training) don't pad to full tiles."""
+    ft = min(_FT, _round_up(n, 128))
+    kt = min(_KT, _round_up(K, 128))
+    return ft, kt
+
+
 def _pad_inputs(r, w, b, ids, tw, mask):
     n, R = r.shape
     K = w.shape[0]
-    npad = _round_up(n, _FT)
+    ft, kt = _tiles(n, K)
+    npad = _round_up(n, ft)
     rp = _round_up(R, 128)
-    kp = _round_up(K, _KT)
+    kp = _round_up(K, kt)
     r_p = jnp.pad(r, ((0, npad - n), (0, rp - R)))
     w_p = jnp.pad(w, ((0, kp - K), (0, rp - R)))
     # padded classes get -inf bias so they vanish from lse/argmax
@@ -259,7 +268,9 @@ def _fused_fwd(r, w, b, ids, tw, mask, interpret):
     n = r.shape[0]
     r_p, w_p, b_p, ids_p, tw_p, mask_p, npad, rp, kp = _pad_inputs(
         r, w, b, ids, tw, mask)
+    ft, kt = _tiles(r.shape[0], w.shape[0])
     lse, picked, amax, aidx = _fwd_call(r_p, w_p, b_p, ids_p, tw_p,
+                                        ft=ft, kt=kt,
                                         interpret=interpret)
     lse = lse[:n, 0]
     picked = picked[:n, 0]
@@ -297,8 +308,10 @@ def _fused_bwd(interpret, residuals, cotangents):
     scale = scale.at[:n, 0].set(g_loss * mask.astype(jnp.float32))
     scale = scale.at[:n, 1].set(jnp.sum(tw, axis=-1))
 
+    ft, kt = _tiles(n, K)
     dr_p, dw_p, db_p = _bwd_call(r_p, w_p, b_p, ids_p, tw_p, lse_p,
-                                 scale, interpret=interpret)
+                                 scale, ft=ft, kt=kt,
+                                 interpret=interpret)
     return (dr_p[:n, :R], dw_p[:K, :R], db_p[0, :K], None, None, None)
 
 

@@ -14,8 +14,11 @@ per chunk, ONE kernel runs the whole time loop with:
   double-buffered by the Mosaic pipeline;
 * all gate math fused on the VPU between the two MXU dots.
 
-Grid is (S_tiles, T) — time innermost (sequential dependence), stream
-tiles outer so arbitrarily many streams fit in fixed VMEM.
+Grid is (S_tiles, T/tb) — time innermost (sequential dependence), stream
+tiles outer so arbitrarily many streams fit in fixed VMEM. Each grid step
+processes a block of tb timesteps (statically unrolled), amortizing the
+per-grid-step pipeline overhead that dominates at [st, R]x[R, 4C]
+granularity; tb is the largest divisor of T below KLT_LSTM_TIME_BLOCK.
 
 The backward kernel replays the reverse recurrence
 (d_r -> d_m -> d_h/d_o -> d_c -> d_f/d_i/d_g, exactly the reference's
@@ -54,20 +57,16 @@ def _round_up(x: int, m: int) -> int:
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
-                gifo_ref, c_ref, r_ref, c_s, r_s, *, cp: int,
-                cell_clip: float):
-    t = pl.program_id(1)
+def _cell_forward(xw_t, c_prev, r_prev, wr_ref, wcr_ref, peep_ref, *,
+                  cp: int, cell_clip: float):
+    """One timestep of the LSTMP cell on VMEM-resident operands.
 
-    @pl.when(t == 0)
-    def _():
-        c_s[:] = c0_ref[:]
-        r_s[:] = r0_ref[:]
-
-    c_prev = c_s[:]
+    Math is bd-nnet-lstm-projected-streams.h:261-325: fused gifo
+    pre-activation, i/f peepholes from c(t-1), cell clip, o peephole from
+    clipped c(t), projection. Returns (g, i, f, o, c, r)."""
     wdt = wr_ref.dtype  # bf16 weights -> bf16 MXU dots, f32 accumulation
-    gifo = xw_ref[0] + jnp.dot(r_s[:].astype(wdt), wr_ref[:],
-                               preferred_element_type=jnp.float32)
+    gifo = xw_t + jnp.dot(r_prev.astype(wdt), wr_ref[:],
+                          preferred_element_type=jnp.float32)
     g = jnp.tanh(gifo[:, 0 * cp:1 * cp])
     i = jax.nn.sigmoid(gifo[:, 1 * cp:2 * cp] + c_prev * peep_ref[0:1, :])
     f = jax.nn.sigmoid(gifo[:, 2 * cp:3 * cp] + c_prev * peep_ref[1:2, :])
@@ -76,35 +75,52 @@ def _fwd_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
         c = jnp.clip(c, -cell_clip, cell_clip)
     h = jnp.tanh(c)
     o = jax.nn.sigmoid(gifo[:, 3 * cp:4 * cp] + c * peep_ref[2:3, :])
-    m = h * o
-    r = jnp.dot(m.astype(wdt), wcr_ref[:],
+    r = jnp.dot((h * o).astype(wdt), wcr_ref[:],
                 preferred_element_type=jnp.float32)
+    return g, i, f, o, c, r
 
-    # gate residuals stream out in the weights' dtype (bf16 mode halves
-    # this ~75 MB/chunk write + the backward's re-read)
-    gifo_ref[0] = jnp.concatenate([g, i, f, o],
-                                  axis=-1).astype(gifo_ref.dtype)
-    c_ref[0] = c
-    r_ref[0] = r
+
+def _fwd_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
+                gifo_ref, c_ref, r_ref, c_s, r_s, *, cp: int, tb: int,
+                cell_clip: float):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        c_s[:] = c0_ref[:]
+        r_s[:] = r0_ref[:]
+
+    c = c_s[:]
+    r = r_s[:]
+    for k in range(tb):
+        g, i, f, o, c, r = _cell_forward(xw_ref[k], c, r, wr_ref, wcr_ref,
+                                         peep_ref, cp=cp,
+                                         cell_clip=cell_clip)
+        # gate residuals stream out in the weights' dtype (bf16 mode
+        # halves this ~75 MB/chunk write + the backward's re-read)
+        gifo_ref[k] = jnp.concatenate([g, i, f, o],
+                                      axis=-1).astype(gifo_ref.dtype)
+        c_ref[k] = c
+        r_ref[k] = r
     c_s[:] = c
     r_s[:] = r
 
 
-def _fwd_call(xw, wr, wcr, peep, c0, r0, *, st: int, cell_clip: float,
-              interpret: bool):
+def _fwd_call(xw, wr, wcr, peep, c0, r0, *, st: int, tb: int,
+              cell_clip: float, interpret: bool):
     T, sp, c4p = xw.shape
     cp = c4p // 4
     rp = wr.shape[0]
-    grid = (sp // st, T)
+    grid = (sp // st, T // tb)
 
     def idx_tsx(s, t):
         return (t, s, 0)
 
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, cp=cp, cell_clip=cell_clip),
+        functools.partial(_fwd_kernel, cp=cp, tb=tb, cell_clip=cell_clip),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, st, 4 * cp), idx_tsx,
+            pl.BlockSpec((tb, st, 4 * cp), idx_tsx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rp, 4 * cp), lambda s, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -118,10 +134,10 @@ def _fwd_call(xw, wr, wcr, peep, c0, r0, *, st: int, cell_clip: float,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, st, 4 * cp), idx_tsx,
+            pl.BlockSpec((tb, st, 4 * cp), idx_tsx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, st, cp), idx_tsx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, st, rp), idx_tsx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, st, cp), idx_tsx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, st, rp), idx_tsx, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, sp, 4 * cp), wr.dtype),
@@ -139,7 +155,8 @@ def _fwd_call(xw, wr, wcr, peep, c0, r0, *, st: int, cell_clip: float,
 
 
 def _infer_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
-                  r_ref, cT_ref, c_s, r_s, *, cp: int, cell_clip: float):
+                  r_ref, cT_ref, c_s, r_s, *, cp: int, tb: int,
+                  cell_clip: float):
     """Inference-only forward: no gate/cell residual writes (those cost
     ~5x the r output in HBM write bandwidth)."""
     t = pl.program_id(1)
@@ -149,38 +166,30 @@ def _infer_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
         c_s[:] = c0_ref[:]
         r_s[:] = r0_ref[:]
 
-    c_prev = c_s[:]
-    wdt = wr_ref.dtype
-    gifo = xw_ref[0] + jnp.dot(r_s[:].astype(wdt), wr_ref[:],
-                               preferred_element_type=jnp.float32)
-    g = jnp.tanh(gifo[:, 0 * cp:1 * cp])
-    i = jax.nn.sigmoid(gifo[:, 1 * cp:2 * cp] + c_prev * peep_ref[0:1, :])
-    f = jax.nn.sigmoid(gifo[:, 2 * cp:3 * cp] + c_prev * peep_ref[1:2, :])
-    c = g * i + c_prev * f
-    if cell_clip > 0:
-        c = jnp.clip(c, -cell_clip, cell_clip)
-    h = jnp.tanh(c)
-    o = jax.nn.sigmoid(gifo[:, 3 * cp:4 * cp] + c * peep_ref[2:3, :])
-    r = jnp.dot((h * o).astype(wdt), wcr_ref[:],
-                preferred_element_type=jnp.float32)
-
-    r_ref[0] = r
+    c = c_s[:]
+    r = r_s[:]
+    for k in range(tb):
+        _, _, _, _, c, r = _cell_forward(xw_ref[k], c, r, wr_ref, wcr_ref,
+                                         peep_ref, cp=cp,
+                                         cell_clip=cell_clip)
+        r_ref[k] = r
     cT_ref[:] = c
     c_s[:] = c
     r_s[:] = r
 
 
-def _infer_call(xw, wr, wcr, peep, c0, r0, *, st: int, cell_clip: float,
-                interpret: bool):
+def _infer_call(xw, wr, wcr, peep, c0, r0, *, st: int, tb: int,
+                cell_clip: float, interpret: bool):
     T, sp, c4p = xw.shape
     cp = c4p // 4
     rp = wr.shape[0]
 
     return pl.pallas_call(
-        functools.partial(_infer_kernel, cp=cp, cell_clip=cell_clip),
-        grid=(sp // st, T),
+        functools.partial(_infer_kernel, cp=cp, tb=tb,
+                          cell_clip=cell_clip),
+        grid=(sp // st, T // tb),
         in_specs=[
-            pl.BlockSpec((1, st, 4 * cp), lambda s, t: (t, s, 0),
+            pl.BlockSpec((tb, st, 4 * cp), lambda s, t: (t, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rp, 4 * cp), lambda s, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -194,7 +203,7 @@ def _infer_call(xw, wr, wcr, peep, c0, r0, *, st: int, cell_clip: float,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, st, rp), lambda s, t: (t, s, 0),
+            pl.BlockSpec((tb, st, rp), lambda s, t: (t, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((st, cp), lambda s, t: (s, 0),
                          memory_space=pltpu.VMEM),
@@ -227,19 +236,21 @@ def _contract0(a, b):
 def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, x_ref, rprev_ref,
                 wgr_ref, wrm_ref, wxp_ref, peep_ref, gcT_ref,
                 dx_ref, dwx_ref, dwr_ref, dwrm_ref, dbias_ref, dpeep_ref,
-                dc0_ref, dr0_ref, dc_s, dr_s, *, cp: int):
+                dc0_ref, dr0_ref, dc_s, dr_s, *, cp: int, tb: int):
     """Reverse recurrence with IN-VMEM weight-gradient accumulation.
 
     The reference (and kernel v1/v2) materializes per-t gate gradients to
     memory and runs hoisted [T*S] GEMMs (…streams.h:465-487) — on TPU
     that costs a ~100 MB dgifo stream written then re-read 4x. Here the
     dW/dbias/dpeephole accumulators live in constant-index output blocks
-    (resident in VMEM across the whole grid, ≥120 MB on v5e) and each
-    step contracts its [st, ·] slices directly — the only per-t output
-    is dx.
+    (resident in VMEM across the whole grid, ≥120 MB on v5e); each grid
+    step processes tb timesteps, contracting each step's [st, ·] slices
+    into LOCAL accumulators and flushing once per block — the only per-t
+    output is dx.
     """
     s = pl.program_id(0)
-    t = pl.program_id(1)          # 0 .. T-1, mapped to real time T-1-t
+    t = pl.program_id(1)     # time-block 0..T/tb-1, mapped to real blocks
+    #                          T/tb-1-t by idx_rev; inner k runs reversed
 
     @pl.when(t == 0)
     def _():
@@ -254,62 +265,81 @@ def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, x_ref, rprev_ref,
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
         dpeep_ref[:] = jnp.zeros_like(dpeep_ref)
 
-    g = gifo_ref[0, :, 0 * cp:1 * cp].astype(jnp.float32)
-    i = gifo_ref[0, :, 1 * cp:2 * cp].astype(jnp.float32)
-    f = gifo_ref[0, :, 2 * cp:3 * cp].astype(jnp.float32)
-    o = gifo_ref[0, :, 3 * cp:4 * cp].astype(jnp.float32)
-    c = c_ref[0]
-    c_prev = cprev_ref[0]
-    h = jnp.tanh(c)
-
     wdt = wgr_ref.dtype
-    dr_total = gr_ref[0] + dr_s[:]
-    dm = jnp.dot(dr_total.astype(wdt), wrm_ref[:],
-                 preferred_element_type=jnp.float32)
-    dh = dm * o
-    dc_from_h = dh * (1.0 - h * h)
-    do = dm * h * o * (1.0 - o)
-    # straight-through clip: d_c flows through the forward clip unchanged
-    # (reference backward reads clipped activations but never masks d_c)
-    dc_total = dc_s[:] + dc_from_h + do * peep_ref[2:3, :]
-    df = dc_total * c_prev * f * (1.0 - f)
-    di = dc_total * g * i * (1.0 - i)
-    dg = dc_total * i * (1.0 - g * g)
-    dgifo = jnp.concatenate([dg, di, df, do], axis=-1)
+    dc = dc_s[:]
+    dr = dr_s[:]
+    acc_dwx = jnp.zeros(dwx_ref.shape, jnp.float32)
+    acc_dwr = jnp.zeros(dwr_ref.shape, jnp.float32)
+    acc_dwrm = jnp.zeros(dwrm_ref.shape, jnp.float32)
+    acc_dbias = jnp.zeros((1, 4 * cp), jnp.float32)
+    acc_dpi = jnp.zeros((1, cp), jnp.float32)
+    acc_dpf = jnp.zeros((1, cp), jnp.float32)
+    acc_dpo = jnp.zeros((1, cp), jnp.float32)
+    for k in reversed(range(tb)):
+        g = gifo_ref[k, :, 0 * cp:1 * cp].astype(jnp.float32)
+        i = gifo_ref[k, :, 1 * cp:2 * cp].astype(jnp.float32)
+        f = gifo_ref[k, :, 2 * cp:3 * cp].astype(jnp.float32)
+        o = gifo_ref[k, :, 3 * cp:4 * cp].astype(jnp.float32)
+        c = c_ref[k]
+        c_prev = cprev_ref[k]
+        h = jnp.tanh(c)
 
-    dc_s[:] = dc_total * f + di * peep_ref[0:1, :] + df * peep_ref[1:2, :]
-    dr_s[:] = jnp.dot(dgifo.astype(wdt), wgr_ref[:],
-                      preferred_element_type=jnp.float32)
+        dr_total = gr_ref[k] + dr
+        dm = jnp.dot(dr_total.astype(wdt), wrm_ref[:],
+                     preferred_element_type=jnp.float32)
+        dh = dm * o
+        dc_from_h = dh * (1.0 - h * h)
+        do = dm * h * o * (1.0 - o)
+        # straight-through clip: d_c flows through the forward clip
+        # unchanged (reference backward reads clipped activations but
+        # never masks d_c)
+        dc_total = dc + dc_from_h + do * peep_ref[2:3, :]
+        df = dc_total * c_prev * f * (1.0 - f)
+        di = dc_total * g * i * (1.0 - i)
+        dg = dc_total * i * (1.0 - g * g)
+        dgifo = jnp.concatenate([dg, di, df, do], axis=-1)
 
-    # per-t outputs and accumulations
-    dx_ref[0] = jnp.dot(dgifo.astype(wdt), wxp_ref[:],
-                        preferred_element_type=jnp.float32)
-    dgifo_c = dgifo.astype(wdt)
-    dwx_ref[:] += _contract0(dgifo_c, x_ref[0].astype(wdt))
-    dwr_ref[:] += _contract0(dgifo_c, rprev_ref[0].astype(wdt))
-    m = h * o
-    dwrm_ref[:] += _contract0(dr_total.astype(wdt), m.astype(wdt))
-    dbias_ref[0:1, :] += jnp.sum(dgifo, axis=0, keepdims=True)
-    dpeep_ref[0:1, :] += jnp.sum(di * c_prev, axis=0, keepdims=True)
-    dpeep_ref[1:2, :] += jnp.sum(df * c_prev, axis=0, keepdims=True)
-    dpeep_ref[2:3, :] += jnp.sum(do * c, axis=0, keepdims=True)
+        dc = dc_total * f + di * peep_ref[0:1, :] + df * peep_ref[1:2, :]
+        dr = jnp.dot(dgifo.astype(wdt), wgr_ref[:],
+                     preferred_element_type=jnp.float32)
+
+        dx_ref[k] = jnp.dot(dgifo.astype(wdt), wxp_ref[:],
+                            preferred_element_type=jnp.float32)
+        dgifo_c = dgifo.astype(wdt)
+        acc_dwx += _contract0(dgifo_c, x_ref[k].astype(wdt))
+        acc_dwr += _contract0(dgifo_c, rprev_ref[k].astype(wdt))
+        acc_dwrm += _contract0(dr_total.astype(wdt), (h * o).astype(wdt))
+        acc_dbias += jnp.sum(dgifo, axis=0, keepdims=True)
+        acc_dpi += jnp.sum(di * c_prev, axis=0, keepdims=True)
+        acc_dpf += jnp.sum(df * c_prev, axis=0, keepdims=True)
+        acc_dpo += jnp.sum(do * c, axis=0, keepdims=True)
+
+    dc_s[:] = dc
+    dr_s[:] = dr
+    dwx_ref[:] += acc_dwx
+    dwr_ref[:] += acc_dwr
+    dwrm_ref[:] += acc_dwrm
+    dbias_ref[0:1, :] += acc_dbias
+    dpeep_ref[0:1, :] += acc_dpi
+    dpeep_ref[1:2, :] += acc_dpf
+    dpeep_ref[2:3, :] += acc_dpo
 
     # after the last step (real t=0) the carries are the state gradients;
     # constant-index output blocks flush their final contents
-    dc0_ref[:] = dc_s[:]
-    dr0_ref[:] = dr_s[:]
+    dc0_ref[:] = dc
+    dr0_ref[:] = dr
 
 
 def _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm, wxp,
-              peep, gcT, *, st: int, interpret: bool):
+              peep, gcT, *, st: int, tb: int, interpret: bool):
     T, sp, c4p = gifo.shape
     cp = c4p // 4
     rp = g_r.shape[2]
     ip = x_pad.shape[2]
-    grid = (sp // st, T)
+    grid = (sp // st, T // tb)
 
     def idx_rev(s, t):
-        return (T - 1 - t, s, 0)
+        return (T // tb - 1 - t, s, 0)
 
     def idx_const(s, t):
         return (0, 0)
@@ -318,16 +348,16 @@ def _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm, wxp,
         return (s, 0)
 
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, cp=cp),
+        functools.partial(_bwd_kernel, cp=cp, tb=tb),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, st, 4 * cp), idx_rev,
+            pl.BlockSpec((tb, st, 4 * cp), idx_rev,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, st, cp), idx_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, st, cp), idx_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, st, rp), idx_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, st, ip), idx_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, st, rp), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, st, cp), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, st, cp), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, st, rp), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, st, ip), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, st, rp), idx_rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * cp, rp), idx_const, memory_space=pltpu.VMEM),
             pl.BlockSpec((rp, cp), idx_const, memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * cp, ip), idx_const, memory_space=pltpu.VMEM),
@@ -335,7 +365,7 @@ def _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm, wxp,
             pl.BlockSpec((st, cp), idx_s, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, st, ip), idx_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, st, ip), idx_rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * cp, ip), idx_const, memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * cp, rp), idx_const, memory_space=pltpu.VMEM),
             pl.BlockSpec((rp, cp), idx_const, memory_space=pltpu.VMEM),
@@ -379,6 +409,7 @@ class _Dims(NamedTuple):
     st: int   # stream tile
     cp: int   # padded cell dim
     rp: int   # padded recurrent dim
+    tb: int   # timesteps per grid step (divides T)
 
 
 import os
@@ -386,19 +417,34 @@ import os
 # Stream-tile size: bigger tiles feed the MXU fuller rows (128 = full
 # sublane tile) at the cost of VMEM; overridable for tuning.
 _DEFAULT_STREAM_TILE = int(os.environ.get("KLT_LSTM_STREAM_TILE", "128"))
+# Timesteps per grid step (statically unrolled inside the kernel); the
+# actual block is the largest divisor of T not exceeding this. Amortizes
+# per-grid-step pipeline overhead; VMEM per block scales linearly.
+_DEFAULT_TIME_BLOCK = int(os.environ.get("KLT_LSTM_TIME_BLOCK", "5"))
 _VMEM_LIMIT = int(os.environ.get("KLT_LSTM_VMEM_LIMIT",
                                  str(100 * 1024 * 1024)))
 
 
-def _plan_dims(S, T, I, C, R, max_stream_tile=None) -> _Dims:
+def _plan_time_block(T: int, max_tb: int) -> int:
+    for tb in range(min(max_tb, T), 0, -1):
+        if T % tb == 0:
+            return tb
+    return 1
+
+
+def _plan_dims(S, T, I, C, R, max_stream_tile=None,
+               max_time_block=None) -> _Dims:
     if max_stream_tile is None:
         max_stream_tile = _DEFAULT_STREAM_TILE
+    if max_time_block is None:
+        max_time_block = _DEFAULT_TIME_BLOCK
     cp = _round_up(C, 128)
     rp = _round_up(R, 128)
     sp = _round_up(S, 8)
     st = sp if sp <= max_stream_tile else max_stream_tile
     sp = _round_up(sp, st)
-    return _Dims(S, T, I, C, R, sp, st, cp, rp)
+    tb = _plan_time_block(T, max_time_block)
+    return _Dims(S, T, I, C, R, sp, st, cp, rp, tb)
 
 
 def _pad_gate_mat(w, cp):
@@ -427,7 +473,8 @@ def _lstm_pallas(params: LstmParams, x, state: LstmState,
     d = _plan_dims(S, T, I, params.cell_dim, params.recur_dim)
     xw, wr, wcr, peep, c0, r0 = _prepare(params, x, state, d)
     r_seq, c_last = _infer_call(xw, wr, wcr, peep, c0, r0, st=d.st,
-                                cell_clip=cell_clip, interpret=interpret)
+                                tb=d.tb, cell_clip=cell_clip,
+                                interpret=interpret)
     out = r_seq[:, :S, :params.recur_dim].swapaxes(0, 1)
     final = LstmState(c=c_last[:S, :params.cell_dim],
                       r=r_seq[T - 1, :S, :params.recur_dim])
@@ -477,7 +524,7 @@ def _lstm_pallas_fwd(params: LstmParams, x, state: LstmState,
 
     xw, wr, wcr, peep, c0, r0 = _prepare(params, x, state, d)
     gifo, c_seq, r_seq = _fwd_call(xw, wr, wcr, peep, c0, r0, st=d.st,
-                                   cell_clip=cell_clip,
+                                   tb=d.tb, cell_clip=cell_clip,
                                    interpret=interpret)
 
     out = r_seq[:, :S, :R].swapaxes(0, 1)                   # [S, T, R]
@@ -526,7 +573,7 @@ def _lstm_pallas_bwd(cell_clip, interpret, residuals, cotangents):
     st_bwd = min(d.st, 128)
     (dx_p, dwx_p, dwr_p, dwrm_p, dbias_p, dpeep_p, dc0_p, dr0_p) = \
         _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev_seq,
-                  wgr, wrm, wxp, peep, gcT, st=st_bwd,
+                  wgr, wrm, wxp, peep, gcT, st=st_bwd, tb=d.tb,
                   interpret=interpret)
 
     def unpad_gates_rows(w_p):  # [4cp, X] -> [4C, X]

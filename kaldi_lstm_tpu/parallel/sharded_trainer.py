@@ -25,6 +25,22 @@ from kaldi_lstm_tpu.train.trainer import TrainOptions
 _LOSS_FNS = {"xent": masked_xent_loss, "mse": masked_mse_loss}
 
 
+def _fused_eligible(nnet: Nnet, opts: TrainOptions, plan: MeshPlan) -> bool:
+    """Fused TP xent requires an [Affine, Softmax] tail, xent objective,
+    and the senone count divisible by the model-axis size (shard_map
+    needs even shards). Auto mode mirrors trainer.make_train_step: on
+    when the compute backend is TPU."""
+    from kaldi_lstm_tpu.models.components import _on_tpu
+    from kaldi_lstm_tpu.train.trainer import _tail_is_affine_softmax
+    fused_wanted = (_on_tpu() if opts.fused_xent is None
+                    else opts.fused_xent)
+    if not (fused_wanted and opts.objective == "xent"
+            and _tail_is_affine_softmax(nnet)):
+        return False
+    k = nnet.components[-2].output_dim
+    return k % plan.mesh.shape.get("model", 1) == 0
+
+
 def make_sharded_train_step(nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
                             transf: Optional[Nnet] = None,
                             crossvalidate: bool = False,
@@ -44,6 +60,16 @@ def make_sharded_train_step(nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
     from kaldi_lstm_tpu.train.optim import MomentumState
     opt_shard = MomentumState(corr=p_shard)
 
+    use_fused = _fused_eligible(nnet, opts, plan)
+    if use_fused:
+        from kaldi_lstm_tpu.parallel.xent_tp import make_tp_fused_xent
+        fused_fn = make_tp_fused_xent(plan.mesh)
+    else:
+        fused_fn = None
+    from kaldi_lstm_tpu.train.trainer import make_objective
+    objective_fn = make_objective(nnet, loss_fn, use_fused, fused_fn,
+                                  train=not crossvalidate)
+
     def step_fn(params, opt_state, states, transf_params, feats, tgt_ids,
                 tgt_weights, mask, reset_flags, learn_rate, rng=None):
         states = nnet.reset_states(states, reset_flags)
@@ -52,11 +78,8 @@ def make_sharded_train_step(nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
             x = transf.feedforward(transf_params, x)
 
         def objective(params):
-            logits, new_states = nnet.propagate(
-                params, x, states, logits=True, rng=rng,
-                train=not crossvalidate)
-            loss, aux = loss_fn(logits, tgt_ids, tgt_weights, mask)
-            return loss, (aux, new_states)
+            return objective_fn(params, x, states, tgt_ids, tgt_weights,
+                                mask, rng)
 
         if crossvalidate:
             _, (aux, new_states) = objective(params)

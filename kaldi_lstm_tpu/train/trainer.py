@@ -66,6 +66,45 @@ def _tail_is_affine_softmax(nnet: Nnet) -> bool:
 _LOSS_FNS = {"xent": masked_xent_loss, "mse": masked_mse_loss}
 
 
+def make_objective(nnet: Nnet, loss_fn, use_fused: bool, fused_fn,
+                   train: bool):
+    """Objective builder shared by the single-chip and sharded steps.
+
+    Returns objective(params, x, states, tgt_ids, tgt_weights, mask, rng)
+    -> (loss, (aux, new_states)). With `use_fused`, runs the stack up to
+    the senone affine and hands the [N, R] frames to `fused_fn(r, w, b,
+    ids, tw, mask)` (the fused affine+softmax+xent kernel, single-chip or
+    tensor-parallel) instead of materializing logits."""
+
+    def objective(params, x, states, tgt_ids, tgt_weights, mask, rng):
+        if use_fused:
+            y = x
+            new_states = []
+            for i, (c, p, s) in enumerate(
+                    zip(nnet.components[:-2], params[:-2], states)):
+                if getattr(c, "uses_rng", False):
+                    crng = None if rng is None else \
+                        jax.random.fold_in(rng, i)
+                    y, s2 = c.apply(p, y, s, rng=crng, train=train)
+                else:
+                    y, s2 = c.apply(p, y, s)
+                new_states.append(s2)
+            new_states += [None, None]
+            S, T, R = y.shape
+            aff = params[-2]
+            loss, aux = fused_fn(
+                y.reshape(S * T, R), aff["linearity"], aff["bias"],
+                tgt_ids.reshape(S * T, -1), tgt_weights.reshape(S * T, -1),
+                mask.reshape(S * T))
+            return loss, (aux, tuple(new_states))
+        logits, new_states = nnet.propagate(params, x, states, logits=True,
+                                            rng=rng, train=train)
+        loss, aux = loss_fn(logits, tgt_ids, tgt_weights, mask)
+        return loss, (aux, new_states)
+
+    return objective
+
+
 def build_lr_scale(nnet: Nnet, params):
     """Per-leaf learn-rate multipliers from component config — nnet1's
     <LearnRateCoef>/<BiasLearnRateCoef> (0 freezes a tensor)."""
@@ -97,6 +136,11 @@ def make_train_step(nnet: Nnet, opts: TrainOptions,
     # the same params across the pass
     donate = () if crossvalidate else (0, 1, 2)
 
+    from kaldi_lstm_tpu.ops.xent_pallas import masked_xent_affine
+    objective_fn = make_objective(nnet, loss_fn, use_fused,
+                                  masked_xent_affine,
+                                  train=not crossvalidate)
+
     @functools.partial(jax.jit, donate_argnums=donate)
     def step(params, opt_state, states, transf_params, feats, tgt_ids,
              tgt_weights, mask, reset_flags, learn_rate, rng=None):
@@ -106,37 +150,8 @@ def make_train_step(nnet: Nnet, opts: TrainOptions,
             x = transf.feedforward(transf_params, x)
 
         def objective(params):
-            if use_fused:
-                # run the stack up to the senone affine, then the fused
-                # affine+softmax+xent kernel on flattened frames
-                from kaldi_lstm_tpu.ops.xent_pallas import \
-                    masked_xent_affine as fused_affine_xent
-                y = x
-                new_states = []
-                for i, (c, p, s) in enumerate(
-                        zip(nnet.components[:-2], params[:-2], states)):
-                    if getattr(c, "uses_rng", False):
-                        crng = None if rng is None else \
-                            jax.random.fold_in(rng, i)
-                        y, s2 = c.apply(p, y, s, rng=crng,
-                                        train=not crossvalidate)
-                    else:
-                        y, s2 = c.apply(p, y, s)
-                    new_states.append(s2)
-                new_states += [None, None]
-                S, T, R = y.shape
-                aff = params[-2]
-                loss, aux = fused_affine_xent(
-                    y.reshape(S * T, R), aff["linearity"], aff["bias"],
-                    tgt_ids.reshape(S * T, -1),
-                    tgt_weights.reshape(S * T, -1),
-                    mask.reshape(S * T))
-                return loss, (aux, tuple(new_states))
-            logits, new_states = nnet.propagate(
-                params, x, states, logits=True, rng=rng,
-                train=not crossvalidate)
-            loss, aux = loss_fn(logits, tgt_ids, tgt_weights, mask)
-            return loss, (aux, new_states)
+            return objective_fn(params, x, states, tgt_ids, tgt_weights,
+                                mask, rng)
 
         if crossvalidate:
             _, (aux, new_states) = objective(params)

@@ -50,6 +50,10 @@ class Component:
     token: str = ""
     updatable: bool = False
     stateful: bool = False
+    # True when apply() treats the leading [S, T] axes as one flat batch
+    # (elementwise / last-dim ops) — such components run unchanged under
+    # the time-major ([T, S, .]) fast path of the fused train step.
+    axis_invariant: bool = True
 
     def __init__(self, input_dim: int, output_dim: int):
         self.input_dim = int(input_dim)
@@ -160,6 +164,7 @@ class TimeShift(Component):
     use-case (decode-only)."""
 
     token = "<TimeShift>"
+    axis_invariant = False
 
     def __init__(self, input_dim, output_dim, shift: int = 0):
         super().__init__(input_dim, output_dim)
@@ -247,6 +252,7 @@ class Rescale(Component):
 
 @register
 class Splice(Component):
+    axis_invariant = False
     """Frame splicing over a context window (upstream nnet-various.h):
     out[t] = concat(in[clamp(t + off)] for off in build_vector). The DNN
     feature-transform counterpart of the LSTM's TimeShift."""
@@ -415,6 +421,11 @@ class Softmax(Component):
 
 class _LstmBase(Component):
     updatable = True
+    axis_invariant = False
+    # apply() accepts time_major=True ([T, S, .] in/out) — used by the
+    # fused train step to run the whole trunk in the kernels' native
+    # layout with no big-tensor transposes
+    supports_time_major = True
 
     def __init__(self, input_dim, output_dim, cell_dim: int = 0,
                  param_scale: float = 0.02):
@@ -436,16 +447,18 @@ class _LstmBase(Component):
         if self.dropout_rate <= 0.0 or rng is None:
             return None
         keep = 1.0 - self.dropout_rate
-        S, T, _ = x.shape
-        return (jax.random.bernoulli(rng, keep, (S, T, 4 * self.cell_dim))
+        d0, d1, _ = x.shape  # [S,T] or [T,S]: iid mask, layout-shaped
+        return (jax.random.bernoulli(rng, keep, (d0, d1, 4 * self.cell_dim))
                 .astype(x.dtype) / keep)
 
-    def _run_scan(self, params, x, state, dropout_mask=None):
+    def _run_scan(self, params, x, state, dropout_mask=None,
+                  time_major=False):
         if dropout_mask is not None:
             # dropout path uses lax.scan (the pallas kernels do not take
             # a mask operand yet)
             return lstm_scan(params, x, state, self.cell_clip,
-                             gate_dropout_mask=dropout_mask)
+                             gate_dropout_mask=dropout_mask,
+                             time_major=time_major)
         # Measured on v5e (tools_dev/bench_ab_impl.py): the fused Pallas
         # kernels win both training (in-VMEM weight-grad accumulation in
         # the backward — 4.22 vs 4.52 ms/step full model at S=256) and
@@ -457,8 +470,10 @@ class _LstmBase(Component):
             impl = "pallas" if _on_tpu() else "scan"
         if impl == "pallas":
             from kaldi_lstm_tpu.ops.lstm_pallas import lstm_scan_pallas
-            return lstm_scan_pallas(params, x, state, self.cell_clip)
-        return lstm_scan(params, x, state, self.cell_clip)
+            return lstm_scan_pallas(params, x, state, self.cell_clip,
+                                    time_major=time_major)
+        return lstm_scan(params, x, state, self.cell_clip,
+                         time_major=time_major)
 
     def init_params(self, rng) -> LstmParams:
         return init_lstm_params(rng, self.input_dim, self.cell_dim,
@@ -516,11 +531,12 @@ class LstmProjected(_LstmBase):
     token = "<LstmProjected>"
 
     def apply(self, params: LstmParams, x, state=None, rng=None,
-              train=False):
-        S = x.shape[0]
+              train=False, time_major=False):
+        S = x.shape[1] if time_major else x.shape[0]
         st = zero_state(S, self.cell_dim, self.recur_dim, x.dtype)
         mask = self._dropout_mask(rng, x) if train else None
-        out, _ = self._run_scan(params, x, st, mask)
+        out, _ = self._run_scan(params, x, st, mask,
+                                time_major=time_major)
         return out, None
 
     def read_data(self, inp):
@@ -568,12 +584,14 @@ class LstmProjectedStreams(_LstmBase):
         return zero_state(nstream, self.cell_dim, self.recur_dim)
 
     def apply(self, params: LstmParams, x, state: Optional[LstmState] = None,
-              rng=None, train=False):
+              rng=None, train=False, time_major=False):
         if state is None:
-            state = zero_state(x.shape[0], self.cell_dim, self.recur_dim,
+            nstream = x.shape[1] if time_major else x.shape[0]
+            state = zero_state(nstream, self.cell_dim, self.recur_dim,
                                x.dtype)
         mask = self._dropout_mask(rng, x) if train else None
-        out, new_state = self._run_scan(params, x, state, mask)
+        out, new_state = self._run_scan(params, x, state, mask,
+                                        time_major=time_major)
         return out, new_state
 
     def read_data(self, inp):

@@ -151,27 +151,31 @@ def lstm_step(params: LstmParams, state: LstmState, xw_t: jax.Array,
 def lstm_scan(params: LstmParams, x: jax.Array, state: LstmState,
               cell_clip: float = 50.0,
               compute_dtype=None,
-              gate_dropout_mask: jax.Array | None = None
-              ) -> tuple[jax.Array, LstmState]:
+              gate_dropout_mask: jax.Array | None = None,
+              time_major: bool = False) -> tuple[jax.Array, LstmState]:
     """Run the projected LSTM over a [S, T, I] chunk.
 
     Args:
-      x: [S, T, I] input features (stream-major).
+      x: [S, T, I] input features (stream-major), or [T, S, I] with
+        ``time_major=True`` — the internal scan layout; passing
+        time-major data skips the two [T*S, 4C]-sized transposes.
       state: carried (c, r) from the previous chunk ([S, C], [S, R]);
         reset rows to zero *before* calling for streams starting a new
         utterance (the reference's Nnet::Reset ordering,
         bd-nnet-train-lstm-streams.cc:209).
       compute_dtype: optional dtype for the matmul inputs (e.g. bfloat16);
         the carry and outputs stay float32.
-      gate_dropout_mask: optional [S, T, 4C] multiplier applied to the
-        input-projection pre-activations before the bias — forward-
-        connection dropout per Zaremba et al. 2014, the feature the
-        reference stubs out (bd-nnet-lstm-projected-streams.h:247-256);
-        here with proper inverted-dropout retention scaling.
+      gate_dropout_mask: optional [S, T, 4C] ([T, S, 4C] if time_major)
+        multiplier applied to the input-projection pre-activations before
+        the bias — forward-connection dropout per Zaremba et al. 2014,
+        the feature the reference stubs out
+        (bd-nnet-lstm-projected-streams.h:247-256); here with proper
+        inverted-dropout retention scaling.
 
-    Returns: (r_out [S, T, R], final state).
+    Returns: (r_out [S, T, R] — [T, S, R] if time_major — and the final
+    state).
     """
-    S, T, I = x.shape
+    d0, d1, I = x.shape
     if compute_dtype is not None:
         xc = x.astype(compute_dtype)
         wx = params.w_gifo_x.astype(compute_dtype)
@@ -179,9 +183,9 @@ def lstm_scan(params: LstmParams, x: jax.Array, state: LstmState,
         xc, wx = x, params.w_gifo_x
 
     # Hoisted input projection: one [S*T, I] x [I, 4C] matmul.
-    xw = jnp.dot(xc.reshape(S * T, I), wx.T,
+    xw = jnp.dot(xc.reshape(d0 * d1, I), wx.T,
                  preferred_element_type=jnp.float32)
-    xw = xw.reshape(S, T, 4 * params.cell_dim)
+    xw = xw.reshape(d0, d1, 4 * params.cell_dim)
     if gate_dropout_mask is not None:
         xw = xw * gate_dropout_mask
     xw = xw + params.bias
@@ -190,5 +194,6 @@ def lstm_scan(params: LstmParams, x: jax.Array, state: LstmState,
         new_state, r = lstm_step(params, carry, xw_t, cell_clip)
         return new_state, r
 
-    final_state, r_seq = jax.lax.scan(step, state, xw.swapaxes(0, 1))
-    return r_seq.swapaxes(0, 1), final_state
+    final_state, r_seq = jax.lax.scan(
+        step, state, xw if time_major else xw.swapaxes(0, 1))
+    return (r_seq if time_major else r_seq.swapaxes(0, 1)), final_state

@@ -464,24 +464,30 @@ def _pad2(w, rows, cols):
 # custom-VJP public op
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _lstm_pallas(params: LstmParams, x, state: LstmState,
-                 cell_clip: float, interpret: bool):
+                 cell_clip: float, interpret: bool, time_major: bool):
     # primal = inference path (custom_vjp only calls _lstm_pallas_fwd
     # under differentiation): skip all residual outputs
-    S, T, I = x.shape
+    if time_major:
+        T, S, I = x.shape
+    else:
+        S, T, I = x.shape
     d = _plan_dims(S, T, I, params.cell_dim, params.recur_dim)
-    xw, wr, wcr, peep, c0, r0 = _prepare(params, x, state, d)
+    xw, wr, wcr, peep, c0, r0 = _prepare(params, x, state, d, time_major)
     r_seq, c_last = _infer_call(xw, wr, wcr, peep, c0, r0, st=d.st,
                                 tb=d.tb, cell_clip=cell_clip,
                                 interpret=interpret)
-    out = r_seq[:, :S, :params.recur_dim].swapaxes(0, 1)
+    out = r_seq[:, :S, :params.recur_dim]
+    if not time_major:
+        out = out.swapaxes(0, 1)
     final = LstmState(c=c_last[:S, :params.cell_dim],
                       r=r_seq[T - 1, :S, :params.recur_dim])
     return out, final
 
 
-def _prepare(params: LstmParams, x, state: LstmState, d: _Dims):
+def _prepare(params: LstmParams, x, state: LstmState, d: _Dims,
+             time_major: bool = False):
     """Pad operands to tile shapes; returns kernel-ready arrays."""
     # xw: hoisted input projection, one big MXU GEMM (reference :246-259).
     # Padding the (small) weight/bias first makes the GEMM emit the padded
@@ -491,14 +497,18 @@ def _prepare(params: LstmParams, x, state: LstmState, d: _Dims):
                     ((0, 0), (0, d.cp - d.C))).reshape(4 * d.cp)
     from kaldi_lstm_tpu.models.components import get_matmul_dtype
     mm_dt = get_matmul_dtype()
-    xr = x.reshape(d.S * d.T, d.I)
+    # transpose to time-major BEFORE the projection: moving [S,T,I]
+    # (~1.6 MB at the flagship shape) instead of the [T,S,4cp] GEMM
+    # output (~150 MB) — the transpose was ~25% of the whole train step
+    x_tm = x if time_major else x.swapaxes(0, 1)            # [T, S, I]
+    xr = x_tm.reshape(d.T * d.S, d.I)
     if mm_dt is not None:
         xr, wxp_c = xr.astype(mm_dt), wxp.astype(mm_dt)
     else:
         wxp_c = wxp
     xw = jnp.dot(xr, wxp_c.T,
                  preferred_element_type=jnp.float32) + biasp
-    xw = xw.reshape(d.S, d.T, 4 * d.cp).swapaxes(0, 1)      # [T, S, 4cp]
+    xw = xw.reshape(d.T, d.S, 4 * d.cp)                     # [T, S, 4cp]
     xw = jnp.pad(xw, ((0, 0), (0, d.sp - d.S), (0, 0)))
 
     wr = _pad_gate_mat(params.w_gifo_r, d.cp)               # [4cp, R]
@@ -516,34 +526,45 @@ def _prepare(params: LstmParams, x, state: LstmState, d: _Dims):
 
 
 def _lstm_pallas_fwd(params: LstmParams, x, state: LstmState,
-                     cell_clip: float, interpret: bool):
-    S, T, I = x.shape
+                     cell_clip: float, interpret: bool,
+                     time_major: bool):
+    if time_major:
+        T, S, I = x.shape
+    else:
+        S, T, I = x.shape
     C = params.cell_dim
     R = params.recur_dim
     d = _plan_dims(S, T, I, C, R)
 
-    xw, wr, wcr, peep, c0, r0 = _prepare(params, x, state, d)
+    xw, wr, wcr, peep, c0, r0 = _prepare(params, x, state, d, time_major)
     gifo, c_seq, r_seq = _fwd_call(xw, wr, wcr, peep, c0, r0, st=d.st,
                                    tb=d.tb, cell_clip=cell_clip,
                                    interpret=interpret)
 
-    out = r_seq[:, :S, :R].swapaxes(0, 1)                   # [S, T, R]
+    out = r_seq[:, :S, :R]
+    if not time_major:
+        out = out.swapaxes(0, 1)                            # [S, T, R]
     final = LstmState(c=c_seq[T - 1, :S, :C], r=r_seq[T - 1, :S, :R])
     residuals = (params, x, gifo, c_seq, r_seq, c0, r0)
     return (out, final), residuals
 
 
-def _lstm_pallas_bwd(cell_clip, interpret, residuals, cotangents):
+def _lstm_pallas_bwd(cell_clip, interpret, time_major, residuals,
+                     cotangents):
     params, x, gifo, c_seq, r_seq, c0, r0 = residuals
     g_out, g_final = cotangents
-    S, T, I = x.shape
+    if time_major:
+        T, S, I = x.shape
+    else:
+        S, T, I = x.shape
     C = params.cell_dim
     R = params.recur_dim
     d = _plan_dims(S, T, I, C, R)
 
     # r_T == r_seq[T-1]: fold its extra cotangent into the sequence grad
     g_r = jnp.zeros((T, d.sp, d.rp), jnp.float32)
-    g_r = g_r.at[:, :S, :R].set(g_out.swapaxes(0, 1))
+    g_r = g_r.at[:, :S, :R].set(g_out if time_major
+                                else g_out.swapaxes(0, 1))
     g_r = g_r.at[T - 1, :S, :R].add(g_final.r)
     gcT = jnp.zeros((d.sp, d.cp), jnp.float32)
     gcT = gcT.at[:S, :C].set(g_final.c)
@@ -563,7 +584,8 @@ def _lstm_pallas_bwd(cell_clip, interpret, residuals, cotangents):
     c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
     r_prev_seq = jnp.concatenate([r0[None], r_seq[:-1]], axis=0)
     ip = _round_up(I, 128)
-    x_pad = jnp.pad(x.swapaxes(0, 1),
+    x_tm = x if time_major else x.swapaxes(0, 1)
+    x_pad = jnp.pad(x_tm,
                     ((0, 0), (0, d.sp - S), (0, ip - I)))     # [T, sp, ip]
     wxp = _pad_gate_mat(params.w_gifo_x, d.cp)                # [4cp, I]
     wxp = jnp.pad(wxp, ((0, 0), (0, ip - I)))                 # [4cp, ip]
@@ -588,7 +610,9 @@ def _lstm_pallas_bwd(cell_clip, interpret, residuals, cotangents):
         peephole_o_c=dpeep_p[2, :C],
         w_r_m=dwrm_p[:R, :C],
     )
-    dx = dx_p[:, :S, :I].swapaxes(0, 1)
+    dx = dx_p[:, :S, :I]
+    if not time_major:
+        dx = dx.swapaxes(0, 1)
     dstate = LstmState(c=dc0_p[:S, :C], r=dr0_p[:S, :R])
     return dparams, dx, dstate
 
@@ -598,11 +622,15 @@ _lstm_pallas.defvjp(_lstm_pallas_fwd, _lstm_pallas_bwd)
 
 def lstm_scan_pallas(params: LstmParams, x, state: LstmState,
                      cell_clip: float = 50.0,
-                     interpret: bool | None = None
+                     interpret: bool | None = None,
+                     time_major: bool = False
                      ) -> tuple[jax.Array, LstmState]:
     """Drop-in replacement for `lstm_cell.lstm_scan` backed by the fused
     Pallas kernels. `interpret=None` auto-selects interpreter mode off-TPU
-    (for CPU tests)."""
+    (for CPU tests). With ``time_major=True`` input/output are [T, S, .]
+    (the kernels' native layout) and no big-tensor transposes happen at
+    all."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _lstm_pallas(params, x, state, cell_clip, interpret)
+    return _lstm_pallas(params, x, state, cell_clip, interpret,
+                        time_major)

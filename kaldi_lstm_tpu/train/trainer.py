@@ -66,36 +66,59 @@ def _tail_is_affine_softmax(nnet: Nnet) -> bool:
 _LOSS_FNS = {"xent": masked_xent_loss, "mse": masked_mse_loss}
 
 
+def trunk_supports_time_major(nnet: Nnet) -> bool:
+    """True when every component before the [Affine, Softmax] tail either
+    ignores the [S, T] axis order (elementwise) or accepts
+    time_major=True (the LSTMs)."""
+    return all(getattr(c, "axis_invariant", False)
+               or getattr(c, "supports_time_major", False)
+               for c in nnet.components[:-2])
+
+
 def make_objective(nnet: Nnet, loss_fn, use_fused: bool, fused_fn,
-                   train: bool):
+                   train: bool, time_major: bool = False):
     """Objective builder shared by the single-chip and sharded steps.
 
     Returns objective(params, x, states, tgt_ids, tgt_weights, mask, rng)
     -> (loss, (aux, new_states)). With `use_fused`, runs the stack up to
     the senone affine and hands the [N, R] frames to `fused_fn(r, w, b,
     ids, tw, mask)` (the fused affine+softmax+xent kernel, single-chip or
-    tensor-parallel) instead of materializing logits."""
+    tensor-parallel) instead of materializing logits.
+
+    With `time_major` (fused only), the batch is transposed to [T, S, .]
+    once at entry — features, ids, weights and mask are all small — and
+    the whole trunk runs in the LSTM kernels' native layout, eliminating
+    the [T*S, 4C/R]-sized transposes (~25% of the step at S=512). The
+    loss is a frame sum, so the flattening order is immaterial."""
 
     def objective(params, x, states, tgt_ids, tgt_weights, mask, rng):
         if use_fused:
-            y = x
+            tm = time_major
+            y = x.swapaxes(0, 1) if tm else x
             new_states = []
             for i, (c, p, s) in enumerate(
                     zip(nnet.components[:-2], params[:-2], states)):
+                kwargs = {}
+                if tm and getattr(c, "supports_time_major", False):
+                    kwargs["time_major"] = True
                 if getattr(c, "uses_rng", False):
                     crng = None if rng is None else \
                         jax.random.fold_in(rng, i)
-                    y, s2 = c.apply(p, y, s, rng=crng, train=train)
+                    y, s2 = c.apply(p, y, s, rng=crng, train=train,
+                                    **kwargs)
                 else:
-                    y, s2 = c.apply(p, y, s)
+                    y, s2 = c.apply(p, y, s, **kwargs)
                 new_states.append(s2)
             new_states += [None, None]
-            S, T, R = y.shape
+            n = y.shape[0] * y.shape[1]
             aff = params[-2]
+            ids_f = (tgt_ids.swapaxes(0, 1) if tm else tgt_ids)
+            tw_f = (tgt_weights.swapaxes(0, 1) if tm else tgt_weights)
+            mask_f = (mask.swapaxes(0, 1) if tm else mask)
             loss, aux = fused_fn(
-                y.reshape(S * T, R), aff["linearity"], aff["bias"],
-                tgt_ids.reshape(S * T, -1), tgt_weights.reshape(S * T, -1),
-                mask.reshape(S * T))
+                y.reshape(n, y.shape[2]), aff["linearity"], aff["bias"],
+                ids_f.reshape(n, -1), tw_f.reshape(n, -1),
+                mask_f.reshape(n))
             return loss, (aux, tuple(new_states))
         logits, new_states = nnet.propagate(params, x, states, logits=True,
                                             rng=rng, train=train)
@@ -137,9 +160,10 @@ def make_train_step(nnet: Nnet, opts: TrainOptions,
     donate = () if crossvalidate else (0, 1, 2)
 
     from kaldi_lstm_tpu.ops.xent_pallas import masked_xent_affine
-    objective_fn = make_objective(nnet, loss_fn, use_fused,
-                                  masked_xent_affine,
-                                  train=not crossvalidate)
+    objective_fn = make_objective(
+        nnet, loss_fn, use_fused, masked_xent_affine,
+        train=not crossvalidate,
+        time_major=use_fused and trunk_supports_time_major(nnet))
 
     @functools.partial(jax.jit, donate_argnums=donate)
     def step(params, opt_state, states, transf_params, feats, tgt_ids,

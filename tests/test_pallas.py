@@ -81,6 +81,49 @@ def test_cell_clip_active_parity():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_time_major_parity():
+    """time_major=True must equal the stream-major path (values and full
+    VJP) with inputs/outputs transposed."""
+    S, T, I, C, R = 3, 6, 7, 9, 6
+    params, x, state = make(S, T, I, C, R, seed=4)
+    x_tm = x.swapaxes(0, 1)
+
+    ref_out, ref_fin = lstm_scan(params, x, state)
+    out_tm, fin_tm = lstm_scan_pallas(params, x_tm, state, interpret=True,
+                                      time_major=True)
+    np.testing.assert_allclose(out_tm.swapaxes(0, 1), ref_out,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(fin_tm.c, ref_fin.c, rtol=1e-5, atol=1e-5)
+
+    # scan path too
+    out_scan_tm, fin_scan_tm = lstm_scan(params, x_tm, state,
+                                         time_major=True)
+    np.testing.assert_allclose(out_scan_tm.swapaxes(0, 1), ref_out,
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_ref(p, xx, st):
+        out, fin = lstm_scan(p, xx, st)
+        return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
+                                     .reshape(out.shape))) + jnp.sum(fin.c)
+
+    def loss_tm(p, xx_tm, st):
+        out, fin = lstm_scan_pallas(p, xx_tm, st, interpret=True,
+                                    time_major=True)
+        out = out.swapaxes(0, 1)
+        return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
+                                     .reshape(out.shape))) + jnp.sum(fin.c)
+
+    ref_g = jax.grad(loss_ref, argnums=(0, 1, 2))(params, x, state)
+    tm_g = jax.grad(loss_tm, argnums=(0, 1, 2))(params, x_tm, state)
+    np.testing.assert_allclose(np.asarray(tm_g[1]),
+                               np.asarray(ref_g[1]).swapaxes(0, 1),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves((tm_g[0], tm_g[2])),
+                    jax.tree_util.tree_leaves((ref_g[0], ref_g[2]))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_chunk_chaining_parity():
     params, x, state = make(4, 8, 6, 12, 10, seed=3)
     out_a, st_a = lstm_scan_pallas(params, x[:, :5], state, interpret=True)

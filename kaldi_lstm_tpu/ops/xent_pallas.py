@@ -63,7 +63,10 @@ def _fwd_kernel(r_ref, w_ref, b_ref, ids_ref, tw_ref,
         ai_s[:] = jnp.zeros_like(ai_s)
 
     wk = w_ref[pl.ds(k * kt, kt), :]                     # [kt, Rp]
-    z = jax.lax.dot_general(r_ref[:], wk, (((1,), (1,)), ((), ())),
+    # bf16 weights -> bf16 MXU multiplies with f32 accumulation (the
+    # opt-in set_matmul_dtype mode); f32 weights -> f32 path
+    z = jax.lax.dot_general(r_ref[:].astype(wk.dtype), wk,
+                            (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     z = z + b_ref[0:1, pl.ds(k * kt, kt)]                # [ft, kt]
 
@@ -152,7 +155,9 @@ def _bwd_kernel(r_ref, w_ref, b_ref, ids_ref, tw_ref, lse_ref, scale_ref,
         db_ref[:] = jnp.zeros_like(db_ref)
 
     wk = w_ref[pl.ds(k * kt, kt), :]
-    z = jax.lax.dot_general(r_ref[:], wk, (((1,), (1,)), ((), ())),
+    wdt = wk.dtype
+    z = jax.lax.dot_general(r_ref[:].astype(wdt), wk,
+                            (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     z = z + b_ref[0:1, pl.ds(k * kt, kt)]
     y = jnp.exp(z - lse_ref[:, 0:1])                       # softmax tile
@@ -168,9 +173,10 @@ def _bwd_kernel(r_ref, w_ref, b_ref, ids_ref, tw_ref, lse_ref, scale_ref,
         dz = dz - jnp.where(lane == local, tw_ref[:, j:j + 1], 0.0)
     dz = dz * scale_ref[:, 0:1]
 
-    dr_s[:] += jnp.dot(dz, wk, preferred_element_type=jnp.float32)
+    dzc = dz.astype(wdt)
+    dr_s[:] += jnp.dot(dzc, wk, preferred_element_type=jnp.float32)
     dw_ref[pl.ds(k * kt, kt), :] += jax.lax.dot_general(
-        dz, r_ref[:], (((0,), (0,)), ((), ())),
+        dzc, r_ref[:].astype(wdt), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     db_ref[0:1, pl.ds(k * kt, kt)] += jnp.sum(dz, axis=0, keepdims=True)
 
@@ -242,6 +248,12 @@ def _pad_inputs(r, w, b, ids, tw, mask):
     kp = _round_up(K, kt)
     r_p = jnp.pad(r, ((0, npad - n), (0, rp - R)))
     w_p = jnp.pad(w, ((0, kp - K), (0, rp - R)))
+    from kaldi_lstm_tpu.models.components import get_matmul_dtype
+    mm_dt = get_matmul_dtype()
+    if mm_dt is not None:
+        # halves the resident W block and doubles the MXU rate of every
+        # class-tile GEMM; accumulation and dW stay f32
+        w_p = w_p.astype(mm_dt)
     # padded classes get -inf bias so they vanish from lse/argmax
     b_p = jnp.pad(b.reshape(1, K), ((0, 0), (0, kp - K)),
                   constant_values=_NEG)

@@ -444,21 +444,18 @@ class _LstmBase(Component):
     uses_rng = True
 
     def _dropout_mask(self, rng, x):
+        """Bool KEEP mask [*, *, 4C] (iid, layout-shaped); None when
+        dropout is off."""
         if self.dropout_rate <= 0.0 or rng is None:
             return None
         keep = 1.0 - self.dropout_rate
-        d0, d1, _ = x.shape  # [S,T] or [T,S]: iid mask, layout-shaped
-        return (jax.random.bernoulli(rng, keep, (d0, d1, 4 * self.cell_dim))
-                .astype(x.dtype) / keep)
+        d0, d1, _ = x.shape  # [S,T] or [T,S]
+        return jax.random.bernoulli(rng, keep,
+                                    (d0, d1, 4 * self.cell_dim))
 
     def _run_scan(self, params, x, state, dropout_mask=None,
                   time_major=False):
-        if dropout_mask is not None:
-            # dropout path uses lax.scan (the pallas kernels do not take
-            # a mask operand yet)
-            return lstm_scan(params, x, state, self.cell_clip,
-                             gate_dropout_mask=dropout_mask,
-                             time_major=time_major)
+        keep = 1.0 - self.dropout_rate
         # Measured on v5e (tools_dev/bench_ab_impl.py): the fused Pallas
         # kernels win both training (in-VMEM weight-grad accumulation in
         # the backward — 4.22 vs 4.52 ms/step full model at S=256) and
@@ -471,8 +468,13 @@ class _LstmBase(Component):
         if impl == "pallas":
             from kaldi_lstm_tpu.ops.lstm_pallas import lstm_scan_pallas
             return lstm_scan_pallas(params, x, state, self.cell_clip,
-                                    time_major=time_major)
+                                    time_major=time_major,
+                                    gate_keep_mask=dropout_mask,
+                                    keep_prob=keep)
+        gate_mult = None if dropout_mask is None else \
+            dropout_mask.astype(x.dtype) / keep
         return lstm_scan(params, x, state, self.cell_clip,
+                         gate_dropout_mask=gate_mult,
                          time_major=time_major)
 
     def init_params(self, rng) -> LstmParams:

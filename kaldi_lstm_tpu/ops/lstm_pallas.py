@@ -234,9 +234,8 @@ def _contract0(a, b):
 
 
 def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, x_ref, rprev_ref,
-                wgr_ref, wrm_ref, wxp_ref, peep_ref, gcT_ref,
-                dx_ref, dwx_ref, dwr_ref, dwrm_ref, dbias_ref, dpeep_ref,
-                dc0_ref, dr0_ref, dc_s, dr_s, *, cp: int, tb: int):
+                wgr_ref, wrm_ref, wxp_ref, peep_ref, gcT_ref, *rest,
+                cp: int, tb: int, has_mask: bool, inv_keep: float):
     """Reverse recurrence with IN-VMEM weight-gradient accumulation.
 
     The reference (and kernel v1/v2) materializes per-t gate gradients to
@@ -248,6 +247,12 @@ def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, x_ref, rprev_ref,
     into LOCAL accumulators and flushing once per block — the only per-t
     output is dx.
     """
+    if has_mask:
+        mask_ref, *rest = rest
+    else:
+        mask_ref = None
+    (dx_ref, dwx_ref, dwr_ref, dwrm_ref, dbias_ref, dpeep_ref,
+     dc0_ref, dr0_ref, dc_s, dr_s) = rest
     s = pl.program_id(0)
     t = pl.program_id(1)     # time-block 0..T/tb-1, mapped to real blocks
     #                          T/tb-1-t by idx_rev; inner k runs reversed
@@ -303,11 +308,17 @@ def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, x_ref, rprev_ref,
         dr = jnp.dot(dgifo.astype(wdt), wgr_ref[:],
                      preferred_element_type=jnp.float32)
 
-        dx_ref[k] = jnp.dot(dgifo.astype(wdt), wxp_ref[:],
+        if has_mask:
+            # dropout gates only the input-projection branch of gifo:
+            # dx/dWx see dgifo * mask/keep, the recurrent (dr_s, dWr)
+            # and bias paths the undropped dgifo
+            dxw = dgifo * (mask_ref[k].astype(jnp.float32) * inv_keep)
+        else:
+            dxw = dgifo
+        dx_ref[k] = jnp.dot(dxw.astype(wdt), wxp_ref[:],
                             preferred_element_type=jnp.float32)
-        dgifo_c = dgifo.astype(wdt)
-        acc_dwx += _contract0(dgifo_c, x_ref[k].astype(wdt))
-        acc_dwr += _contract0(dgifo_c, rprev_ref[k].astype(wdt))
+        acc_dwx += _contract0(dxw.astype(wdt), x_ref[k].astype(wdt))
+        acc_dwr += _contract0(dgifo.astype(wdt), rprev_ref[k].astype(wdt))
         acc_dwrm += _contract0(dr_total.astype(wdt), (h * o).astype(wdt))
         acc_dbias += jnp.sum(dgifo, axis=0, keepdims=True)
         acc_dpi += jnp.sum(di * c_prev, axis=0, keepdims=True)
@@ -331,7 +342,8 @@ def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, x_ref, rprev_ref,
 
 
 def _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm, wxp,
-              peep, gcT, *, st: int, tb: int, interpret: bool):
+              peep, gcT, keep_mask=None, *, st: int, tb: int,
+              inv_keep: float = 1.0, interpret: bool):
     T, sp, c4p = gifo.shape
     cp = c4p // 4
     rp = g_r.shape[2]
@@ -347,23 +359,32 @@ def _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm, wxp,
     def idx_s(s, t):
         return (s, 0)
 
+    in_specs = [
+        pl.BlockSpec((tb, st, 4 * cp), idx_rev,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, st, cp), idx_rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, st, cp), idx_rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, st, rp), idx_rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, st, ip), idx_rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, st, rp), idx_rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((4 * cp, rp), idx_const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((rp, cp), idx_const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((4 * cp, ip), idx_const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, cp), idx_const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((st, cp), idx_s, memory_space=pltpu.VMEM),
+    ]
+    operands = [gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm,
+                wxp, peep, gcT]
+    if keep_mask is not None:
+        in_specs.append(pl.BlockSpec((tb, st, 4 * cp), idx_rev,
+                                     memory_space=pltpu.VMEM))
+        operands.append(keep_mask)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, cp=cp, tb=tb),
+        functools.partial(_bwd_kernel, cp=cp, tb=tb,
+                          has_mask=keep_mask is not None,
+                          inv_keep=inv_keep),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tb, st, 4 * cp), idx_rev,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, st, cp), idx_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, st, cp), idx_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, st, rp), idx_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, st, ip), idx_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, st, rp), idx_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * cp, rp), idx_const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp, cp), idx_const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * cp, ip), idx_const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, cp), idx_const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((st, cp), idx_s, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tb, st, ip), idx_rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * cp, ip), idx_const, memory_space=pltpu.VMEM),
@@ -391,8 +412,7 @@ def _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm, wxp,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm, wxp, peep,
-      gcT)
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
@@ -432,6 +452,41 @@ def _plan_time_block(T: int, max_tb: int) -> int:
     return 1
 
 
+def _fwd_vmem_bytes(tb, st, cp, rp, gifo_bytes=4) -> int:
+    """Analytic VMEM footprint of one fwd grid step (double-buffered
+    streams + resident weights + outputs + scratch)."""
+    stream_in = tb * st * 4 * cp * 4 * 2
+    weights = (rp * 4 * cp + cp * rp + 3 * cp) * 4
+    state_in = st * (cp + rp) * 4 * 2
+    outs = tb * st * (4 * cp * gifo_bytes + cp * 4 + rp * 4) * 2
+    scratch = st * (cp + rp) * 4
+    return stream_in + weights + state_in + outs + scratch
+
+
+def _bwd_vmem_bytes(tb, st, cp, rp, ip, gifo_bytes=4) -> int:
+    """Analytic VMEM footprint of one bwd grid step: double-buffered
+    per-t streams, resident weights, resident accumulator output blocks
+    PLUS the same-sized local accumulators, dx out, state blocks."""
+    stream_in = tb * st * (4 * cp * gifo_bytes
+                           + (2 * cp + 2 * rp + ip) * 4) * 2
+    weights = (4 * cp * rp + rp * cp + 4 * cp * ip + 3 * cp) * 4
+    accum = (4 * cp * ip + 4 * cp * rp + rp * cp
+             + 8 * 4 * cp + 8 * cp) * 4 * 2  # output blocks + locals
+    dx_out = tb * st * ip * 4 * 2
+    state = st * (cp + rp) * 4 * 4  # gcT in, dc0/dr0 out, scratch
+    return stream_in + weights + accum + dx_out + state
+
+
+def _fit_time_block(T: int, tb: int, bytes_fn) -> int:
+    """Largest divisor of T <= tb whose estimated footprint fits the
+    VMEM limit. The 1.35 slack is calibrated against a measured Mosaic
+    stack allocation (108 MiB actual vs 86 MiB estimated at the deep
+    config's I=512 backward)."""
+    while tb > 1 and bytes_fn(tb) * 1.35 > _VMEM_LIMIT:
+        tb = _plan_time_block(T, tb - 1)
+    return tb
+
+
 def _plan_dims(S, T, I, C, R, max_stream_tile=None,
                max_time_block=None) -> _Dims:
     if max_stream_tile is None:
@@ -444,6 +499,8 @@ def _plan_dims(S, T, I, C, R, max_stream_tile=None,
     st = sp if sp <= max_stream_tile else max_stream_tile
     sp = _round_up(sp, st)
     tb = _plan_time_block(T, max_time_block)
+    tb = _fit_time_block(T, tb,
+                         lambda t: _fwd_vmem_bytes(t, st, cp, rp))
     return _Dims(S, T, I, C, R, sp, st, cp, rp, tb)
 
 
@@ -464,9 +521,10 @@ def _pad2(w, rows, cols):
 # custom-VJP public op
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _lstm_pallas(params: LstmParams, x, state: LstmState,
-                 cell_clip: float, interpret: bool, time_major: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _lstm_pallas(params: LstmParams, x, state: LstmState, keep_mask,
+                 cell_clip: float, interpret: bool, time_major: bool,
+                 inv_keep: float):
     # primal = inference path (custom_vjp only calls _lstm_pallas_fwd
     # under differentiation): skip all residual outputs
     if time_major:
@@ -474,7 +532,8 @@ def _lstm_pallas(params: LstmParams, x, state: LstmState,
     else:
         S, T, I = x.shape
     d = _plan_dims(S, T, I, params.cell_dim, params.recur_dim)
-    xw, wr, wcr, peep, c0, r0 = _prepare(params, x, state, d, time_major)
+    xw, wr, wcr, peep, c0, r0 = _prepare(params, x, state, d, time_major,
+                                         keep_mask, inv_keep)
     r_seq, c_last = _infer_call(xw, wr, wcr, peep, c0, r0, st=d.st,
                                 tb=d.tb, cell_clip=cell_clip,
                                 interpret=interpret)
@@ -486,8 +545,18 @@ def _lstm_pallas(params: LstmParams, x, state: LstmState,
     return out, final
 
 
+def _pad_mask_tm(keep_mask, d: _Dims, time_major: bool):
+    """bool [S,T,4C]/[T,S,4C] keep-mask -> [T, sp, 4cp] int8 (per-gate
+    padding along the 4C axis, like _pad_gate_mat)."""
+    m = keep_mask if time_major else keep_mask.swapaxes(0, 1)
+    m = m.reshape(d.T, d.S, 4, d.C).astype(jnp.int8)
+    m = jnp.pad(m, ((0, 0), (0, d.sp - d.S), (0, 0), (0, d.cp - d.C)))
+    return m.reshape(d.T, d.sp, 4 * d.cp)
+
+
 def _prepare(params: LstmParams, x, state: LstmState, d: _Dims,
-             time_major: bool = False):
+             time_major: bool = False, keep_mask=None,
+             inv_keep: float = 1.0):
     """Pad operands to tile shapes; returns kernel-ready arrays."""
     # xw: hoisted input projection, one big MXU GEMM (reference :246-259).
     # Padding the (small) weight/bias first makes the GEMM emit the padded
@@ -506,9 +575,18 @@ def _prepare(params: LstmParams, x, state: LstmState, d: _Dims,
         xr, wxp_c = xr.astype(mm_dt), wxp.astype(mm_dt)
     else:
         wxp_c = wxp
-    xw = jnp.dot(xr, wxp_c.T,
-                 preferred_element_type=jnp.float32) + biasp
+    xw = jnp.dot(xr, wxp_c.T, preferred_element_type=jnp.float32)
     xw = xw.reshape(d.T, d.S, 4 * d.cp)                     # [T, S, 4cp]
+    if keep_mask is not None:
+        # inverted gate dropout on the input projection, before the bias
+        # (lstm_cell.lstm_scan order; reference stubs this at
+        # …streams.h:247-256)
+        m = keep_mask if time_major else keep_mask.swapaxes(0, 1)
+        m = m.reshape(d.T, d.S, 4, d.C)
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, d.cp - d.C)))
+        xw = xw * (m.reshape(d.T, d.S, 4 * d.cp)
+                   .astype(jnp.float32) * inv_keep)
+    xw = xw + biasp
     xw = jnp.pad(xw, ((0, 0), (0, d.sp - d.S), (0, 0)))
 
     wr = _pad_gate_mat(params.w_gifo_r, d.cp)               # [4cp, R]
@@ -526,8 +604,8 @@ def _prepare(params: LstmParams, x, state: LstmState, d: _Dims,
 
 
 def _lstm_pallas_fwd(params: LstmParams, x, state: LstmState,
-                     cell_clip: float, interpret: bool,
-                     time_major: bool):
+                     keep_mask, cell_clip: float, interpret: bool,
+                     time_major: bool, inv_keep: float):
     if time_major:
         T, S, I = x.shape
     else:
@@ -536,7 +614,8 @@ def _lstm_pallas_fwd(params: LstmParams, x, state: LstmState,
     R = params.recur_dim
     d = _plan_dims(S, T, I, C, R)
 
-    xw, wr, wcr, peep, c0, r0 = _prepare(params, x, state, d, time_major)
+    xw, wr, wcr, peep, c0, r0 = _prepare(params, x, state, d,
+                                         time_major, keep_mask, inv_keep)
     gifo, c_seq, r_seq = _fwd_call(xw, wr, wcr, peep, c0, r0, st=d.st,
                                    tb=d.tb, cell_clip=cell_clip,
                                    interpret=interpret)
@@ -545,13 +624,13 @@ def _lstm_pallas_fwd(params: LstmParams, x, state: LstmState,
     if not time_major:
         out = out.swapaxes(0, 1)                            # [S, T, R]
     final = LstmState(c=c_seq[T - 1, :S, :C], r=r_seq[T - 1, :S, :R])
-    residuals = (params, x, gifo, c_seq, r_seq, c0, r0)
+    residuals = (params, x, gifo, c_seq, r_seq, c0, r0, keep_mask)
     return (out, final), residuals
 
 
-def _lstm_pallas_bwd(cell_clip, interpret, time_major, residuals,
-                     cotangents):
-    params, x, gifo, c_seq, r_seq, c0, r0 = residuals
+def _lstm_pallas_bwd(cell_clip, interpret, time_major, inv_keep,
+                     residuals, cotangents):
+    params, x, gifo, c_seq, r_seq, c0, r0, keep_mask = residuals
     g_out, g_final = cotangents
     if time_major:
         T, S, I = x.shape
@@ -593,10 +672,16 @@ def _lstm_pallas_bwd(cell_clip, interpret, time_major, residuals,
         wxp = wxp.astype(mm_dt)
 
     st_bwd = min(d.st, 128)
+    gifo_bytes = jnp.dtype(gifo.dtype).itemsize
+    tb_bwd = _fit_time_block(
+        T, d.tb, lambda t: _bwd_vmem_bytes(t, st_bwd, d.cp, d.rp, ip,
+                                           gifo_bytes))
+    mask_p = None if keep_mask is None \
+        else _pad_mask_tm(keep_mask, d, time_major)
     (dx_p, dwx_p, dwr_p, dwrm_p, dbias_p, dpeep_p, dc0_p, dr0_p) = \
         _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev_seq,
-                  wgr, wrm, wxp, peep, gcT, st=st_bwd, tb=d.tb,
-                  interpret=interpret)
+                  wgr, wrm, wxp, peep, gcT, mask_p, st=st_bwd, tb=tb_bwd,
+                  inv_keep=inv_keep, interpret=interpret)
 
     def unpad_gates_rows(w_p):  # [4cp, X] -> [4C, X]
         return w_p.reshape(4, d.cp, -1)[:, :C].reshape(4 * C, -1)
@@ -614,7 +699,7 @@ def _lstm_pallas_bwd(cell_clip, interpret, time_major, residuals,
     if not time_major:
         dx = dx.swapaxes(0, 1)
     dstate = LstmState(c=dc0_p[:S, :C], r=dr0_p[:S, :R])
-    return dparams, dx, dstate
+    return dparams, dx, dstate, None  # bool mask: zero cotangent
 
 
 _lstm_pallas.defvjp(_lstm_pallas_fwd, _lstm_pallas_bwd)
@@ -623,14 +708,23 @@ _lstm_pallas.defvjp(_lstm_pallas_fwd, _lstm_pallas_bwd)
 def lstm_scan_pallas(params: LstmParams, x, state: LstmState,
                      cell_clip: float = 50.0,
                      interpret: bool | None = None,
-                     time_major: bool = False
+                     time_major: bool = False,
+                     gate_keep_mask=None, keep_prob: float = 1.0
                      ) -> tuple[jax.Array, LstmState]:
     """Drop-in replacement for `lstm_cell.lstm_scan` backed by the fused
     Pallas kernels. `interpret=None` auto-selects interpreter mode off-TPU
     (for CPU tests). With ``time_major=True`` input/output are [T, S, .]
     (the kernels' native layout) and no big-tensor transposes happen at
-    all."""
+    all.
+
+    ``gate_keep_mask`` (bool, same leading layout as x, last dim 4C)
+    enables inverted gate dropout on the input projection: kept
+    pre-activations scale by 1/keep_prob. The mask streams into the
+    backward kernel as int8 to gate the dx/dWx path only (the recurrent
+    and bias paths see the undropped gradient, matching lstm_scan's
+    autodiff)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _lstm_pallas(params, x, state, cell_clip, interpret,
-                        time_major)
+    inv_keep = 1.0 if keep_prob >= 1.0 else 1.0 / keep_prob
+    return _lstm_pallas(params, x, state, gate_keep_mask, cell_clip,
+                        interpret, time_major, inv_keep)

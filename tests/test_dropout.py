@@ -57,10 +57,62 @@ def test_inverted_dropout_preserves_expectation():
     nnet, params = build()
     lstm = nnet.components[0]
     x = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 6))
+    keep = 1.0 - lstm.dropout_rate
     masks = [lstm._dropout_mask(jax.random.PRNGKey(i), x)
              for i in range(300)]
-    mean_mask = np.mean([np.asarray(m) for m in masks], axis=0)
+    # bool keep-masks; the 1/keep retention scaling happens in the scan
+    mean_mask = np.mean([np.asarray(m, np.float32) / keep
+                         for m in masks], axis=0)
     np.testing.assert_allclose(mean_mask, 1.0, atol=0.15)
+
+
+def test_pallas_dropout_matches_scan():
+    """The Pallas kernels with a bool keep-mask must match lax.scan with
+    the equivalent float multiplier: forward and the full VJP."""
+    import jax.numpy as jnp
+    from kaldi_lstm_tpu.ops import init_lstm_params, lstm_scan, zero_state
+    from kaldi_lstm_tpu.ops.lstm_pallas import lstm_scan_pallas
+
+    S, T, I, C, R = 3, 6, 5, 9, 7
+    keep = 0.7
+    params = init_lstm_params(jax.random.PRNGKey(0), I, C, R, 0.3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (S, T, I))
+    st = zero_state(S, C, R)
+    mask = jax.random.bernoulli(jax.random.PRNGKey(2), keep, (S, T, 4 * C))
+
+    def loss_scan(p):
+        out, fin = lstm_scan(p, x, st,
+                             gate_dropout_mask=mask.astype(x.dtype) / keep)
+        return jnp.sum(out * jnp.cos(0.1 * jnp.arange(out.size)
+                                     .reshape(out.shape))) + jnp.sum(fin.c)
+
+    def loss_pal(p):
+        out, fin = lstm_scan_pallas(p, x, st, interpret=True,
+                                    gate_keep_mask=mask, keep_prob=keep)
+        return jnp.sum(out * jnp.cos(0.1 * jnp.arange(out.size)
+                                     .reshape(out.shape))) + jnp.sum(fin.c)
+
+    np.testing.assert_allclose(float(loss_pal(params)),
+                               float(loss_scan(params)), rtol=1e-5)
+    g_ref = jax.grad(loss_scan)(params)
+    g_pal = jax.grad(loss_pal)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+    # time-major variant
+    def loss_pal_tm(p):
+        out, fin = lstm_scan_pallas(p, x.swapaxes(0, 1), st,
+                                    interpret=True, time_major=True,
+                                    gate_keep_mask=mask.swapaxes(0, 1),
+                                    keep_prob=keep)
+        out = out.swapaxes(0, 1)
+        return jnp.sum(out * jnp.cos(0.1 * jnp.arange(out.size)
+                                     .reshape(out.shape))) + jnp.sum(fin.c)
+
+    np.testing.assert_allclose(float(loss_pal_tm(params)),
+                               float(loss_scan(params)), rtol=1e-5)
 
 
 def test_training_with_dropout_learns():

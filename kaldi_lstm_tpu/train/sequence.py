@@ -1,0 +1,122 @@
+"""Sequence-discriminative (MMI) training, lattice-free over the
+phone-loop graph.
+
+The reference's standard variant advertises compatibility with nnet1's
+sequence-training tools (standard/README.md:2-6); those depend on
+decode-time lattices from upstream Kaldi. The TPU-native re-design
+replaces lattices with an exact dense forward pass over the phone-loop
+denominator graph (decode/viterbi.py builds it from the transition
+model) — the same graph the native decoder searches — computed as a
+`lax.scan` of batched log-matrix-vector products. That makes the MMI
+objective
+
+    F = log p(X | num path) - log p(X | den graph)
+
+fully differentiable by jax.grad: the gradient w.r.t. the pre-softmax
+activations is the classic (numerator − denominator) posterior
+difference, with the denominator occupancies produced by autodiff of
+the logsumexp recursion (no hand-written backward, mirroring how the
+frame-xent trainer gets BPTT for free).
+
+Numerator: the aligned state path's acoustic score plus its transition
+log-probs (a fixed alignment, as in Kaldi's MMI recipes where the
+numerator lattice is the forced alignment). Acoustic scale applies to
+both terms. Padded frames are masked: their emissions contribute 0 and
+the recursion carries alpha through unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_lstm_tpu.decode.viterbi import NEG, PhoneLoopGraph
+
+
+class DenGraph(NamedTuple):
+    """Device-resident denominator graph (from PhoneLoopGraph)."""
+    logA: jax.Array        # [Ns, Ns]
+    start_logp: jax.Array  # [Ns]
+    final_logp: jax.Array  # [Ns]
+    state_pdf: jax.Array   # [Ns] int32
+
+    @classmethod
+    def from_phone_loop(cls, g: PhoneLoopGraph) -> "DenGraph":
+        return cls(jnp.asarray(g.logA, jnp.float32),
+                   jnp.asarray(g.start_logp, jnp.float32),
+                   jnp.asarray(g.final_logp, jnp.float32),
+                   jnp.asarray(g.state_pdf, jnp.int32))
+
+
+def den_logprob(graph: DenGraph, loglik: jax.Array, mask: jax.Array,
+                acoustic_scale: float = 1.0) -> jax.Array:
+    """log p(X | den graph) for a batch.
+
+    loglik: [B, T, K] acoustic log-likelihoods; mask: [B, T] (1 = real
+    frame). Returns [B]. Exact logsumexp forward over the dense graph.
+    """
+    em = acoustic_scale * loglik[:, :, graph.state_pdf]      # [B, T, Ns]
+    em = jnp.where(mask[:, :, None] > 0, em, 0.0)
+
+    alpha0 = graph.start_logp[None, :] + em[:, 0]            # [B, Ns]
+
+    def step(alpha, inputs):
+        em_t, m_t = inputs                                   # [B,Ns],[B]
+        # logsumexp over source states of alpha + logA
+        nxt = jax.nn.logsumexp(alpha[:, :, None] + graph.logA[None],
+                               axis=1) + em_t
+        alpha = jnp.where(m_t[:, None] > 0, nxt, alpha)
+        return alpha, None
+
+    em_rest = jnp.swapaxes(em[:, 1:], 0, 1)                  # [T-1, B, Ns]
+    mask_rest = jnp.swapaxes(mask[:, 1:], 0, 1)
+    alpha, _ = jax.lax.scan(step, alpha0, (em_rest, mask_rest))
+    return jax.nn.logsumexp(alpha + graph.final_logp[None], axis=-1)
+
+
+def num_logprob(graph: DenGraph, loglik: jax.Array, states: jax.Array,
+                mask: jax.Array, acoustic_scale: float = 1.0,
+                with_transitions: bool = True) -> jax.Array:
+    """log p(X, num path): acoustic score of the aligned graph-state path
+    plus (optionally) its transition/start/final log-probs.
+
+    states: [B, T] int32 graph-state alignment (from the tuple index of
+    the transition model; see alignment_to_states).
+    """
+    B, T = states.shape
+    pdfs = graph.state_pdf[states]                           # [B, T]
+    ac = acoustic_scale * jnp.take_along_axis(
+        loglik, pdfs[..., None], axis=-1)[..., 0]            # [B, T]
+    total = jnp.sum(ac * mask, axis=-1)
+    if with_transitions:
+        lm = graph.start_logp[states[:, 0]]
+        trans = graph.logA[states[:, :-1], states[:, 1:]]    # [B, T-1]
+        # transitions only between consecutive REAL frames
+        lm = lm + jnp.sum(trans * mask[:, 1:], axis=-1)
+        # final prob at the last real frame's state
+        last = jnp.sum(mask, axis=-1).astype(jnp.int32) - 1
+        lm = lm + graph.final_logp[
+            jnp.take_along_axis(states, last[:, None], 1)[:, 0]]
+        total = total + lm
+    return total
+
+
+def mmi_objective(graph: DenGraph, loglik: jax.Array, states: jax.Array,
+                  mask: jax.Array, acoustic_scale: float = 1.0
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Summed negative MMI objective and per-batch den-minus-num (the
+    reported 'mmi per frame' statistic). Minimize the first."""
+    num = num_logprob(graph, loglik, states, mask, acoustic_scale)
+    den = den_logprob(graph, loglik, mask, acoustic_scale)
+    obj = jnp.sum(den - num)              # >= 0 up to path-prior slack
+    return obj, jax.lax.stop_gradient(den - num)
+
+
+def alignment_to_states(tm, tids: np.ndarray) -> np.ndarray:
+    """Transition-id alignment -> graph-state (tuple-index) path; the
+    numerator path for MMI. Uses TransitionModel.id2tstate (1-based)."""
+    tstates = np.asarray(tm.id2tstate)[np.asarray(tids, np.int64)]
+    return (tstates - 1).astype(np.int32)

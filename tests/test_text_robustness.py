@@ -58,3 +58,83 @@ def test_end_of_component_markers_tolerated():
             "<Softmax> 2 2\n<!EndOfComponent>\n</Nnet>\n")
     nnet, params = parse(text)
     assert len(nnet) == 2
+
+
+def test_fuzz_text_roundtrip_randomized():
+    """Seeded fuzz: random nets written in text mode, reparsed after
+    random-but-legal whitespace mutations (tabs, CRLF, blank lines,
+    extra spacing) — values must survive exactly; the transition-model
+    text parser gets the same treatment."""
+    import random
+
+    import jax
+
+    from kaldi_lstm_tpu.io.kaldi_io import KaldiInput, KaldiOutput
+    from kaldi_lstm_tpu.io.transition_model import (
+        TransitionModel,
+        make_monophone_transition_model,
+    )
+
+    rng = random.Random(1234)
+
+    def mutate(text: str) -> str:
+        out = []
+        for line in text.split("\n"):
+            if rng.random() < 0.2:
+                out.append("")  # blank line
+            if rng.random() < 0.3:
+                line = line.replace(" ", "  ")
+            if rng.random() < 0.2:
+                line = "\t" + line + " "
+            out.append(line)
+        sep = "\r\n" if rng.random() < 0.3 else "\n"
+        return sep.join(out)
+
+    protos = [
+        "<NnetProto>\n<LstmProjectedStreams> <InputDim> 5 <OutputDim> 4 "
+        "<CellDim> 6 <ParamScale> 0.1 <NumStream> 2\n"
+        "<AffineTransform> <InputDim> 4 <OutputDim> 7\n"
+        "<Softmax> <InputDim> 7 <OutputDim> 7\n</NnetProto>",
+        "<NnetProto>\n<TimeShift> <InputDim> 5 <OutputDim> 5 <Shift> 3\n"
+        "<Splice> <InputDim> 5 <OutputDim> 15 <BuildVector> -1 0 1 "
+        "</BuildVector>\n"
+        "<AffineTransform> <InputDim> 15 <OutputDim> 4\n"
+        "<Sigmoid> <InputDim> 4 <OutputDim> 4\n</NnetProto>",
+    ]
+    for trial, proto in enumerate(protos * 3):
+        nnet, params = Nnet.init_from_proto(proto,
+                                            jax.random.PRNGKey(trial))
+        buf = io.BytesIO()
+        nnet.write_stream(buf, params, binary=False)
+        text = mutate(buf.getvalue().decode())
+        nnet2, params2 = parse(text)
+        assert [c.token for c in nnet2.components] == \
+            [c.token for c in nnet.components]
+        import jax.tree_util as jtu
+        for a, b in zip(jtu.tree_leaves(params), jtu.tree_leaves(params2)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-7)
+
+    for trial in range(4):
+        tm = make_monophone_transition_model(3 + trial % 2, 2)
+        buf = io.BytesIO()
+        tm.write(KaldiOutput(buf, binary=False))
+        text = mutate(buf.getvalue().decode())
+        tm2 = TransitionModel.read(
+            KaldiInput(io.BufferedReader(io.BytesIO(text.encode()))))
+        assert tm2.tuples == tm.tuples
+        np.testing.assert_array_equal(tm2.id2pdf, tm.id2pdf)
+
+
+def test_truncated_and_garbage_models_raise():
+    """Corrupt inputs must raise a clean error, not crash or hang."""
+    import pytest
+
+    cases = [
+        "<Nnet>\n<AddShift> 3 3\n [ 1 2 ",          # unterminated vector
+        "<Nnet>\n<NoSuchComponent> 3 3\n</Nnet>",   # unknown marker
+        "<Nnet>\n<TimeShift> 3 3 <Shift>",          # missing value
+    ]
+    for text in cases:
+        with pytest.raises(Exception):
+            parse(text)

@@ -386,6 +386,11 @@ class AffineTransform(Component):
         kio.write_vector(out, np.asarray(params["bias"]))
 
     def init_from_config(self, tokens, rng):
+        # upstream nnet1 AffineTransform::InitData also accepts these
+        self.learn_rate_coef = float(tokens.get("<LearnRateCoef>", 1.0))
+        self.bias_learn_rate_coef = float(
+            tokens.get("<BiasLearnRateCoef>", 1.0))
+        self.max_norm = float(tokens.get("<MaxNorm>", 0.0))
         return self.init_params(
             rng,
             param_stddev=float(tokens.get("<ParamStddev>", 0.1)),

@@ -142,6 +142,29 @@ def build_lr_scale(nnet: Nnet, params):
     return tuple(out)
 
 
+def apply_max_norm(nnet: Nnet, params):
+    """Per-neuron max-norm projection after the weight update: rows of an
+    AffineTransform's linearity whose L2 norm exceeds <MaxNorm> are shrunk
+    back onto the sphere (upstream nnet1 AffineTransform::Update; the
+    reference carries the same idea commented out for the LSTM weights at
+    bd-nnet-lstm-projected-streams.h:534-574). No-op for max_norm == 0."""
+    from kaldi_lstm_tpu.models.components import AffineTransform
+    new = list(params)
+    for i, c in enumerate(nnet.components):
+        mn = float(getattr(c, "max_norm", 0.0) or 0.0)
+        if isinstance(c, AffineTransform) and mn > 0.0:
+            w = new[i]["linearity"]
+            l2 = jnp.sqrt(jnp.sum(w * w, axis=1, keepdims=True))
+            new[i] = {**new[i],
+                      "linearity": w / jnp.maximum(l2 / mn, 1.0)}
+    return tuple(new)
+
+
+def nnet_has_max_norm(nnet: Nnet) -> bool:
+    return any(float(getattr(c, "max_norm", 0.0) or 0.0) > 0.0
+               for c in nnet.components)
+
+
 def make_train_step(nnet: Nnet, opts: TrainOptions,
                     transf: Optional[Nnet] = None,
                     crossvalidate: bool = False):
@@ -186,6 +209,8 @@ def make_train_step(nnet: Nnet, opts: TrainOptions,
         params, opt_state = momentum_update(
             params, grads, opt_state, learn_rate, opts.momentum,
             opts.grad_clip, lr_scale=build_lr_scale(nnet, params))
+        if nnet_has_max_norm(nnet):
+            params = apply_max_norm(nnet, params)
         return params, opt_state, new_states, aux
 
     return step

@@ -1,0 +1,131 @@
+"""ARPA n-gram language model reader/writer (unigram + bigram with
+backoff), natural-log API over the format's log10 fields.
+
+Supplies the G side of the decoding graph (the reference uses upstream
+Kaldi's G.fst compiled from an ARPA file; README.md:30 defers to that
+decode stack). Higher orders are read but truncated to bigram with a
+warning — the self-contained decoder graph is bigram.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+LN10 = math.log(10.0)
+NEG = -1e30  # "no probability" sentinel in natural log
+
+
+@dataclass
+class ArpaBigram:
+    # word -> (ln P(word), ln backoff weight)
+    unigram: dict = field(default_factory=dict)
+    # (w1, w2) -> ln P(w2 | w1)
+    bigram: dict = field(default_factory=dict)
+
+    @property
+    def vocab(self) -> list:
+        return sorted(self.unigram)
+
+    def logp_unigram(self, w: str) -> float:
+        return self.unigram.get(w, (NEG, 0.0))[0]
+
+    def backoff(self, w: str) -> float:
+        return self.unigram.get(w, (NEG, 0.0))[1]
+
+    def logp(self, hist: str, w: str) -> float:
+        """ln P(w | hist) with standard backoff:
+        bigram if present, else backoff(hist) + unigram(w)."""
+        p = self.bigram.get((hist, w))
+        if p is not None:
+            return p
+        return self.backoff(hist) + self.logp_unigram(w)
+
+    def score_sentence(self, words: list[str],
+                       bos: str = "<s>", eos: str = "</s>") -> float:
+        """ln P(words </s> | <s>) — the quantity G contributes to a
+        decoding path."""
+        total, hist = 0.0, bos
+        for w in list(words) + [eos]:
+            total += self.logp(hist, w)
+            hist = w
+        return total
+
+    # -- serialization -----------------------------------------------------
+    def save(self, filename: str) -> None:
+        with open(filename, "w") as f:
+            f.write("\\data\\\n")
+            f.write(f"ngram 1={len(self.unigram)}\n")
+            f.write(f"ngram 2={len(self.bigram)}\n")
+            f.write("\n\\1-grams:\n")
+            for w in sorted(self.unigram):
+                lp, bo = self.unigram[w]
+                if bo != 0.0:
+                    f.write(f"{lp / LN10:.6f}\t{w}\t{bo / LN10:.6f}\n")
+                else:
+                    f.write(f"{lp / LN10:.6f}\t{w}\n")
+            f.write("\n\\2-grams:\n")
+            for (w1, w2) in sorted(self.bigram):
+                f.write(f"{self.bigram[(w1, w2)] / LN10:.6f}\t{w1} {w2}\n")
+            f.write("\n\\end\\\n")
+
+    @classmethod
+    def load(cls, filename: str, log_fn=None) -> "ArpaBigram":
+        lm = cls()
+        section = None
+        truncated = 0
+        with open(filename, errors="replace") as f:
+            for ln, raw in enumerate(f, 1):
+                line = raw.strip()
+                if not line:
+                    continue
+                low = line.lower()
+                if low == "\\data\\":
+                    section = "data"
+                    continue
+                if low.endswith("-grams:") and low.startswith("\\"):
+                    section = int(line[1:line.index("-")])
+                    continue
+                if low == "\\end\\":
+                    section = "end"
+                    continue
+                if section == "data" or section == "end":
+                    continue
+                if section is None:
+                    continue  # header junk before \data\
+                parts = line.split()
+                if section == 1:
+                    if len(parts) not in (2, 3):
+                        raise ValueError(
+                            f"{filename}:{ln}: bad 1-gram line {line!r}")
+                    lp = float(parts[0]) * LN10
+                    bo = float(parts[2]) * LN10 if len(parts) == 3 else 0.0
+                    lm.unigram[parts[1]] = (lp, bo)
+                elif section == 2:
+                    # bigram backoff weights (4th field) belong to
+                    # trigrams; drop them with the truncation warning
+                    if len(parts) not in (3, 4):
+                        raise ValueError(
+                            f"{filename}:{ln}: bad 2-gram line {line!r}")
+                    lm.bigram[(parts[1], parts[2])] = float(parts[0]) * LN10
+                    if len(parts) == 4:
+                        truncated += 1
+                else:
+                    truncated += 1
+        if truncated and log_fn is not None:
+            log_fn(f"ArpaBigram: dropped {truncated} n-gram entries above "
+                   f"order 2 (decoder graph is bigram)")
+        if not lm.unigram:
+            raise ValueError(f"{filename}: no unigrams found — not an "
+                             "ARPA file?")
+        return lm
+
+
+def uniform_unigram(words: list[str], eos: str = "</s>") -> ArpaBigram:
+    """Uniform unigram LM over `words` + sentence end — the no-LM decoding
+    grammar (every word equally likely, any length)."""
+    lp = -math.log(len(words) + 1)
+    lm = ArpaBigram()
+    for w in list(words) + [eos]:
+        lm.unigram[w] = (lp, 0.0)
+    return lm

@@ -1,0 +1,92 @@
+"""Word-level Viterbi beam decoding of scaled log-likelihood matrices
+(from klt-nnet-forward) — the self-contained replacement for the
+upstream `decode-faster-mapped` stage of the reference's decode recipe
+(README.md:17-30):
+
+    python -m kaldi_lstm_tpu.tools.decode_faster final.mdl lexicon.txt \\
+        lm.arpa ark:loglik.ark ark,t:hyp.txt --word-symbol-table=words.txt \\
+        --acoustic-scale=0.1 --beam=16
+
+With --word-symbol-table the output transcripts are word strings,
+otherwise word ids. `lm.arpa` may be "none" for a uniform-unigram
+grammar over the lexicon.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from kaldi_lstm_tpu.decode.faster import decode_faster
+from kaldi_lstm_tpu.decode.graph import build_decoding_graph
+from kaldi_lstm_tpu.io.arpa import ArpaBigram, uniform_unigram
+from kaldi_lstm_tpu.io.kaldi_io import SequentialMatrixReader, TableWriter
+from kaldi_lstm_tpu.io.lang import SymbolTable, read_lexicon
+from kaldi_lstm_tpu.io.transition_model import TransitionModel
+from kaldi_lstm_tpu.utils import LOG
+
+
+def _write_text_line(out, words) -> None:
+    out.stream.write((" ".join(str(w) for w in words) + "\n").encode())
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="Word-level Viterbi beam decoding over an "
+                    "HCLG graph built from model + lexicon + ARPA LM")
+    p.add_argument("model")
+    p.add_argument("lexicon")
+    p.add_argument("arpa", help='ARPA LM file, or "none" for a uniform '
+                                "unigram grammar")
+    p.add_argument("loglik_rspecifier")
+    p.add_argument("trans_wspecifier")
+    p.add_argument("--word-symbol-table", default="",
+                   help="words.txt; output becomes word strings")
+    p.add_argument("--acoustic-scale", type=float, default=0.1)
+    p.add_argument("--beam", type=float, default=16.0)
+    p.add_argument("--max-active", type=int, default=0)
+    p.add_argument("--sil-phone", type=int, default=0)
+    p.add_argument("--sil-prob", type=float, default=0.0)
+    args = p.parse_args(argv)
+
+    tm = TransitionModel.load(args.model)
+    lexicon = read_lexicon(args.lexicon)
+    if args.arpa == "none":
+        lm = uniform_unigram(sorted(lexicon))
+    else:
+        lm = ArpaBigram.load(args.arpa, log_fn=LOG)
+    words = (SymbolTable.load(args.word_symbol_table)
+             if args.word_symbol_table else None)
+    graph = build_decoding_graph(tm, lexicon, lm, words=words,
+                                 sil_phone=args.sil_phone,
+                                 sil_prob=args.sil_prob)
+    LOG(f"decoding graph: {graph.num_states} states, "
+        f"{graph.num_arcs()} arcs")
+
+    n, total_frames, total_logp, no_final = 0, 0, 0.0, 0
+    id2sym = graph.words.id2sym
+    with TableWriter(args.trans_wspecifier, _write_text_line,
+                     binary=False) as w:
+        for key, mat in SequentialMatrixReader(args.loglik_rspecifier):
+            if mat.shape[1] < tm.num_pdfs:
+                print(f"decode_faster: {key}: loglik dim {mat.shape[1]} "
+                      f"< model pdfs {tm.num_pdfs}", file=sys.stderr)
+                return 1
+            res = decode_faster(graph, mat, args.acoustic_scale,
+                                args.beam, args.max_active)
+            if args.word_symbol_table:
+                w.write(key, [id2sym[i] for i in res.words])
+            else:
+                w.write(key, res.words)
+            n += 1
+            total_frames += mat.shape[0]
+            total_logp += res.score
+            no_final += 0 if res.reached_final else 1
+    LOG(f"Decoded {n} utterances, avg log-prob per frame "
+        f"{total_logp / max(total_frames, 1):.4f}"
+        + (f"; {no_final} did not reach a final state" if no_final else ""))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

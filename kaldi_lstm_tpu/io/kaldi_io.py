@@ -447,8 +447,14 @@ class SequentialMatrixReader:
                 line = line.strip()
                 if not line:
                     continue
-                key, path = line.split(None, 1)
-                yield key, read_matrix_from_rxfilename(path)
+                key, rxf = line.split(None, 1)
+                path, offset = _split_offset(rxf)
+                if offset is not None:
+                    mat = read_matrix_view(path, offset)
+                    if mat is not None:
+                        yield key, mat
+                        continue
+                yield key, read_matrix_from_rxfilename(rxf)
 
 
 def read_matrix_from_rxfilename(rxfilename: str) -> np.ndarray:
@@ -459,6 +465,57 @@ def read_matrix_from_rxfilename(rxfilename: str) -> np.ndarray:
         inp = KaldiInput(io.BufferedReader(io.FileIO(f.fileno(),
                                                      closefd=False)))
         return read_matrix(inp)
+
+
+# -- mmap fast path for scp random access -----------------------------------
+# Corpus-scale multi-epoch training reads the same ark shards every epoch
+# through scp offsets; opening + seeking + Python-parsing per record is
+# syscall-bound. Instead each shard is mmap'd once (shard-aware: one
+# mapping per distinct file) and records are returned as zero-copy views —
+# the host-side analogue of the reference's cached table readers.
+
+_MMAP_CACHE: dict = {}
+_MMAP_CACHE_LIMIT = int(os.environ.get("KLT_MMAP_CACHE_LIMIT", "256"))
+
+
+def _mmap_file(path: str):
+    import mmap as _mmap
+    mm = _MMAP_CACHE.get(path)
+    if mm is None:
+        try:
+            with open(path, "rb") as f:
+                if os.fstat(f.fileno()).st_size == 0:
+                    return None
+                mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+        except OSError:
+            return None
+        if len(_MMAP_CACHE) >= _MMAP_CACHE_LIMIT:
+            # drop the oldest mapping (dict preserves insertion order);
+            # existing views keep it alive until garbage-collected
+            _MMAP_CACHE.pop(next(iter(_MMAP_CACHE)))
+        _MMAP_CACHE[path] = mm
+    return mm
+
+
+def read_matrix_view(path: str, offset: int):
+    """Zero-copy float32 [rows, cols] view of a binary FM record at an scp
+    offset (the byte position of the ``\\0B`` header). Returns None when
+    the record is not a binary float matrix or is truncated — callers fall
+    back to the generic reader. Views may be unaligned (odd key lengths);
+    numpy handles that transparently."""
+    mm = _mmap_file(path)
+    if mm is None:
+        return None
+    hdr = mm[offset:offset + 15]
+    if (len(hdr) < 15 or hdr[:2] != BINARY_HEADER or hdr[2:5] != b"FM "
+            or hdr[5:6] != b"\x04" or hdr[10:11] != b"\x04"):
+        return None
+    rows = int.from_bytes(hdr[6:10], "little", signed=True)
+    cols = int.from_bytes(hdr[11:15], "little", signed=True)
+    if rows < 0 or cols < 0 or offset + 15 + rows * cols * 4 > len(mm):
+        return None
+    return np.frombuffer(mm, np.float32, count=rows * cols,
+                         offset=offset + 15).reshape(rows, cols)
 
 
 def _split_offset(rxfilename: str):

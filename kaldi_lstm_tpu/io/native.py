@@ -56,6 +56,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.klt_fill_stream.restype = L
     lib.klt_fill_stream.argtypes = [
         L, L, L, L, PF, L, PI, PF, L, PF, PI, PF, PF]
+    P64 = ctypes.POINTER(ctypes.c_int64)
+    lib.klt_fill_batch.restype = L
+    lib.klt_fill_batch.argtypes = [
+        L, L, L, L, L, P64, P64, P64, P64, P64, PF, PI, PF, PF]
     _LIB = lib
     return _LIB
 
@@ -146,6 +150,28 @@ def scan_posterior_ark(path: str, max_entries: int = 1):
         b = a + int(num_frames[i])
         out[key] = (ids[a:b], weights[a:b])
     return out
+
+
+def fill_batch(T: int, delay: int, feats_p: np.ndarray, ids_p: np.ndarray,
+               w_p: np.ndarray, lent: np.ndarray, curt: np.ndarray,
+               D: int, K: int,
+               out_feats: np.ndarray, out_ids: np.ndarray,
+               out_w: np.ndarray, out_mask: np.ndarray) -> bool:
+    """Fill the whole [S, T] batch in ONE native call. `feats_p/ids_p/w_p`
+    are int64 arrays of raw data pointers (0 = dry stream, rows zeroed);
+    `curt` [S] int64 is updated in place. Returns False without the
+    native lib."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    S = curt.shape[0]
+    p64 = ctypes.c_int64
+    lib.klt_fill_batch(
+        S, T, D, K, delay, _ptr(feats_p, p64), _ptr(ids_p, p64),
+        _ptr(w_p, p64), _ptr(lent, p64), _ptr(curt, p64),
+        _ptr(out_feats, ctypes.c_float), _ptr(out_ids, ctypes.c_int),
+        _ptr(out_w, ctypes.c_float), _ptr(out_mask, ctypes.c_float))
+    return True
 
 
 def fill_stream(T: int, delay: int, feats: np.ndarray, tgt_ids: np.ndarray,

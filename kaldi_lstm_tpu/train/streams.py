@@ -112,6 +112,11 @@ class StreamScheduler:
         self.source_done = False
         from kaldi_lstm_tpu.io import native as _native
         self._native = _native if _native.get_lib() is not None else None
+        # cached raw data pointers for the one-call-per-batch native fill
+        # (ctypes marshalling per stream was 90% of scheduler time)
+        self._fp = np.zeros(self.S, np.int64)
+        self._ip = np.zeros(self.S, np.int64)
+        self._wp = np.zeros(self.S, np.int64)
 
         # counters mirroring num_done / num_no_tgt_mat / num_other_error
         self.num_done = 0
@@ -163,6 +168,9 @@ class StreamScheduler:
             self.keys[s], self.feats[s], self.tgt_ids[s], self.tgt_w[s] = nxt
             self.curt[s] = 0
             self.lent[s] = self.feats[s].shape[0]
+            self._fp[s] = self.feats[s].ctypes.data
+            self._ip[s] = self.tgt_ids[s].ctypes.data
+            self._wp[s] = self.tgt_w[s].ctypes.data
             flags[s] = 1
         return flags
 
@@ -174,22 +182,26 @@ class StreamScheduler:
                 return  # every stream exhausted and source dry
 
             S, T, D, K = self.S, self.T, self.feat_dim, self.K
-            feats = np.zeros((S, T, D), np.float32)
-            ids = np.zeros((S, T, K), np.int32)
-            weights = np.zeros((S, T, K), np.float32)
-            mask = np.zeros((S, T), np.float32)
-
-            for s in range(S):
-                if self.feats[s] is None:
-                    continue  # source was dry before this stream ever fed
-                fs = self.feats[s]
-                lent = int(self.lent[s])
-                curt = int(self.curt[s])
-                if self._native is not None:
-                    self.curt[s] = self._native.fill_stream(
-                        T, self.delay, fs, self.tgt_ids[s], self.tgt_w[s],
-                        curt, feats[s], ids[s], weights[s], mask[s])
-                else:
+            if self._native is not None:
+                # one native call fills every stream (and zeroes dry ones)
+                feats = np.empty((S, T, D), np.float32)
+                ids = np.empty((S, T, K), np.int32)
+                weights = np.empty((S, T, K), np.float32)
+                mask = np.empty((S, T), np.float32)
+                self._native.fill_batch(
+                    T, self.delay, self._fp, self._ip, self._wp,
+                    self.lent, self.curt, D, K, feats, ids, weights, mask)
+            else:
+                feats = np.zeros((S, T, D), np.float32)
+                ids = np.zeros((S, T, K), np.int32)
+                weights = np.zeros((S, T, K), np.float32)
+                mask = np.zeros((S, T), np.float32)
+                for s in range(S):
+                    if self.feats[s] is None:
+                        continue  # source dry before this stream ever fed
+                    fs = self.feats[s]
+                    lent = int(self.lent[s])
+                    curt = int(self.curt[s])
                     idx = curt + np.arange(T)
                     row = np.minimum(idx, lent - 1)
                     mask[s] = (idx < lent).astype(np.float32)

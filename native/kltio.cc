@@ -182,4 +182,38 @@ long klt_fill_stream(long T, long D, long K, long delay,
   return curt + T;
 }
 
+// Whole-batch variant: fills all S streams in one call (the per-stream
+// entry costs ~60 us of ctypes pointer marshalling per batch at S=64 —
+// 90% of scheduler time, measured). Pointer arrays are passed as int64
+// so Python can cache them across batches; a 0 pointer marks a stream
+// whose source went dry (its rows are zeroed, mask = 0). curt is
+// updated in place.
+long klt_fill_batch(long S, long T, long D, long K, long delay,
+                    const int64_t* feats_p, const int64_t* ids_p,
+                    const int64_t* w_p, const int64_t* lent,
+                    int64_t* curt,
+                    float* out_feats, int* out_ids, float* out_w,
+                    float* out_mask) {
+  for (long s = 0; s < S; s++) {
+    float* of = out_feats + s * T * D;
+    int* oi = out_ids + s * T * K;
+    float* ow = out_w + s * T * K;
+    float* om = out_mask + s * T;
+    if (feats_p[s] == 0) {
+      std::memset(of, 0, T * D * sizeof(float));
+      std::memset(oi, 0, T * K * sizeof(int));
+      std::memset(ow, 0, T * K * sizeof(float));
+      std::memset(om, 0, T * sizeof(float));
+      continue;
+    }
+    curt[s] = klt_fill_stream(
+        T, D, K, delay,
+        reinterpret_cast<const float*>(feats_p[s]), lent[s],
+        reinterpret_cast<const int*>(ids_p[s]),
+        reinterpret_cast<const float*>(w_p[s]), curt[s],
+        of, oi, ow, om);
+  }
+  return S;
+}
+
 }  // extern "C"

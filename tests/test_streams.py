@@ -132,3 +132,33 @@ def test_state_advances_through_padding():
     flags = np.stack([b.reset_flags for b in batches])
     assert flags[0].tolist() == [1, 1]
     assert flags[1].tolist() == [0, 0] and flags[2].tolist() == [0, 0]
+
+
+def test_scp_mmap_fast_path(tmp_path):
+    """scp reads go through zero-copy mmap views identical to ark reads,
+    including unaligned offsets from odd-length keys."""
+    from kaldi_lstm_tpu.io.kaldi_io import (MatrixWriter,
+                                            SequentialMatrixReader,
+                                            read_matrix_view,
+                                            _split_offset)
+    import numpy as np
+    d = str(tmp_path)
+    rng = np.random.RandomState(0)
+    mats = {}
+    with MatrixWriter(f"ark,scp:{d}/f.ark,{d}/f.scp") as w:
+        for i, key in enumerate(["a", "bb", "ccc", "dddd"]):
+            m = rng.randn(5 + i, 7).astype(np.float32)
+            mats[key] = m
+            w.write(key, m)
+    got = dict(SequentialMatrixReader(f"scp:{d}/f.scp"))
+    assert set(got) == set(mats)
+    for k in mats:
+        np.testing.assert_array_equal(got[k], mats[k])
+    # the fast path actually engaged (views, not copies)
+    with open(f"{d}/f.scp") as f:
+        line = f.readline().split()
+    path, off = _split_offset(line[1])
+    v = read_matrix_view(path, off)
+    assert v is not None and not v.flags.owndata
+    # bad offset falls back to None, not garbage
+    assert read_matrix_view(path, off + 1) is None

@@ -427,6 +427,10 @@ class Softmax(Component):
 class _LstmBase(Component):
     updatable = True
     axis_invariant = False
+    # apply() accepts input_grad=False: skip the dx computation in the
+    # Pallas backward when the layer's input needs no gradient (first
+    # layer over the feature batch)
+    accepts_input_grad_flag = True
     # apply() accepts time_major=True ([T, S, .] in/out) — used by the
     # fused train step to run the whole trunk in the kernels' native
     # layout with no big-tensor transposes
@@ -459,7 +463,7 @@ class _LstmBase(Component):
                                     (d0, d1, 4 * self.cell_dim))
 
     def _run_scan(self, params, x, state, dropout_mask=None,
-                  time_major=False):
+                  time_major=False, input_grad=True):
         keep = 1.0 - self.dropout_rate
         # Measured on v5e (tools_dev/bench_ab_impl.py): the fused Pallas
         # kernels win both training (in-VMEM weight-grad accumulation in
@@ -475,7 +479,8 @@ class _LstmBase(Component):
             return lstm_scan_pallas(params, x, state, self.cell_clip,
                                     time_major=time_major,
                                     gate_keep_mask=dropout_mask,
-                                    keep_prob=keep)
+                                    keep_prob=keep,
+                                    need_input_grad=input_grad)
         gate_mult = None if dropout_mask is None else \
             dropout_mask.astype(x.dtype) / keep
         return lstm_scan(params, x, state, self.cell_clip,
@@ -538,12 +543,13 @@ class LstmProjected(_LstmBase):
     token = "<LstmProjected>"
 
     def apply(self, params: LstmParams, x, state=None, rng=None,
-              train=False, time_major=False):
+              train=False, time_major=False, input_grad=True):
         S = x.shape[1] if time_major else x.shape[0]
         st = zero_state(S, self.cell_dim, self.recur_dim, x.dtype)
         mask = self._dropout_mask(rng, x) if train else None
         out, _ = self._run_scan(params, x, st, mask,
-                                time_major=time_major)
+                                time_major=time_major,
+                                input_grad=input_grad)
         return out, None
 
     def read_data(self, inp):
@@ -591,14 +597,15 @@ class LstmProjectedStreams(_LstmBase):
         return zero_state(nstream, self.cell_dim, self.recur_dim)
 
     def apply(self, params: LstmParams, x, state: Optional[LstmState] = None,
-              rng=None, train=False, time_major=False):
+              rng=None, train=False, time_major=False, input_grad=True):
         if state is None:
             nstream = x.shape[1] if time_major else x.shape[0]
             state = zero_state(nstream, self.cell_dim, self.recur_dim,
                                x.dtype)
         mask = self._dropout_mask(rng, x) if train else None
         out, new_state = self._run_scan(params, x, state, mask,
-                                        time_major=time_major)
+                                        time_major=time_major,
+                                        input_grad=input_grad)
         return out, new_state
 
     def read_data(self, inp):

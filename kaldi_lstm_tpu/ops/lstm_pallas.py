@@ -233,9 +233,10 @@ def _contract0(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, x_ref, rprev_ref,
-                wgr_ref, wrm_ref, wxp_ref, peep_ref, gcT_ref, *rest,
-                cp: int, tb: int, has_mask: bool, inv_keep: float):
+def _bwd_kernel(gifo_ref, c_ref, cbnd_ref, gr_ref, x_ref, r_ref,
+                rbnd_ref, wgr_ref, wrm_ref, wxp_ref, peep_ref, gcT_ref,
+                *rest, cp: int, tb: int, has_mask: bool, inv_keep: float,
+                need_dx: bool):
     """Reverse recurrence with IN-VMEM weight-gradient accumulation.
 
     The reference (and kernel v1/v2) materializes per-t gate gradients to
@@ -245,13 +246,23 @@ def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, x_ref, rprev_ref,
     (resident in VMEM across the whole grid, ≥120 MB on v5e); each grid
     step processes tb timesteps, contracting each step's [st, ·] slices
     into LOCAL accumulators and flushing once per block — the only per-t
-    output is dx.
+    output is dx (skipped entirely with need_dx=False, e.g. when the
+    layer's input is the feature batch).
+
+    v4: c(t-1)/r(t-1) are the block's own c/r rows shifted by one, plus a
+    single boundary row per block (cbnd/rbnd) — the shifted streams are
+    never materialized in HBM nor streamed twice (v3 cost two full
+    [T, sp, .] concat copies + reads).
     """
     if has_mask:
         mask_ref, *rest = rest
     else:
         mask_ref = None
-    (dx_ref, dwx_ref, dwr_ref, dwrm_ref, dbias_ref, dpeep_ref,
+    if need_dx:
+        dx_ref, *rest = rest
+    else:
+        dx_ref = None
+    (dwx_ref, dwr_ref, dwrm_ref, dbias_ref, dpeep_ref,
      dc0_ref, dr0_ref, dc_s, dr_s) = rest
     s = pl.program_id(0)
     t = pl.program_id(1)     # time-block 0..T/tb-1, mapped to real blocks
@@ -286,7 +297,8 @@ def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, x_ref, rprev_ref,
         f = gifo_ref[k, :, 2 * cp:3 * cp].astype(jnp.float32)
         o = gifo_ref[k, :, 3 * cp:4 * cp].astype(jnp.float32)
         c = c_ref[k]
-        c_prev = cprev_ref[k]
+        c_prev = c_ref[k - 1] if k > 0 else cbnd_ref[0]
+        r_prev = r_ref[k - 1] if k > 0 else rbnd_ref[0]
         h = jnp.tanh(c)
 
         dr_total = gr_ref[k] + dr
@@ -315,10 +327,11 @@ def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, x_ref, rprev_ref,
             dxw = dgifo * (mask_ref[k].astype(jnp.float32) * inv_keep)
         else:
             dxw = dgifo
-        dx_ref[k] = jnp.dot(dxw.astype(wdt), wxp_ref[:],
-                            preferred_element_type=jnp.float32)
+        if need_dx:
+            dx_ref[k] = jnp.dot(dxw.astype(wdt), wxp_ref[:],
+                                preferred_element_type=jnp.float32)
         acc_dwx += _contract0(dxw.astype(wdt), x_ref[k].astype(wdt))
-        acc_dwr += _contract0(dgifo.astype(wdt), rprev_ref[k].astype(wdt))
+        acc_dwr += _contract0(dgifo.astype(wdt), r_prev.astype(wdt))
         acc_dwrm += _contract0(dr_total.astype(wdt), (h * o).astype(wdt))
         acc_dbias += jnp.sum(dgifo, axis=0, keepdims=True)
         acc_dpi += jnp.sum(di * c_prev, axis=0, keepdims=True)
@@ -341,9 +354,10 @@ def _bwd_kernel(gifo_ref, c_ref, cprev_ref, gr_ref, x_ref, rprev_ref,
     dr0_ref[:] = dr
 
 
-def _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm, wxp,
-              peep, gcT, keep_mask=None, *, st: int, tb: int,
-              inv_keep: float = 1.0, interpret: bool):
+def _bwd_call(gifo, c_seq, c_bnd, g_r, x_pad, r_seq, r_bnd, wgr, wrm,
+              wxp, peep, gcT, keep_mask=None, *, st: int, tb: int,
+              inv_keep: float = 1.0, need_dx: bool = True,
+              interpret: bool):
     T, sp, c4p = gifo.shape
     cp = c4p // 4
     rp = g_r.shape[2]
@@ -351,6 +365,9 @@ def _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm, wxp,
     grid = (sp // st, T // tb)
 
     def idx_rev(s, t):
+        return (T // tb - 1 - t, s, 0)
+
+    def idx_bnd(s, t):
         return (T // tb - 1 - t, s, 0)
 
     def idx_const(s, t):
@@ -363,48 +380,54 @@ def _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm, wxp,
         pl.BlockSpec((tb, st, 4 * cp), idx_rev,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, st, cp), idx_rev, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tb, st, cp), idx_rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, st, cp), idx_bnd, memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, st, rp), idx_rev, memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, st, ip), idx_rev, memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, st, rp), idx_rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, st, rp), idx_bnd, memory_space=pltpu.VMEM),
         pl.BlockSpec((4 * cp, rp), idx_const, memory_space=pltpu.VMEM),
         pl.BlockSpec((rp, cp), idx_const, memory_space=pltpu.VMEM),
         pl.BlockSpec((4 * cp, ip), idx_const, memory_space=pltpu.VMEM),
         pl.BlockSpec((3, cp), idx_const, memory_space=pltpu.VMEM),
         pl.BlockSpec((st, cp), idx_s, memory_space=pltpu.VMEM),
     ]
-    operands = [gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm,
+    operands = [gifo, c_seq, c_bnd, g_r, x_pad, r_seq, r_bnd, wgr, wrm,
                 wxp, peep, gcT]
     if keep_mask is not None:
         in_specs.append(pl.BlockSpec((tb, st, 4 * cp), idx_rev,
                                      memory_space=pltpu.VMEM))
         operands.append(keep_mask)
-    return pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((4 * cp, ip), idx_const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((4 * cp, rp), idx_const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((rp, cp), idx_const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 4 * cp), idx_const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, cp), idx_const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((st, cp), idx_s, memory_space=pltpu.VMEM),
+        pl.BlockSpec((st, rp), idx_s, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((4 * cp, ip), jnp.float32),  # dWx
+        jax.ShapeDtypeStruct((4 * cp, rp), jnp.float32),  # dWr
+        jax.ShapeDtypeStruct((rp, cp), jnp.float32),      # dWrm
+        jax.ShapeDtypeStruct((8, 4 * cp), jnp.float32),   # dbias (row 0)
+        jax.ShapeDtypeStruct((8, cp), jnp.float32),       # dpeep (rows 0-2)
+        jax.ShapeDtypeStruct((sp, cp), jnp.float32),      # dc0
+        jax.ShapeDtypeStruct((sp, rp), jnp.float32),      # dr0
+    ]
+    if need_dx:
+        out_specs.insert(0, pl.BlockSpec((tb, st, ip), idx_rev,
+                                         memory_space=pltpu.VMEM))
+        out_shape.insert(0, jax.ShapeDtypeStruct((T, sp, ip),
+                                                 jnp.float32))
+    out = pl.pallas_call(
         functools.partial(_bwd_kernel, cp=cp, tb=tb,
                           has_mask=keep_mask is not None,
-                          inv_keep=inv_keep),
+                          inv_keep=inv_keep, need_dx=need_dx),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((tb, st, ip), idx_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * cp, ip), idx_const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * cp, rp), idx_const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp, cp), idx_const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 4 * cp), idx_const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, cp), idx_const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((st, cp), idx_s, memory_space=pltpu.VMEM),
-            pl.BlockSpec((st, rp), idx_s, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, sp, ip), jnp.float32),   # dx
-            jax.ShapeDtypeStruct((4 * cp, ip), jnp.float32),  # dWx
-            jax.ShapeDtypeStruct((4 * cp, rp), jnp.float32),  # dWr
-            jax.ShapeDtypeStruct((rp, cp), jnp.float32),      # dWrm
-            jax.ShapeDtypeStruct((8, 4 * cp), jnp.float32),   # dbias (row 0)
-            jax.ShapeDtypeStruct((8, cp), jnp.float32),       # dpeep (rows 0-2)
-            jax.ShapeDtypeStruct((sp, cp), jnp.float32),      # dc0
-            jax.ShapeDtypeStruct((sp, rp), jnp.float32),      # dr0
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((st, cp), jnp.float32),
             pltpu.VMEM((st, rp), jnp.float32),
@@ -413,6 +436,9 @@ def _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev, wgr, wrm, wxp,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
+    if not need_dx:
+        out = [None] + list(out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -463,18 +489,21 @@ def _fwd_vmem_bytes(tb, st, cp, rp, gifo_bytes=4) -> int:
     return stream_in + weights + state_in + outs + scratch
 
 
-def _bwd_vmem_bytes(tb, st, cp, rp, ip, gifo_bytes=4) -> int:
+def _bwd_vmem_bytes(tb, st, cp, rp, ip, gifo_bytes=4,
+                    need_dx: bool = True) -> int:
     """Analytic VMEM footprint of one bwd grid step: double-buffered
-    per-t streams, resident weights, resident accumulator output blocks
-    PLUS the same-sized local accumulators, dx out, state blocks."""
+    per-t streams (c/r blocks + one boundary row each), resident weights,
+    resident accumulator output blocks PLUS the same-sized local
+    accumulators, dx out, state blocks."""
     stream_in = tb * st * (4 * cp * gifo_bytes
-                           + (2 * cp + 2 * rp + ip) * 4) * 2
+                           + (cp + 2 * rp + ip) * 4) * 2
+    boundary = st * (cp + rp) * 4 * 2
     weights = (4 * cp * rp + rp * cp + 4 * cp * ip + 3 * cp) * 4
     accum = (4 * cp * ip + 4 * cp * rp + rp * cp
              + 8 * 4 * cp + 8 * cp) * 4 * 2  # output blocks + locals
-    dx_out = tb * st * ip * 4 * 2
+    dx_out = tb * st * ip * 4 * 2 if need_dx else 0
     state = st * (cp + rp) * 4 * 4  # gcT in, dc0/dr0 out, scratch
-    return stream_in + weights + accum + dx_out + state
+    return stream_in + boundary + weights + accum + dx_out + state
 
 
 def _fit_time_block(T: int, tb: int, bytes_fn) -> int:
@@ -521,10 +550,10 @@ def _pad2(w, rows, cols):
 # custom-VJP public op
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _lstm_pallas(params: LstmParams, x, state: LstmState, keep_mask,
                  cell_clip: float, interpret: bool, time_major: bool,
-                 inv_keep: float):
+                 inv_keep: float, need_input_grad: bool):
     # primal = inference path (custom_vjp only calls _lstm_pallas_fwd
     # under differentiation): skip all residual outputs
     if time_major:
@@ -605,7 +634,8 @@ def _prepare(params: LstmParams, x, state: LstmState, d: _Dims,
 
 def _lstm_pallas_fwd(params: LstmParams, x, state: LstmState,
                      keep_mask, cell_clip: float, interpret: bool,
-                     time_major: bool, inv_keep: float):
+                     time_major: bool, inv_keep: float,
+                     need_input_grad: bool):
     if time_major:
         T, S, I = x.shape
     else:
@@ -629,7 +659,7 @@ def _lstm_pallas_fwd(params: LstmParams, x, state: LstmState,
 
 
 def _lstm_pallas_bwd(cell_clip, interpret, time_major, inv_keep,
-                     residuals, cotangents):
+                     need_input_grad, residuals, cotangents):
     params, x, gifo, c_seq, r_seq, c0, r0, keep_mask = residuals
     g_out, g_final = cotangents
     if time_major:
@@ -660,8 +690,6 @@ def _lstm_pallas_bwd(cell_clip, interpret, time_major, inv_keep,
                       params.peephole_o_c])
     peep = jnp.pad(peep, ((0, 0), (0, d.cp - d.C)))
 
-    c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
-    r_prev_seq = jnp.concatenate([r0[None], r_seq[:-1]], axis=0)
     ip = _round_up(I, 128)
     x_tm = x if time_major else x.swapaxes(0, 1)
     x_pad = jnp.pad(x_tm,
@@ -675,13 +703,20 @@ def _lstm_pallas_bwd(cell_clip, interpret, time_major, inv_keep,
     gifo_bytes = jnp.dtype(gifo.dtype).itemsize
     tb_bwd = _fit_time_block(
         T, d.tb, lambda t: _bwd_vmem_bytes(t, st_bwd, d.cp, d.rp, ip,
-                                           gifo_bytes))
+                                           gifo_bytes, need_input_grad))
+    # per-block boundary rows: c/r at index tau*tb-1 (tau=0 -> the chunk
+    # carry) — the kernel shifts within the block, so the full c(t-1)/
+    # r(t-1) streams are never materialized (v3 cost two [T, sp, .]
+    # concats + duplicate kernel reads)
+    c_bnd = jnp.concatenate([c0[None], c_seq[tb_bwd - 1::tb_bwd][:-1]], 0)
+    r_bnd = jnp.concatenate([r0[None], r_seq[tb_bwd - 1::tb_bwd][:-1]], 0)
     mask_p = None if keep_mask is None \
         else _pad_mask_tm(keep_mask, d, time_major)
     (dx_p, dwx_p, dwr_p, dwrm_p, dbias_p, dpeep_p, dc0_p, dr0_p) = \
-        _bwd_call(gifo, c_seq, c_prev_seq, g_r, x_pad, r_prev_seq,
+        _bwd_call(gifo, c_seq, c_bnd, g_r, x_pad, r_seq, r_bnd,
                   wgr, wrm, wxp, peep, gcT, mask_p, st=st_bwd, tb=tb_bwd,
-                  inv_keep=inv_keep, interpret=interpret)
+                  inv_keep=inv_keep, need_dx=need_input_grad,
+                  interpret=interpret)
 
     def unpad_gates_rows(w_p):  # [4cp, X] -> [4C, X]
         return w_p.reshape(4, d.cp, -1)[:, :C].reshape(4 * C, -1)
@@ -695,9 +730,14 @@ def _lstm_pallas_bwd(cell_clip, interpret, time_major, inv_keep,
         peephole_o_c=dpeep_p[2, :C],
         w_r_m=dwrm_p[:R, :C],
     )
-    dx = dx_p[:, :S, :I]
-    if not time_major:
-        dx = dx.swapaxes(0, 1)
+    if need_input_grad:
+        dx = dx_p[:, :S, :I]
+        if not time_major:
+            dx = dx.swapaxes(0, 1)
+    else:
+        # symbolically-zero input grad (e.g. the LSTM is the first layer
+        # and x is the feature batch): XLA folds the zeros away
+        dx = jnp.zeros_like(x)
     dstate = LstmState(c=dc0_p[:S, :C], r=dr0_p[:S, :R])
     return dparams, dx, dstate, None  # bool mask: zero cotangent
 
@@ -709,7 +749,8 @@ def lstm_scan_pallas(params: LstmParams, x, state: LstmState,
                      cell_clip: float = 50.0,
                      interpret: bool | None = None,
                      time_major: bool = False,
-                     gate_keep_mask=None, keep_prob: float = 1.0
+                     gate_keep_mask=None, keep_prob: float = 1.0,
+                     need_input_grad: bool = True
                      ) -> tuple[jax.Array, LstmState]:
     """Drop-in replacement for `lstm_cell.lstm_scan` backed by the fused
     Pallas kernels. `interpret=None` auto-selects interpreter mode off-TPU
@@ -727,4 +768,5 @@ def lstm_scan_pallas(params: LstmParams, x, state: LstmState,
         interpret = jax.default_backend() != "tpu"
     inv_keep = 1.0 if keep_prob >= 1.0 else 1.0 / keep_prob
     return _lstm_pallas(params, x, state, gate_keep_mask, cell_clip,
-                        interpret, time_major, inv_keep)
+                        interpret, time_major, inv_keep,
+                        need_input_grad)

@@ -101,6 +101,13 @@ def make_objective(nnet: Nnet, loss_fn, use_fused: bool, fused_fn,
                 kwargs = {}
                 if tm and getattr(c, "supports_time_major", False):
                     kwargs["time_major"] = True
+                if (train
+                        and getattr(c, "accepts_input_grad_flag", False)
+                        and not any(getattr(cc, "updatable", False)
+                                    for cc in nnet.components[:i])):
+                    # nothing trainable below this layer: its input grad
+                    # is discarded — skip the dx GEMM in the backward
+                    kwargs["input_grad"] = False
                 if getattr(c, "uses_rng", False):
                     crng = None if rng is None else \
                         jax.random.fold_in(rng, i)

@@ -132,3 +132,23 @@ def test_chunk_chaining_parity():
     np.testing.assert_allclose(
         np.concatenate([out_a, out_b], 1), ref_full, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(st_b.c, ref_fin.c, rtol=1e-5, atol=1e-5)
+
+
+def test_no_input_grad_param_grads_identical():
+    """need_input_grad=False skips the dx GEMM but every parameter and
+    state gradient is bit-identical; the x cotangent comes back zero."""
+    params, x, state = make(6, 10, 9, 17, 11, seed=5)
+
+    def loss(p, xx, st, need):
+        out, fin = lstm_scan_pallas(p, xx, st, interpret=True,
+                                    need_input_grad=need)
+        return jnp.sum(out * 0.3) + jnp.sum(fin.c) + jnp.sum(fin.r)
+
+    g_full = jax.grad(loss, argnums=(0, 1, 2))(params, x, state, True)
+    g_skip = jax.grad(loss, argnums=(0, 1, 2))(params, x, state, False)
+    for a, b in zip(jax.tree_util.tree_leaves((g_full[0], g_full[2])),
+                    jax.tree_util.tree_leaves((g_skip[0], g_skip[2]))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(g_skip[1]),
+                                  np.zeros_like(np.asarray(x)))
+    assert np.any(np.asarray(g_full[1]) != 0)

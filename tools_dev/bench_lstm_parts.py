@@ -3,11 +3,15 @@ pre-prepared, no layout transposes), f32 vs bf16 dots — locates the
 remaining cost between MXU rate, VPU gate math, and the [S,T]<->[T,S]
 layout conversions in _prepare/_lstm_pallas_bwd."""
 
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import kaldi_lstm_tpu.ops.lstm_pallas as lp
 from kaldi_lstm_tpu.models.components import set_matmul_dtype

@@ -225,12 +225,15 @@ def write_matrix(out: KaldiOutput, mat: np.ndarray) -> None:
 def read_matrix(inp: KaldiInput) -> np.ndarray:
     if inp.binary:
         token = read_token(inp)
+        if token in ("CM", "CM2", "CM3"):
+            return read_compressed_matrix(inp, token)
         if token == "FM":
             dt = np.float32
         elif token == "DM":
             dt = np.float64
         else:
-            raise ValueError(f"read_matrix: expected FM/DM, got {token!r}")
+            raise ValueError(
+                f"read_matrix: expected FM/DM/CM*, got {token!r}")
         rows = read_int32(inp)
         cols = read_int32(inp)
         data = inp.read(rows * cols * np.dtype(dt).itemsize)
@@ -247,6 +250,106 @@ def read_matrix(inp: KaldiInput) -> np.ndarray:
     ncols = len(first_line.split())
     flat = _parse_floats(body)
     return flat.reshape(-1, ncols)
+
+
+# -- compressed matrices (upstream matrix/compressed-matrix.{h,cc}) ---------
+# Real Kaldi feature arks are usually written --compress=true; this is the
+# wire format: after the "CM"/"CM2"/"CM3" token comes a global header
+# (f32 min_value, f32 range, i32 num_rows, i32 num_cols — the leading
+# int32 format field lives in the token), then:
+#   CM  — per-column {4x uint16 percentiles} headers, uint8 data
+#         column-major, piecewise-linear in 3 segments (0-64-192-255);
+#   CM2 — uint16 data row-major, linear min+range*v/65535;
+#   CM3 — uint8 data row-major, linear min+range*v/255.
+
+def read_compressed_matrix(inp: KaldiInput, token: str) -> np.ndarray:
+    hdr = inp.read(16)
+    if len(hdr) != 16:
+        raise ValueError("read_compressed_matrix: truncated header")
+    min_value, rng = struct.unpack("<ff", hdr[:8])
+    rows, cols = struct.unpack("<ii", hdr[8:16])
+    if rows < 0 or cols < 0:
+        raise ValueError(f"read_compressed_matrix: bad dims {rows}x{cols}")
+    if token == "CM2":
+        data = np.frombuffer(inp.read(rows * cols * 2), "<u2")
+        return (min_value + rng * (1.0 / 65535.0)
+                * data.astype(np.float32)).reshape(rows, cols)
+    if token == "CM3":
+        data = np.frombuffer(inp.read(rows * cols), np.uint8)
+        return (min_value + rng * (1.0 / 255.0)
+                * data.astype(np.float32)).reshape(rows, cols)
+    # CM: per-column percentile headers then column-major bytes
+    pch = np.frombuffer(inp.read(cols * 8), "<u2").reshape(cols, 4)
+    p = min_value + rng * (1.0 / 65535.0) * pch.astype(np.float32)
+    data = np.frombuffer(inp.read(rows * cols),
+                         np.uint8).reshape(cols, rows)
+    v = data.astype(np.float32)
+    p0, p25, p75, p100 = (p[:, 0:1], p[:, 1:2], p[:, 2:3], p[:, 3:4])
+    lo = p0 + (p25 - p0) * (v * (1.0 / 64.0))
+    mid = p25 + (p75 - p25) * ((v - 64.0) * (1.0 / 128.0))
+    hi = p75 + (p100 - p75) * ((v - 192.0) * (1.0 / 63.0))
+    out = np.where(v <= 64, lo, np.where(v <= 192, mid, hi))
+    return np.ascontiguousarray(out.T)
+
+
+def _float_to_uint16(h_min, h_range, m):
+    f = (m - h_min) / h_range
+    return np.clip(f * 65535.0 + 0.499, 0, 65535).astype("<u2")
+
+
+def write_compressed_matrix(out: KaldiOutput, mat: np.ndarray,
+                            method: str = "auto") -> None:
+    """Write in the upstream compressed wire format. method: "auto"
+    (upstream kSpeechFeature heuristic: CM for >= 8 rows, CM2 below),
+    or an explicit "CM"/"CM2"/"CM3". Lossy: ~range/255 absolute error
+    (CM/CM3), ~range/65535 (CM2)."""
+    if not out.binary:
+        write_matrix(out, mat)  # text mode has no compressed form
+        return
+    mat = np.asarray(mat, np.float32)
+    rows, cols = mat.shape
+    if method == "auto":
+        method = "CM" if rows >= 8 else "CM2"
+    mn = float(mat.min()) if mat.size else 0.0
+    mx = float(mat.max()) if mat.size else 0.0
+    rng = mx - mn
+    if rng <= 0:
+        rng = 1.0e-5 if mn == 0 else abs(mn) * 0.01 + 1.0e-5
+    write_token(out, method)
+    out.stream.write(struct.pack("<ffii", mn, rng, rows, cols))
+    if method == "CM2":
+        out.stream.write(_float_to_uint16(mn, rng, mat).tobytes())
+        return
+    if method == "CM3":
+        q = np.clip((mat - mn) / rng * 255.0 + 0.499, 0, 255)
+        out.stream.write(q.astype(np.uint8).tobytes())
+        return
+    if method != "CM":
+        raise ValueError(f"write_compressed_matrix: unknown {method!r}")
+    srt = np.sort(mat, axis=0)  # per-column
+    q1, q3 = max((rows - 1) // 4, 0), max((3 * (rows - 1)) // 4, 0)
+    pch = np.stack([srt[0], srt[q1], srt[q3], srt[-1]], axis=1)
+    pch_u = _float_to_uint16(mn, rng, pch)
+    # enforce strictly increasing quantized percentiles so the inverse
+    # mapping below never divides by zero (upstream does the same):
+    # out[i] = max_{j<=i}(a[j]-j) + i guarantees out[i+1] >= out[i]+1
+    ar = np.arange(4)
+    pch_u = np.maximum.accumulate(
+        pch_u.astype(np.int64) - ar, axis=1) + ar
+    pch_u = np.clip(pch_u, ar, 65532 + ar).astype("<u2")
+    out.stream.write(pch_u.tobytes())
+    p = mn + rng * (1.0 / 65535.0) * pch_u.astype(np.float32)
+    p0, p25, p75, p100 = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    v = mat.T  # column-major
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lo = (v - p0[:, None]) / (p25 - p0)[:, None] * 64.0
+        mid = 64.0 + (v - p25[:, None]) / (p75 - p25)[:, None] * 128.0
+        hi = 192.0 + (v - p75[:, None]) / (p100 - p75)[:, None] * 63.0
+    q = np.where(v < p25[:, None], lo,
+                 np.where(v < p75[:, None], mid, hi))
+    q = np.clip(np.nan_to_num(q, nan=0.0, posinf=255.0, neginf=0.0)
+                + 0.499, 0, 255).astype(np.uint8)
+    out.stream.write(q.tobytes())
 
 
 def write_vector(out: KaldiOutput, vec: np.ndarray) -> None:
@@ -647,6 +750,15 @@ class TableWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def CompressedMatrixWriter(wspecifier: str,
+                           method: str = "auto") -> TableWriter:
+    """MatrixWriter with upstream --compress=true semantics (lossy CM
+    wire format; ~4x smaller feature arks)."""
+    return TableWriter(wspecifier,
+                       lambda out, m: write_compressed_matrix(out, m,
+                                                              method))
 
 
 def MatrixWriter(wspecifier: str) -> TableWriter:

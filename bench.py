@@ -89,6 +89,43 @@ def bench_config(nnet, params0, S, T, warmup=3, iters=20):
     return steps_per_s * audio_s_per_step, steps_per_s
 
 
+def bench_grouped(nnet, params0, S, T, group=8, warmup=1, iters=5):
+    """The grouped device step (lax.scan over `group` staged batches per
+    dispatch — tools CLI --step-group). Same math as bench_config; it
+    amortizes the per-dispatch latency that costs ~25% of wall through
+    the axon tunnel (BENCH_NOTES device attribution)."""
+    from kaldi_lstm_tpu.train.trainer import make_grouped_train_step
+    opts = TrainOptions(learn_rate=1e-5, momentum=0.9)
+    gstep = make_grouped_train_step(nnet, opts)
+    params = jax.tree_util.tree_map(jnp.array, params0)
+    opt = init_momentum(params)
+    states = nnet.init_states(S)
+    nclass = nnet.output_dim
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(group, S, T, 40), jnp.float32)
+    ids = jnp.asarray(rng.randint(0, nclass, (group, S, T, 1)), jnp.int32)
+    w = jnp.ones((group, S, T, 1), jnp.float32)
+    mask = jnp.ones((group, S, T), jnp.float32)
+    flags = jnp.zeros((group, S), jnp.int32)
+    lr = jnp.float32(1e-5)
+
+    def host_sync():
+        return float(jnp.sum(params[1].bias))
+
+    for _ in range(warmup):
+        params, opt, states, aux = gstep(params, opt, states, (), feats,
+                                         ids, w, mask, flags, lr)
+    host_sync()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt, states, aux = gstep(params, opt, states, (), feats,
+                                         ids, w, mask, flags, lr)
+    host_sync()
+    dt = time.perf_counter() - t0
+    steps_per_s = iters * group / dt
+    return steps_per_s * S * T / FRAMES_PER_AUDIO_SECOND, steps_per_s
+
+
 def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     nnet, params = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(0))
@@ -123,6 +160,13 @@ def main():
               f"({sps16:.1f} steps/s)", file=sys.stderr)
     finally:
         set_matmul_dtype(None)
+
+    # grouped device step at the best stream count (--step-group path)
+    tput_g, sps_g = bench_grouped(nnet, params, S=best_cfg, T=20, group=8)
+    print(f"grouped x8 S={best_cfg} T=20: {tput_g:.1f} audio-s/s "
+          f"({sps_g:.1f} steps/s)", file=sys.stderr)
+    if tput_g > best_tput:
+        best_tput = tput_g
 
     print(f"best: S={best_cfg}", file=sys.stderr)
     print(json.dumps({

@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="---LSTM--- BPTT multi-stream training")
     p.add_argument("--dump-interval", type=int, default=50000,
                    help="---LSTM--- num utts between model dumping")
+    p.add_argument("--step-group", type=int, default=1,
+                   help="Batches staged per device dispatch (lax.scan "
+                        "device loop; identical math, amortizes per-step "
+                        "dispatch latency — ~25%% of wall at flagship "
+                        "shapes)")
     p.add_argument("--verbose", type=int, default=0)
     p.add_argument("--state-in", default="",
                    help="Resume full train state (params + momentum) from "
@@ -140,7 +145,8 @@ def main(argv=None) -> int:
                     transf=transf, transf_params=transf_params,
                     crossvalidate=crossvalidate, opt_state=opt_state,
                     dump_interval=args.dump_interval, dump_fn=dump,
-                    monitor_verbose=args.verbose)
+                    monitor_verbose=args.verbose,
+                    step_group=args.step_group)
 
     if profiling:
         jax.profiler.stop_trace()

@@ -172,11 +172,10 @@ def nnet_has_max_norm(nnet: Nnet) -> bool:
                for c in nnet.components)
 
 
-def make_train_step(nnet: Nnet, opts: TrainOptions,
-                    transf: Optional[Nnet] = None,
-                    crossvalidate: bool = False):
-    """Build the jit'd step. `transf` is the feature-transform net (CMVN);
-    its params are passed per call (they are small and frozen)."""
+def _make_step_fn(nnet: Nnet, opts: TrainOptions,
+                  transf: Optional[Nnet], crossvalidate: bool):
+    """The un-jitted single-step computation shared by the plain and
+    grouped train steps."""
     loss_fn = _LOSS_FNS[opts.objective]
     from kaldi_lstm_tpu.models.components import _on_tpu
     fused_wanted = (_on_tpu() if opts.fused_xent is None
@@ -184,18 +183,12 @@ def make_train_step(nnet: Nnet, opts: TrainOptions,
     use_fused = (fused_wanted and opts.objective == "xent"
                  and _tail_is_affine_softmax(nnet))
 
-    # donate params/opt_state/states buffers in training (they are consumed
-    # and re-emitted every step); CV must not donate — callers keep reading
-    # the same params across the pass
-    donate = () if crossvalidate else (0, 1, 2)
-
     from kaldi_lstm_tpu.ops.xent_pallas import masked_xent_affine
     objective_fn = make_objective(
         nnet, loss_fn, use_fused, masked_xent_affine,
         train=not crossvalidate,
         time_major=use_fused and trunk_supports_time_major(nnet))
 
-    @functools.partial(jax.jit, donate_argnums=donate)
     def step(params, opt_state, states, transf_params, feats, tgt_ids,
              tgt_weights, mask, reset_flags, learn_rate, rng=None):
         states = nnet.reset_states(states, reset_flags)
@@ -221,6 +214,52 @@ def make_train_step(nnet: Nnet, opts: TrainOptions,
         return params, opt_state, new_states, aux
 
     return step
+
+
+def make_train_step(nnet: Nnet, opts: TrainOptions,
+                    transf: Optional[Nnet] = None,
+                    crossvalidate: bool = False):
+    """Build the jit'd step. `transf` is the feature-transform net (CMVN);
+    its params are passed per call (they are small and frozen)."""
+    # donate params/opt_state/states buffers in training (they are consumed
+    # and re-emitted every step); CV must not donate — callers keep reading
+    # the same params across the pass
+    donate = () if crossvalidate else (0, 1, 2)
+    return functools.partial(jax.jit, donate_argnums=donate)(
+        _make_step_fn(nnet, opts, transf, crossvalidate))
+
+
+def make_grouped_train_step(nnet: Nnet, opts: TrainOptions,
+                            transf: Optional[Nnet] = None):
+    """One device dispatch runs a GROUP of train steps via lax.scan over
+    pre-staged batches (leading axis B on every batch array; rngs is an
+    optional [B, 2] key array for dropout). Per-step dispatch through a
+    device queue costs ~25% of wall at the flagship shape (BENCH_NOTES
+    device-attribution); grouping amortizes it — the TPU-idiomatic
+    device-loop the reference's per-minibatch host loop
+    (bd-nnet-train-lstm-streams.cc:143-282) could never express.
+    Returns stacked per-step aux ([B]-shaped LossAux)."""
+    step_fn = _make_step_fn(nnet, opts, transf, crossvalidate=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def gstep(params, opt_state, states, transf_params, feats, tgt_ids,
+              tgt_weights, mask, reset_flags, learn_rate, rngs=None):
+        def body(carry, xs):
+            p, o, s = carry
+            rng = xs[-1] if rngs is not None else None
+            f, i, w, m, fl = xs[:5]
+            p, o, s, aux = step_fn(p, o, s, transf_params, f, i, w, m,
+                                   fl, learn_rate, rng)
+            return (p, o, s), aux
+
+        xs = (feats, tgt_ids, tgt_weights, mask, reset_flags)
+        if rngs is not None:
+            xs = xs + (rngs,)
+        (params, opt_state, states), auxs = jax.lax.scan(
+            body, (params, opt_state, states), xs)
+        return params, opt_state, states, auxs
+
+    return gstep
 
 
 def _monitor_first_batch(nnet, params, transf, transf_params, batch, opts,
@@ -300,13 +339,20 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
               opt_state: Optional[MomentumState] = None,
               dump_interval: int = 0, dump_fn=None,
               learn_rate: Optional[float] = None,
-              monitor_verbose: int = 0) -> EpochResult:
+              monitor_verbose: int = 0,
+              step_group: int = 1) -> EpochResult:
     """One pass over the utterance source (one `bd-nnet-train-lstm-streams`
     invocation). `dump_fn(params, num_done)` is called every
     `dump_interval` utterances (:275-281). `monitor_verbose>=1` prints
     InfoPropagate/InfoGradient moment dumps at the first minibatch
-    (:232-239)."""
-    step = make_train_step(nnet, opts, transf, crossvalidate)
+    (:232-239). `step_group > 1` stages that many batches per device
+    dispatch (lax.scan device loop — identical math, coarser
+    dump/monitor granularity); group tails run through the plain step."""
+    use_group = step_group > 1 and not crossvalidate
+    step = None if use_group else make_train_step(nnet, opts, transf,
+                                                  crossvalidate)
+    gstep = make_grouped_train_step(nnet, opts, transf) if use_group \
+        else None
     if opt_state is None:
         opt_state = init_momentum(params)
     states = nnet.init_states(scheduler.S)
@@ -324,29 +370,69 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
     batch_idx = 0
     pending: list = []
 
-    from kaldi_lstm_tpu.train.streams import PrefetchIterator
-    for batch in PrefetchIterator(scheduler, depth=2):
+    def batched_source():
+        """Yield lists of up to `step_group` StreamBatches."""
+        from kaldi_lstm_tpu.train.streams import PrefetchIterator
+        it = PrefetchIterator(scheduler,
+                              depth=max(2, step_group + 1))
+        group: list = []
+        for b in it:
+            group.append(b)
+            if len(group) >= max(step_group, 1):
+                yield group
+                group = []
+        if group:
+            yield group
+
+    for group in batched_source():
         if first_batch and monitor_verbose >= 1:
             _monitor_first_batch(nnet, params, transf, transf_params,
-                                 batch, opts, crossvalidate)
+                                 group[0], opts, crossvalidate)
         first_batch = False
-        step_args = (params, opt_state, states, transf_params,
-                     jnp.asarray(batch.feats), jnp.asarray(batch.tgt_ids),
-                     jnp.asarray(batch.tgt_weights),
-                     jnp.asarray(batch.mask),
-                     jnp.asarray(batch.reset_flags), lr)
-        if use_dropout:
-            params, opt_state, states, aux = step(
-                *step_args, rng=jax.random.fold_in(drop_key, batch_idx))
+        if use_group and len(group) == step_group:
+            b = len(group)
+            gargs = (params, opt_state, states, transf_params,
+                     jnp.asarray(np.stack([g.feats for g in group])),
+                     jnp.asarray(np.stack([g.tgt_ids for g in group])),
+                     jnp.asarray(np.stack([g.tgt_weights
+                                           for g in group])),
+                     jnp.asarray(np.stack([g.mask for g in group])),
+                     jnp.asarray(np.stack([g.reset_flags
+                                           for g in group])), lr)
+            if use_dropout:
+                rngs = jnp.stack([jax.random.fold_in(drop_key,
+                                                     batch_idx + i)
+                                  for i in range(b)])
+                params, opt_state, states, aux = gstep(*gargs, rngs=rngs)
+            else:
+                params, opt_state, states, aux = gstep(*gargs)
+            batch_idx += b
+            pending.append(aux)  # [B]-shaped LossAux
         else:
-            params, opt_state, states, aux = step(*step_args)
-        batch_idx += 1
+            for batch in group:
+                step_args = (params, opt_state, states, transf_params,
+                             jnp.asarray(batch.feats),
+                             jnp.asarray(batch.tgt_ids),
+                             jnp.asarray(batch.tgt_weights),
+                             jnp.asarray(batch.mask),
+                             jnp.asarray(batch.reset_flags), lr)
+                if step is None:  # grouped epoch's tail
+                    step = make_train_step(nnet, opts, transf,
+                                           crossvalidate)
+                if use_dropout:
+                    params, opt_state, states, aux = step(
+                        *step_args,
+                        rng=jax.random.fold_in(drop_key, batch_idx))
+                else:
+                    params, opt_state, states, aux = step(*step_args)
+                batch_idx += 1
+                # Buffer per-batch stats on DEVICE and fetch in blocks:
+                # a per-step host transfer would serialize the pipeline
+                # (the reference syncs every minibatch — cheap on its
+                # single GPU, ruinous through a device queue at hundreds
+                # of steps/s).
+                pending.append(aux)
 
-        # Buffer per-batch stats on DEVICE and fetch in blocks: a
-        # per-step host transfer would serialize the pipeline (the
-        # reference syncs every minibatch — cheap on its single GPU,
-        # ruinous through a device queue at hundreds of steps/s).
-        pending.append(aux)
         if len(pending) >= STATS_FLUSH:
             total_frames = _flush_stats(pending, stats, scheduler,
                                         total_frames)
@@ -385,10 +471,13 @@ def _flush_stats(pending, stats: LossStats, scheduler,
     reference polls CheckGpuHealth every 1000 utterances, :269-272)."""
     if not pending:
         return total_frames
-    block = np.asarray(jnp.stack(
+    # each entry is a LossAux of scalars (plain step) or of [B] vectors
+    # (grouped step); flatten both to [total, 4] rows in step order
+    block = np.asarray(jnp.concatenate(
         [jnp.stack([a.xent, a.entropy,
                     a.correct.astype(jnp.float32),
-                    a.frames.astype(jnp.float32)]) for a in pending]))
+                    a.frames.astype(jnp.float32)]).reshape(4, -1)
+         for a in pending], axis=1)).T
     pending.clear()
     for xent, ent, correct, frames in block:
         if not np.isfinite(xent):

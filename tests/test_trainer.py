@@ -115,3 +115,25 @@ def test_cv_deterministic_across_runs():
     r2 = run_epoch(nnet, params, make_sched(), opts, crossvalidate=True)
     assert r1.stats.loss == r2.stats.loss
     assert r1.stats.correct == r2.stats.correct
+
+
+def test_grouped_step_matches_plain(tmp_path):
+    """step_group > 1 (lax.scan device loop) must reproduce the plain
+    per-batch epoch: same final params and the same loss statistics,
+    including a tail group smaller than the group size."""
+    nnet, params0 = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(3))
+    opts = TrainOptions(learn_rate=5e-3, momentum=0.9)
+
+    r_plain = run_epoch(nnet, jax.tree_util.tree_map(jnp.array, params0),
+                        make_sched(seed=7), opts)
+    r_grp = run_epoch(nnet, jax.tree_util.tree_map(jnp.array, params0),
+                      make_sched(seed=7), opts, step_group=3)
+    assert r_plain.num_done == r_grp.num_done
+    assert r_plain.total_frames == r_grp.total_frames
+    assert abs(r_plain.stats.loss - r_grp.stats.loss) \
+        <= 1e-3 * max(1.0, abs(r_plain.stats.loss))
+    assert r_plain.stats.correct == r_grp.stats.correct
+    for a, b in zip(jax.tree_util.tree_leaves(r_plain.params),
+                    jax.tree_util.tree_leaves(r_grp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)

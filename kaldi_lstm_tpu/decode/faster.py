@@ -1,19 +1,25 @@
-"""Token-passing Viterbi beam search over a DecodingGraph — the
-self-contained equivalent of upstream Kaldi's `decode-faster-mapped`
-(the reference's decode recipe pipes nnet-forward into that stack,
-README.md:17-30).
+"""Viterbi beam search over a DecodingGraph — the self-contained
+equivalent of upstream Kaldi's `decode-faster-mapped` (the reference's
+decode recipe pipes nnet-forward into that stack, README.md:17-30).
 
-Classic two-phase frame loop: ProcessEmitting advances every surviving
-token across frame-consuming arcs (score += graph weight +
-acoustic_scale * loglik[t, pdf]); ProcessNonemitting closes the epsilon
-frontier (word entry arcs, chain exits, LM backoff). Beam pruning is
-relative to the frame's best token; `max_active` adaptively tightens the
-beam like upstream's GetCutoff. Word labels are recovered from a linked
-backpointer trace, so memory is O(active tokens), not O(T).
+Two implementations sharing the same semantics:
 
-Decoding is host-side: the per-utterance dynamic program over a sparse
-irregular graph is branch-heavy search, not MXU work — the same division
-of labor as the reference (GPU scores, CPU decodes).
+* `decode_faster` — vectorized: the graph is compiled once to CSR arc
+  arrays (`CompiledGraph`); each frame batches one scatter-max
+  relaxation (`np.maximum.at`) over the arcs leaving the surviving
+  beam-pruned states, then a frontier epsilon closure (word entry arcs,
+  chain exits, LM backoff — passes bounded by the epsilon-graph depth).
+  Backpointers are per-frame arc ids, so the traceback recovers word
+  labels exactly. This is the production path: numpy C loops over the
+  active frontier instead of a Python dict per token.
+* `decode_faster_tokens` — the reference-style token-passing loop
+  (ProcessEmitting / ProcessNonemitting with a hash of active tokens);
+  kept as the independent cross-check the vectorized path is tested
+  against, and for max_active-style adaptive pruning.
+
+Decoding is host-side: a sparse irregular dynamic program is search, not
+MXU work — the same division of labor as the reference (GPU scores, CPU
+decodes).
 """
 
 from __future__ import annotations
@@ -66,10 +72,180 @@ def _process_nonemitting(graph: DecodingGraph, tokens: dict,
                 queue.append(arc.dst)
 
 
+class CompiledGraph:
+    """DecodingGraph flattened to CSR arc arrays (sorted by source state)
+    for vectorized frontier relaxation. Build once per graph (cached on
+    the graph object by decode_faster)."""
+
+    def __init__(self, graph: DecodingGraph):
+        em, eps = [], []
+        for src, arcs in enumerate(graph.arcs):
+            for a in arcs:
+                (em if a.pdf >= 0 else eps).append(
+                    (src, a.dst, a.pdf, a.word, a.weight))
+        ns = graph.num_states
+
+        def csr(rows):
+            if not rows:
+                z = np.zeros(0, np.int32)
+                return (z, z, z, z, np.zeros(0),
+                        np.zeros(ns + 1, np.int64))
+            arr = np.asarray(rows, np.float64)
+            order = np.argsort(arr[:, 0], kind="stable")
+            arr = arr[order]
+            src = arr[:, 0].astype(np.int32)
+            row_ptr = np.zeros(ns + 1, np.int64)
+            np.add.at(row_ptr, src + 1, 1)
+            np.cumsum(row_ptr, out=row_ptr)
+            return (src, arr[:, 1].astype(np.int32),
+                    arr[:, 2].astype(np.int32),
+                    arr[:, 3].astype(np.int32), arr[:, 4], row_ptr)
+
+        (self.em_src, self.em_dst, self.em_pdf, self.em_word, self.em_w,
+         self.em_ptr) = csr(em)
+        (self.eps_src, self.eps_dst, _, self.eps_word, self.eps_w,
+         self.eps_ptr) = csr(eps)
+        self.num_em = len(em)
+        self.ns = ns
+        self.start = graph.start
+        self.final = np.asarray(graph.final, np.float64)
+        self.words = graph.words
+
+
+def _out_arcs(row_ptr, states):
+    """Arc ids of all arcs leaving `states` (CSR range gather)."""
+    starts = row_ptr[states]
+    counts = (row_ptr[states + 1] - starts).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    # standard vectorized multi-range arange
+    rep_starts = np.repeat(starts, counts)
+    offs = np.arange(total) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    return rep_starts + offs
+
+
+def _eps_closure(cg: CompiledGraph, alpha: np.ndarray, bp: np.ndarray,
+                 frontier: np.ndarray, cutoff: float = -np.inf,
+                 max_passes: int = 32):
+    """Frontier epsilon relaxation to a fixed point, in place; expansions
+    below `cutoff` are dropped (upstream ProcessNonemitting applies the
+    frame cutoff to epsilon successors too — without it the word-entry
+    epsilon fan-out re-activates every pronunciation chain each frame).
+    The grammar epsilon subgraph is a shallow DAG (entry/exit/backoff
+    arcs), so this converges in <= its depth (~3) passes;
+    strict-improvement updates terminate even on zero-weight cycles."""
+    if cg.eps_src.size == 0:
+        return np.zeros(0, np.int64)
+    improved_all = []
+    for _ in range(max_passes):
+        ids = _out_arcs(cg.eps_ptr, frontier)
+        if ids.size == 0:
+            break
+        cand = alpha[cg.eps_src[ids]] + cg.eps_w[ids]
+        keep = cand > cutoff
+        ids, cand = ids[keep], cand[keep]
+        if ids.size == 0:
+            break
+        dst = cg.eps_dst[ids]
+        old = alpha[dst].copy()
+        np.maximum.at(alpha, dst, cand)
+        win = (cand >= alpha[dst]) & (alpha[dst] > old)
+        if not win.any():
+            break
+        # eps arc ids are offset past the emitting arcs in bp
+        bp[dst[win]] = cg.num_em + ids[win]
+        frontier = np.unique(dst[win])
+        improved_all.append(frontier)
+    if improved_all:
+        return np.unique(np.concatenate(improved_all))
+    return np.zeros(0, np.int64)
+
+
 def decode_faster(graph: DecodingGraph, loglik: np.ndarray,
                   acoustic_scale: float = 1.0, beam: float = 16.0,
                   max_active: int = 0) -> DecodeResult:
-    """Viterbi beam search over [T, num_pdfs] scaled log-likelihoods."""
+    """Vectorized Viterbi beam search over [T, num_pdfs] scaled
+    log-likelihoods: per frame, one batched relaxation over the arcs
+    leaving the surviving (beam-pruned) states — numpy C loops instead
+    of a Python dict per token. Backpointer memory is O(T * num_states)
+    int32 — fine up to ~100k-state graphs at utterance length."""
+    cg = getattr(graph, "_compiled", None)
+    if cg is None:
+        cg = CompiledGraph(graph)
+        graph._compiled = cg
+    em = acoustic_scale * np.asarray(loglik, np.float64)
+    T = em.shape[0]
+    ns = cg.ns
+
+    alpha = np.full(ns, NEG)
+    alpha[cg.start] = 0.0
+    bps = np.full((T + 1, ns), -1, np.int32)
+    _eps_closure(cg, alpha, bps[0], np.asarray([cg.start]))
+    active = np.nonzero(alpha > NEG / 2)[0]
+
+    for t in range(T):
+        ids = _out_arcs(cg.em_ptr, active)
+        dst = cg.em_dst[ids]
+        cand = alpha[cg.em_src[ids]] + cg.em_w[ids] \
+            + em[t][cg.em_pdf[ids]]
+        alpha = np.full(ns, NEG)
+        np.maximum.at(alpha, dst, cand)
+        win = cand >= alpha[dst]
+        bp = bps[t + 1]
+        bp[dst[win]] = ids[win]
+        touched = np.unique(dst)
+        if touched.size == 0:
+            raise RuntimeError(
+                f"decode_faster: no tokens survived at frame {t} — "
+                "beam too tight or loglik/graph mismatch")
+        scores = alpha[touched]
+        best = scores.max()
+        cutoff = best - beam
+        if max_active and (scores > cutoff).sum() > max_active:
+            cutoff = max(cutoff,
+                         np.partition(scores, -max_active)[-max_active])
+        dead = touched[alpha[touched] < cutoff]
+        alpha[dead] = NEG
+        bp[dead] = -1
+        active = touched[alpha[touched] > NEG / 2]
+        grown = _eps_closure(cg, alpha, bp, active, cutoff)
+        if grown.size:
+            active = np.unique(np.concatenate([active, grown]))
+
+    total = alpha + cg.final
+    reached = bool(total.max() > NEG / 2)
+    state = int(np.argmax(total if reached else alpha))
+    score = float(total[state] if reached else alpha[state])
+
+    words = []
+    level = T
+    while not (level == 0 and state == cg.start
+               and bps[0][state] == -1):
+        arc = int(bps[level][state])
+        if arc < 0:
+            raise RuntimeError("decode_faster: broken backpointer chain")
+        if arc >= cg.num_em:
+            e = arc - cg.num_em
+            if cg.eps_word[e]:
+                words.append(int(cg.eps_word[e]))
+            state = int(cg.eps_src[e])
+        else:
+            if cg.em_word[arc]:
+                words.append(int(cg.em_word[arc]))
+            state = int(cg.em_src[arc])
+            level -= 1
+    words.reverse()
+    return DecodeResult(words=words, score=score, reached_final=reached)
+
+
+def decode_faster_tokens(graph: DecodingGraph, loglik: np.ndarray,
+                         acoustic_scale: float = 1.0, beam: float = 16.0,
+                         max_active: int = 0) -> DecodeResult:
+    """Token-passing reference implementation (hash of active tokens,
+    linked-trace backpointers) — the independent cross-check for
+    decode_faster."""
     em = acoustic_scale * np.asarray(loglik, np.float64)
     tokens: dict = {graph.start: (0.0, None)}
     _process_nonemitting(graph, tokens, -np.inf)

@@ -227,3 +227,22 @@ def test_decode_faster_cli_pipeline(tmp_path, capsys):
     out = capsys.readouterr().out
     wer = float(out.split("%WER ")[1].split()[0])
     assert wer <= 2.0, out
+
+
+def test_vectorized_matches_token_decoder():
+    """decode_faster (dense scatter-max) vs decode_faster_tokens (hash
+    token passing): same score and transcript on real graphs."""
+    from kaldi_lstm_tpu.decode.faster import decode_faster_tokens
+    lex, lm, tm, means, rng = _oracle_setup(num_words=8, seed=11)
+    from kaldi_lstm_tpu.tools.make_word_synth_data import sample_sentence
+    for sil in (0.0, 0.3):
+        graph = build_decoding_graph(
+            tm, lex, lm, sil_phone=1 if sil else 0, sil_prob=sil)
+        for _ in range(6):
+            sent = sample_sentence(rng, lm, sorted(lex), 7) or ["w000"]
+            loglik = _emit(tm, lex, means, rng, sent, noise=0.6,
+                           sil_prob=sil)
+            a = decode_faster(graph, loglik, 1.0, beam=14.0)
+            b = decode_faster_tokens(graph, loglik, 1.0, beam=14.0)
+            assert abs(a.score - b.score) < 1e-6
+            assert a.words == b.words

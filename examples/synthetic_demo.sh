@@ -56,4 +56,42 @@ python -m kaldi_lstm_tpu.tools.nnet_forward \
     --class-frame-counts "$dir/counts.vec" --apply-log=true \
     "$dir/nnet.final" "scp:$dir/cv/feats.scp" "ark:$dir/loglik.ark"
 
+echo "=== 7. word-level pipeline: lexicon + bigram LM -> %WER"
+python -m kaldi_lstm_tpu.tools.make_word_synth_data --dir "$dir/words" \
+    --num-words 8 --num-phones 6 --states-per-phone 2 --feat-dim 10 \
+    --num-utts 80 --emission-noise 0.4
+python -m kaldi_lstm_tpu.tools.ali_to_pdf "$dir/words/final.mdl" \
+    "ark:$dir/words/ali.ark" "ark:$dir/words/pdf_ali.ark"
+python -m kaldi_lstm_tpu.tools.ali_to_post "ark:$dir/words/pdf_ali.ark" \
+    "ark:$dir/words/post.ark"
+cat > "$dir/words/nnet.proto" <<EOF
+<NnetProto>
+<LstmProjectedStreams> <InputDim> 10 <OutputDim> 16 <CellDim> 24 <ParamScale> 0.08 <NumStream> 8
+<AffineTransform> <InputDim> 16 <OutputDim> 12 <ParamStddev> 0.1
+<Softmax> <InputDim> 12 <OutputDim> 12
+</NnetProto>
+EOF
+python -m kaldi_lstm_tpu.tools.nnet_initialize "$dir/words/nnet.proto" \
+    "$dir/words/nnet.iter0"
+for i in 0 1 2 3; do
+  python -m kaldi_lstm_tpu.tools.train_lstm_streams \
+      "scp:$dir/words/feats.scp" "ark:$dir/words/post.ark" \
+      "$dir/words/nnet.iter$i" "$dir/words/nnet.iter$((i+1))" \
+      --learn-rate=5e-3 --num-stream=8 --targets-delay=0 --step-group=4
+done
+python -m kaldi_lstm_tpu.tools.compute_class_counts \
+    "ark:$dir/words/post.ark" "$dir/words/counts.vec" --num-classes 12 \
+    --counts-offset 1
+python -m kaldi_lstm_tpu.tools.nnet_forward \
+    --class-frame-counts "$dir/words/counts.vec" --apply-log=true \
+    "$dir/words/nnet.iter4" "scp:$dir/words/feats.scp" \
+    "ark:$dir/words/loglik.ark"
+python -m kaldi_lstm_tpu.tools.decode_faster "$dir/words/final.mdl" \
+    "$dir/words/lexicon.txt" "$dir/words/lm.arpa" \
+    "ark:$dir/words/loglik.ark" "ark,t:$dir/words/hyp.txt" \
+    --word-symbol-table "$dir/words/words.txt" --acoustic-scale 1.0 \
+    --beam 18
+python -m kaldi_lstm_tpu.tools.compute_wer "$dir/words/text" \
+    "$dir/words/hyp.txt"
+
 echo "=== demo complete; outputs in $dir"

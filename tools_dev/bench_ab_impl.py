@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 from kaldi_lstm_tpu.models import Nnet
 from kaldi_lstm_tpu.models.components import set_matmul_dtype
 from kaldi_lstm_tpu.train import TrainOptions, init_momentum, \

@@ -13,6 +13,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 from kaldi_lstm_tpu.ops import init_lstm_params, zero_state
 
 S, T, I, C, R = 512, 20, 40, 800, 512

@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 from kaldi_lstm_tpu.models import Nnet
 from kaldi_lstm_tpu.parallel import MeshPlan, make_mesh, \
     make_sharded_train_step

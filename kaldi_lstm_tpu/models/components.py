@@ -668,17 +668,27 @@ class BLstmProjectedStreams(_LstmBase):
                                    self.recur_dim, self.param_scale),
         }
 
-    def apply(self, params, x, state=None, rng=None, train=False):
-        S = x.shape[0]
+    def apply(self, params, x, state=None, rng=None, train=False,
+              time_major=False, input_grad=True):
+        taxis = 0 if time_major else 1
+        S = x.shape[1] if time_major else x.shape[0]
         st = zero_state(S, self.cell_dim, self.recur_dim, x.dtype)
         m_f = m_b = None
         if train and rng is not None and self.dropout_rate > 0:
             rf, rb = jax.random.split(rng)
             m_f = self._dropout_mask(rf, x)
             m_b = self._dropout_mask(rb, x)
-        out_f, _ = self._run_scan(params["fw"], x, st, m_f)
-        out_b, _ = self._run_scan(params["bw"], x[:, ::-1], st, m_b)
-        return jnp.concatenate([out_f, out_b[:, ::-1]], axis=-1), None
+        x_rev = jnp.flip(x, axis=taxis)
+        out_f, _ = self._run_scan(params["fw"], x, st, m_f,
+                                  time_major=time_major,
+                                  input_grad=input_grad)
+        out_b, _ = self._run_scan(params["bw"], x_rev, st,
+                                  None if m_b is None else
+                                  jnp.flip(m_b, axis=taxis),
+                                  time_major=time_major,
+                                  input_grad=input_grad)
+        return jnp.concatenate([out_f, jnp.flip(out_b, axis=taxis)],
+                               axis=-1), None
 
     def read_data(self, inp):
         tok = kio.read_token(inp)

@@ -87,10 +87,14 @@ def _fwd_kernel(r_ref, w_ref, b_ref, ids_ref, tw_ref,
                                                     keepdims=True)
 
     # running argmax (strictly-greater keeps the FIRST max, FindRowMaxId
-    # semantics)
-    tile_arg = jnp.argmax(z, axis=-1).reshape(ft, 1).astype(jnp.float32)
+    # semantics). Integer-only: jnp.argmax (and any int->float astype)
+    # hits a Mosaic legalization hole (arith.sitofp) at small tiles, so
+    # the first-max lane index is a masked integer min-reduction and the
+    # running index scratch stays i32 end to end.
+    in_tile_arg = jnp.min(jnp.where(z >= tile_max, lane, kt),
+                          axis=-1, keepdims=True)            # i32 [ft,1]
     upd = tile_max > av_s[:, 0:1]
-    ai_s[:, 0:1] = jnp.where(upd, k * kt + tile_arg, ai_s[:, 0:1])
+    ai_s[:, 0:1] = jnp.where(upd, k * kt + in_tile_arg, ai_s[:, 0:1])
     av_s[:, 0:1] = jnp.where(upd, tile_max, av_s[:, 0:1])
 
     @pl.when(k == nk - 1)
@@ -111,7 +115,8 @@ def _fwd_call(r, w, b, ids, tw, *, ft, kt, interpret):
         return (s, 0)
 
     outs = [jax.ShapeDtypeStruct((npad, 128), jnp.float32)
-            for _ in range(4)]
+            for _ in range(3)] + [jax.ShapeDtypeStruct((npad, 128),
+                                                       jnp.int32)]
     return pl.pallas_call(
         functools.partial(_fwd_kernel, kt=kt, km=km),
         grid=grid,
@@ -128,7 +133,8 @@ def _fwd_call(r, w, b, ids, tw, *, ft, kt, interpret):
                    for _ in range(4)],
         out_shape=outs,
         scratch_shapes=[pltpu.VMEM((ft, 128), jnp.float32)
-                        for _ in range(5)],
+                        for _ in range(4)]
+        + [pltpu.VMEM((ft, 128), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,

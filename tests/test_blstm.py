@@ -72,3 +72,30 @@ def test_blstm_trains():
         params, opt = res.params, res.opt_state
     avgN = (res.stats.loss - res.stats.entropy) / res.stats.frames
     assert avgN < avg1 - 0.05
+
+
+def test_blstm_fused_trainer_time_major_and_input_grad():
+    """The fused objective passes time_major=True and input_grad=False to
+    a first-layer BLSTM (both kwargs were once only on the unidirectional
+    cells); loss must match the unfused path."""
+    from tests.test_trainer import make_sched
+    from kaldi_lstm_tpu.train import TrainOptions, run_epoch
+
+    proto = PROTO.replace("<InputDim> 5", "<InputDim> 6", 1).replace(
+        "<OutputDim> 4", "<OutputDim> 5").replace(
+        "<InputDim> 4", "<InputDim> 5")
+    nnet, params = Nnet.init_from_proto(proto, jax.random.PRNGKey(2))
+    p0 = jax.tree_util.tree_map(jnp.array, params)
+    r_fused = run_epoch(nnet, p0, make_sched(seed=5),
+                        TrainOptions(learn_rate=1e-3, momentum=0.9,
+                                     fused_xent=True))
+    p0 = jax.tree_util.tree_map(jnp.array, params)
+    r_plain = run_epoch(nnet, p0, make_sched(seed=5),
+                        TrainOptions(learn_rate=1e-3, momentum=0.9,
+                                     fused_xent=False))
+    assert abs(r_fused.stats.loss - r_plain.stats.loss) <= \
+        1e-3 * max(1.0, abs(r_plain.stats.loss))
+    for a, b in zip(jax.tree_util.tree_leaves(r_fused.params),
+                    jax.tree_util.tree_leaves(r_plain.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)

@@ -82,13 +82,13 @@ class CompiledGraph:
         for src, arcs in enumerate(graph.arcs):
             for a in arcs:
                 (em if a.pdf >= 0 else eps).append(
-                    (src, a.dst, a.pdf, a.word, a.weight))
+                    (src, a.dst, a.pdf, a.word, a.weight, a.tid))
         ns = graph.num_states
 
         def csr(rows):
             if not rows:
                 z = np.zeros(0, np.int32)
-                return (z, z, z, z, np.zeros(0),
+                return (z, z, z, z, np.zeros(0), z,
                         np.zeros(ns + 1, np.int64))
             arr = np.asarray(rows, np.float64)
             order = np.argsort(arr[:, 0], kind="stable")
@@ -99,12 +99,13 @@ class CompiledGraph:
             np.cumsum(row_ptr, out=row_ptr)
             return (src, arr[:, 1].astype(np.int32),
                     arr[:, 2].astype(np.int32),
-                    arr[:, 3].astype(np.int32), arr[:, 4], row_ptr)
+                    arr[:, 3].astype(np.int32), arr[:, 4],
+                    arr[:, 5].astype(np.int32), row_ptr)
 
         (self.em_src, self.em_dst, self.em_pdf, self.em_word, self.em_w,
-         self.em_ptr) = csr(em)
+         self.em_tid, self.em_ptr) = csr(em)
         (self.eps_src, self.eps_dst, _, self.eps_word, self.eps_w,
-         self.eps_ptr) = csr(eps)
+         _, self.eps_ptr) = csr(eps)
         self.num_em = len(em)
         self.ns = ns
         self.start = graph.start

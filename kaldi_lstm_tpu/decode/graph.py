@@ -45,6 +45,7 @@ class Arc:
     pdf: int       # -1 = epsilon (consumes no frame)
     word: int      # 0 = no output label
     weight: float  # ln prob
+    tid: int = 0   # transition-id (lattice ilabel); 0 on epsilon arcs
 
 
 @dataclass
@@ -75,8 +76,8 @@ class _Builder:
         return len(self.arcs) - 1
 
     def add_arc(self, src: int, dst: int, pdf: int, word: int,
-                weight: float) -> None:
-        self.arcs[src].append(Arc(dst, pdf, word, weight))
+                weight: float, tid: int = 0) -> None:
+        self.arcs[src].append(Arc(dst, pdf, word, weight, tid))
 
     def add_phone(self, phone: int, next_state: int) -> int:
         """Expand one phone HMM; its final (non-emitting) topology state
@@ -97,7 +98,7 @@ class _Builder:
                 tid = base_tid + k
                 target = next_state if dst == n_emit else states[dst]
                 self.add_arc(states[j], target, int(tm.id2pdf[tid]), 0,
-                             float(tm.log_probs[tid]))
+                             float(tm.log_probs[tid]), tid)
         return states[0]
 
     def add_pron_chain(self, phones: list[int]) -> tuple[int, int]:

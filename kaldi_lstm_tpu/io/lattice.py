@@ -1,0 +1,590 @@
+"""Kaldi lattice I/O — Lattice / CompactLattice arks in upstream wire
+formats, so lattices interoperate with the Kaldi tooling the reference's
+decode recipe relies on (README.md:17-30 pipes nnet-forward into the
+upstream latgen/lattice-* stack; this module is the table layer that
+stack reads and writes).
+
+Wire formats implemented (both directions, binary and text):
+
+* Binary = OpenFst VectorFst serialization (openfst fst.cc
+  FstHeader::Write/Read + vector-fst.h VectorFst::WriteFst):
+  magic int32 2125659606, fsttype "vector", arctype "lattice4" /
+  "compactlattice44", version 2, flags, properties, start, numstates,
+  numarcs; then per state: final weight, int64 narcs, arcs as
+  (ilabel i32, olabel i32, weight, nextstate i32). LatticeWeight is two
+  f32 costs (graph, acoustic); CompactLatticeWeight appends
+  int32 length + int32 transition-ids (lat/lattice-weight.h semantics).
+  Table framing: "key \\0B<fst>" — the \\0B marker is consumed by the
+  holder exactly as Kaldi's LatticeHolder::Read does (lat/kaldi-lattice.cc).
+* Text = OpenFst AT&T text lines after a "key\\n" line, terminated by a
+  blank line: arcs "src dst ilabel olabel g,a" (Lattice) or
+  "src dst word g,a,tid1_tid2_..." (CompactLattice); finals
+  "state [weight]".
+
+Weights are COSTS (negated natural-log probs), Kaldi convention:
+total path cost = graph_cost + acoustic_cost; Zero = +inf (never on
+final lines — absence of a final entry means non-final).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import sys
+from dataclasses import dataclass, field
+
+from kaldi_lstm_tpu.io.kaldi_io import _open_rspecifier, _read_key
+
+FST_MAGIC = 2125659606          # openfst fst.cc kFstMagicNumber
+_VECTOR_VERSION = 2             # vector-fst.h kFileVersion
+# fst-properties: kExpanded | kMutable — VectorFst's static properties;
+# upstream readers store these without validating, so the full computed
+# property bits Kaldi writes are unnecessary.
+_PROPERTIES = 0x3
+INF = math.inf
+
+
+@dataclass
+class LatticeArc:
+    """Lattice arc: ilabel = transition-id, olabel = word id."""
+    ilabel: int
+    olabel: int
+    graph_cost: float
+    acoustic_cost: float
+    dst: int
+
+
+@dataclass
+class CompactLatticeArc:
+    """CompactLattice arc: label = word id (acceptor), weight carries the
+    transition-id string (lat/kaldi-lattice.h CompactLatticeWeight)."""
+    label: int
+    graph_cost: float
+    acoustic_cost: float
+    tids: tuple
+    dst: int
+
+
+@dataclass
+class Lattice:
+    arcs: list = field(default_factory=list)   # arcs[state] -> [LatticeArc]
+    # final[state] = (graph_cost, acoustic_cost); missing = not final
+    final: dict = field(default_factory=dict)
+    start: int = 0
+
+    def add_state(self) -> int:
+        self.arcs.append([])
+        return len(self.arcs) - 1
+
+    @property
+    def num_states(self) -> int:
+        return len(self.arcs)
+
+    def num_arcs(self) -> int:
+        return sum(len(a) for a in self.arcs)
+
+
+@dataclass
+class CompactLattice:
+    arcs: list = field(default_factory=list)
+    # final[state] = (graph_cost, acoustic_cost, tids-tuple)
+    final: dict = field(default_factory=dict)
+    start: int = 0
+
+    def add_state(self) -> int:
+        self.arcs.append([])
+        return len(self.arcs) - 1
+
+    @property
+    def num_states(self) -> int:
+        return len(self.arcs)
+
+    def num_arcs(self) -> int:
+        return sum(len(a) for a in self.arcs)
+
+
+# ---------------------------------------------------------------------------
+# conversions (lat/lattice-functions / fstext ConvertLattice semantics)
+# ---------------------------------------------------------------------------
+
+def lattice_to_compact(lat: Lattice) -> CompactLattice:
+    """Arc-by-arc conversion (fstext/lattice-utils-inl.h ConvertLattice):
+    each arc's ilabel becomes a length<=1 transition-id string, the word
+    becomes the acceptor label. No determinization — state structure is
+    preserved (upstream latgen with --determinize-lattice=false)."""
+    out = CompactLattice(start=lat.start)
+    for arcs in lat.arcs:
+        out.arcs.append([
+            CompactLatticeArc(a.olabel, a.graph_cost, a.acoustic_cost,
+                              (a.ilabel,) if a.ilabel != 0 else (),
+                              a.dst)
+            for a in arcs])
+    out.final = {s: (g, a, ()) for s, (g, a) in lat.final.items()}
+    return out
+
+
+def compact_to_lattice(clat: CompactLattice) -> Lattice:
+    """Inverse conversion: each transition-id in an arc's string becomes
+    one Lattice arc (extra states inserted for strings longer than 1);
+    the word label and weight ride the first arc."""
+    lat = Lattice(start=clat.start)
+    for _ in range(clat.num_states):
+        lat.add_state()
+    for src, arcs in enumerate(clat.arcs):
+        for a in arcs:
+            tids = a.tids if a.tids else (0,)
+            cur = src
+            for k, tid in enumerate(tids):
+                first = k == 0
+                last = k == len(tids) - 1
+                nxt = a.dst if last else lat.add_state()
+                lat.arcs[cur].append(LatticeArc(
+                    tid, a.label if first else 0,
+                    a.graph_cost if first else 0.0,
+                    a.acoustic_cost if first else 0.0, nxt))
+                cur = nxt
+    for s, (g, ac, tids) in clat.final.items():
+        if tids:
+            cur = s
+            for k, tid in enumerate(tids):
+                nxt = lat.add_state()
+                lat.arcs[cur].append(LatticeArc(
+                    tid, 0, g if k == 0 else 0.0,
+                    ac if k == 0 else 0.0, nxt))
+                cur = nxt
+            lat.final[cur] = (0.0, 0.0)
+        else:
+            lat.final[s] = (g, ac)
+    return lat
+
+
+# ---------------------------------------------------------------------------
+# binary (OpenFst VectorFst wire format)
+# ---------------------------------------------------------------------------
+
+def _w_i32(b: bytearray, v: int) -> None:
+    b += struct.pack("<i", v)
+
+
+def _w_str(b: bytearray, s: str) -> None:
+    raw = s.encode()
+    _w_i32(b, len(raw))
+    b += raw
+
+
+def _w_f32(b: bytearray, v: float) -> None:
+    b += struct.pack("<f", v)
+
+
+def _fst_header(arctype: str, start: int, nstates: int,
+                narcs: int) -> bytearray:
+    b = bytearray()
+    _w_i32(b, FST_MAGIC)
+    _w_str(b, "vector")
+    _w_str(b, arctype)
+    _w_i32(b, _VECTOR_VERSION)
+    _w_i32(b, 0)                          # flags: no symbol tables
+    b += struct.pack("<Q", _PROPERTIES)
+    b += struct.pack("<q", start)
+    b += struct.pack("<q", nstates)
+    b += struct.pack("<q", narcs)
+    return b
+
+
+def lattice_to_bytes(lat: Lattice) -> bytes:
+    b = _fst_header("lattice4", lat.start, lat.num_states, lat.num_arcs())
+    for s, arcs in enumerate(lat.arcs):
+        g, ac = lat.final.get(s, (INF, INF))
+        _w_f32(b, g)
+        _w_f32(b, ac)
+        b += struct.pack("<q", len(arcs))
+        for a in arcs:
+            _w_i32(b, a.ilabel)
+            _w_i32(b, a.olabel)
+            _w_f32(b, a.graph_cost)
+            _w_f32(b, a.acoustic_cost)
+            _w_i32(b, a.dst)
+    return bytes(b)
+
+
+def compact_lattice_to_bytes(clat: CompactLattice) -> bytes:
+    b = _fst_header("compactlattice44", clat.start, clat.num_states,
+                    clat.num_arcs())
+    for s, arcs in enumerate(clat.arcs):
+        g, ac, tids = clat.final.get(s, (INF, INF, ()))
+        _w_f32(b, g)
+        _w_f32(b, ac)
+        _w_i32(b, len(tids))
+        for t in tids:
+            _w_i32(b, t)
+        b += struct.pack("<q", len(arcs))
+        for a in arcs:
+            _w_i32(b, a.label)
+            _w_i32(b, a.label)            # acceptor: ilabel == olabel
+            _w_f32(b, a.graph_cost)
+            _w_f32(b, a.acoustic_cost)
+            _w_i32(b, len(a.tids))
+            for t in a.tids:
+                _w_i32(b, t)
+            _w_i32(b, a.dst)
+    return bytes(b)
+
+
+class _Reader:
+    def __init__(self, stream):
+        self.stream = stream
+
+    def bytes(self, n: int) -> bytes:
+        raw = self.stream.read(n)
+        if len(raw) != n:
+            raise EOFError("truncated lattice")
+        return raw
+
+    def i32(self) -> int:
+        return struct.unpack("<i", self.bytes(4))[0]
+
+    def i64(self) -> int:
+        return struct.unpack("<q", self.bytes(8))[0]
+
+    def f32(self) -> float:
+        return struct.unpack("<f", self.bytes(4))[0]
+
+    def string(self) -> str:
+        return self.bytes(self.i32()).decode()
+
+
+def read_lattice_binary(stream):
+    """Read one binary lattice (after any \\0B marker); returns a Lattice
+    or CompactLattice according to the header's arc type — the same
+    auto-detection Kaldi's ReadCompactLattice/ReadLattice perform."""
+    r = _Reader(stream)
+    magic = r.i32()
+    if magic != FST_MAGIC:
+        raise ValueError(f"bad FST magic {magic} (expected {FST_MAGIC})")
+    fsttype = r.string()
+    arctype = r.string()
+    if fsttype != "vector":
+        raise ValueError(f"unsupported fst type {fsttype!r}")
+    version = r.i32()
+    if version < 2:
+        raise ValueError(f"unsupported vector-fst version {version}")
+    r.i32()                               # flags
+    struct.unpack("<Q", r.bytes(8))       # properties
+    start = r.i64()
+    nstates = r.i64()
+    r.i64()                               # numarcs
+    if arctype == "lattice4":
+        lat = Lattice(start=start)
+        for s in range(nstates):
+            lat.add_state()
+            g, ac = r.f32(), r.f32()
+            if not (math.isinf(g) and math.isinf(ac)):
+                lat.final[s] = (g, ac)
+            for _ in range(r.i64()):
+                il, ol = r.i32(), r.i32()
+                gw, aw = r.f32(), r.f32()
+                lat.arcs[s].append(LatticeArc(il, ol, gw, aw, r.i32()))
+        return lat
+    if arctype == "compactlattice44":
+        clat = CompactLattice(start=start)
+        for s in range(nstates):
+            clat.add_state()
+            g, ac = r.f32(), r.f32()
+            tids = tuple(r.i32() for _ in range(r.i32()))
+            if not (math.isinf(g) and math.isinf(ac)):
+                clat.final[s] = (g, ac, tids)
+            for _ in range(r.i64()):
+                lbl = r.i32()
+                r.i32()                   # olabel == ilabel (acceptor)
+                gw, aw = r.f32(), r.f32()
+                atids = tuple(r.i32() for _ in range(r.i32()))
+                clat.arcs[s].append(
+                    CompactLatticeArc(lbl, gw, aw, atids, r.i32()))
+        return clat
+    raise ValueError(f"unsupported arc type {arctype!r}")
+
+
+# ---------------------------------------------------------------------------
+# text (OpenFst AT&T format, Kaldi lattice flavor)
+# ---------------------------------------------------------------------------
+
+def _fmt(v: float) -> str:
+    return repr(round(v, 6)) if v != int(v) else str(int(v))
+
+
+def lattice_to_text(lat: Lattice) -> str:
+    lines = []
+    order = [lat.start] + [s for s in range(lat.num_states)
+                           if s != lat.start]
+    for s in order:
+        for a in lat.arcs[s]:
+            lines.append(f"{s} {a.dst} {a.ilabel} {a.olabel} "
+                         f"{_fmt(a.graph_cost)},{_fmt(a.acoustic_cost)}")
+        if s in lat.final:
+            g, ac = lat.final[s]
+            w = f" {_fmt(g)},{_fmt(ac)}" if (g, ac) != (0.0, 0.0) else ""
+            lines.append(f"{s}{w}")
+    return "\n".join(lines) + "\n"
+
+
+def compact_lattice_to_text(clat: CompactLattice) -> str:
+    lines = []
+    order = [clat.start] + [s for s in range(clat.num_states)
+                            if s != clat.start]
+    for s in order:
+        for a in clat.arcs[s]:
+            tid_s = "_".join(str(t) for t in a.tids)
+            lines.append(f"{s} {a.dst} {a.label} "
+                         f"{_fmt(a.graph_cost)},{_fmt(a.acoustic_cost)},"
+                         f"{tid_s}")
+        if s in clat.final:
+            g, ac, tids = clat.final[s]
+            if (g, ac, tids) == (0.0, 0.0, ()):
+                lines.append(f"{s}")
+            else:
+                tid_s = "_".join(str(t) for t in tids)
+                lines.append(f"{s} {_fmt(g)},{_fmt(ac)},{tid_s}")
+    return "\n".join(lines) + "\n"
+
+
+def _parse_lat_weight(tok: str):
+    parts = tok.split(",")
+    if len(parts) == 2:                   # Lattice weight "g,a"
+        return float(parts[0]), float(parts[1]), None
+    if len(parts) == 3:                   # CompactLattice "g,a,t1_t2"
+        tids = tuple(int(t) for t in parts[2].split("_") if t)
+        return float(parts[0]), float(parts[1]), tids
+    raise ValueError(f"bad lattice weight {tok!r}")
+
+
+def lattice_from_text(lines):
+    """Parse text-lattice lines (auto-detects Lattice vs CompactLattice
+    from the field count / weight shape); state ids are renumbered so the
+    first line's source is the start state, matching OpenFst compile
+    semantics (upstream text lattices are already numbered this way)."""
+    arcs, finals = [], []
+    compact = None
+    for ln in lines:
+        f = ln.split()
+        if not f:
+            continue
+        if len(f) == 1:
+            finals.append((int(f[0]), 0.0, 0.0, ()))
+        elif len(f) == 2:
+            g, ac, tids = _parse_lat_weight(f[1])
+            if tids is not None:
+                compact = True            # "g,a,…" = CompactLatticeWeight
+            finals.append((int(f[0]), g, ac, tids or ()))
+        elif len(f) == 4:
+            compact = True
+            g, ac, tids = _parse_lat_weight(f[3])
+            if tids is None:
+                raise ValueError(f"bad compact-lattice arc line {ln!r}")
+            arcs.append((int(f[0]), int(f[1]), int(f[2]), 0, g, ac, tids))
+        elif len(f) == 5:
+            compact = False
+            g, ac, tids = _parse_lat_weight(f[4])
+            if tids is not None:
+                raise ValueError(f"bad lattice arc line {ln!r}")
+            arcs.append((int(f[0]), int(f[1]), int(f[2]), int(f[3]),
+                         g, ac, None))
+        else:
+            raise ValueError(f"bad lattice line {ln!r}")
+    if compact is None:
+        compact = True                    # finals-only: upstream default
+    nstates = 0
+    for a in arcs:
+        nstates = max(nstates, a[0] + 1, a[1] + 1)
+    for fl in finals:
+        nstates = max(nstates, fl[0] + 1)
+    start = arcs[0][0] if arcs else (finals[0][0] if finals else 0)
+    if compact:
+        clat = CompactLattice(start=start)
+        for _ in range(nstates):
+            clat.add_state()
+        for src, dst, lbl, _, g, ac, tids in arcs:
+            clat.arcs[src].append(CompactLatticeArc(lbl, g, ac, tids, dst))
+        for s, g, ac, tids in finals:
+            clat.final[s] = (g, ac, tids)
+        return clat
+    lat = Lattice(start=start)
+    for _ in range(nstates):
+        lat.add_state()
+    for src, dst, il, ol, g, ac, _ in arcs:
+        lat.arcs[src].append(LatticeArc(il, ol, g, ac, dst))
+    for s, g, ac, _t in finals:
+        lat.final[s] = (g, ac)
+    return lat
+
+
+# ---------------------------------------------------------------------------
+# table (ark) layer
+# ---------------------------------------------------------------------------
+
+class LatticeWriter:
+    """Writes `ark:` / `ark,t:` lattice tables (CompactLattice by default,
+    like upstream latgen). Accepts Lattice or CompactLattice values;
+    Lattices are converted arc-by-arc on write."""
+
+    def __init__(self, wspecifier: str, compact: bool = True):
+        binary = True
+        spec = wspecifier
+        if ":" in spec:
+            prefix, path = spec.split(":", 1)
+            opts = prefix.split(",")
+            if opts[0] != "ark":
+                raise ValueError(
+                    f"LatticeWriter: unsupported wspecifier {wspecifier!r}")
+            binary = "t" not in opts[1:]
+        else:
+            path = spec
+        self.stream = (open(path, "wb") if path != "-"
+                       else sys.stdout.buffer)
+        self._close = path != "-"
+        self.binary = binary
+        self.compact = compact
+
+    def write(self, key: str, lat) -> None:
+        if self.compact and isinstance(lat, Lattice):
+            lat = lattice_to_compact(lat)
+        elif not self.compact and isinstance(lat, CompactLattice):
+            lat = compact_to_lattice(lat)
+        if self.binary:
+            self.stream.write(key.encode() + b" \0B")
+            self.stream.write(compact_lattice_to_bytes(lat)
+                              if isinstance(lat, CompactLattice)
+                              else lattice_to_bytes(lat))
+        else:
+            text = (compact_lattice_to_text(lat)
+                    if isinstance(lat, CompactLattice)
+                    else lattice_to_text(lat))
+            self.stream.write(key.encode() + b"\n" + text.encode() + b"\n")
+
+    def close(self) -> None:
+        if self._close:
+            self.stream.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class SequentialLatticeReader:
+    """Iterates (key, Lattice|CompactLattice) over an `ark:` lattice
+    table, binary or text, as written by this module or upstream Kaldi
+    (lat/kaldi-lattice.cc LatticeHolder framing)."""
+
+    def __init__(self, rspecifier: str):
+        kind, stream = _open_rspecifier(rspecifier)
+        if kind != "ark":
+            raise ValueError(
+                f"SequentialLatticeReader: only ark: supported, got "
+                f"{rspecifier!r}")
+        self.stream = stream
+        self._close = stream is not sys.stdin.buffer
+
+    def __iter__(self):
+        try:
+            while True:
+                key = _read_key(self.stream)
+                if key is None:
+                    break
+                head = self.stream.read(2)
+                if head == b"\0B":
+                    yield key, read_lattice_binary(self.stream)
+                else:
+                    # text mode: _read_key consumed up to whitespace; the
+                    # head bytes belong to the first lattice line
+                    lines = []
+                    buf = head
+                    while True:
+                        ln = self.stream.readline()
+                        line = (buf + ln).decode()
+                        buf = b""
+                        if not line.strip():
+                            break
+                        lines.append(line)
+                        if not ln:
+                            break
+                    yield key, lattice_from_text(lines)
+        finally:
+            if self._close:
+                self.stream.close()
+
+
+# ---------------------------------------------------------------------------
+# lattice operations
+# ---------------------------------------------------------------------------
+
+def lattice_best_path(lat) -> tuple[list, list, float]:
+    """Shortest (lowest-cost) path through a Lattice or CompactLattice.
+    Returns (word-ids, transition-ids, total cost). Arc costs =
+    graph + acoustic (lattice-best-path semantics with the scales already
+    folded in). Epsilon/zero-cost cycles are not expected in decoder
+    output; states are relaxed in DAG-ish topological order discovered by
+    iterated Bellman-Ford (bounded passes)."""
+    compact = isinstance(lat, CompactLattice)
+    n = lat.num_states
+    dist = [INF] * n
+    back = [None] * n
+    dist[lat.start] = 0.0
+    for _ in range(n):
+        changed = False
+        for s in range(n):
+            if dist[s] == INF:
+                continue
+            for a in lat.arcs[s]:
+                nd = dist[s] + a.graph_cost + a.acoustic_cost
+                if nd < dist[a.dst] - 1e-12:
+                    dist[a.dst] = nd
+                    back[a.dst] = (s, a)
+                    changed = True
+        if not changed:
+            break
+    best_s, best_cost = None, INF
+    for s, fin in lat.final.items():
+        g, ac = fin[0], fin[1]
+        if dist[s] + g + ac < best_cost:
+            best_s, best_cost = s, dist[s] + g + ac
+    if best_s is None:
+        raise ValueError("lattice has no reachable final state")
+    words, tids = [], []
+    s = best_s
+    while back[s] is not None:
+        prev, a = back[s]
+        if compact:
+            if a.label:
+                words.append(a.label)
+            tids.extend(reversed(a.tids))
+        else:
+            if a.olabel:
+                words.append(a.olabel)
+            if a.ilabel:
+                tids.append(a.ilabel)
+        s = prev
+    words.reverse()
+    tids.reverse()
+    fin = lat.final[best_s]
+    if compact and fin[2]:
+        tids.extend(fin[2])
+    return words, tids, best_cost
+
+
+def lattice_scale(lat, lm_scale: float = 1.0,
+                  acoustic_scale: float = 1.0):
+    """lattice-scale: scale graph/acoustic costs in place (returns lat)."""
+    for arcs in lat.arcs:
+        for a in arcs:
+            a.graph_cost *= lm_scale
+            a.acoustic_cost *= acoustic_scale
+    compact = isinstance(lat, CompactLattice)
+    for s, fin in list(lat.final.items()):
+        if compact:
+            g, ac, tids = fin
+            lat.final[s] = (g * lm_scale, ac * acoustic_scale, tids)
+        else:
+            g, ac = fin
+            lat.final[s] = (g * lm_scale, ac * acoustic_scale)
+    return lat

@@ -1,0 +1,107 @@
+"""Lattice-generating word decoder — the `latgen-faster-mapped` stage of
+the reference's decode recipe (README.md:17-30), self-contained:
+
+    python -m kaldi_lstm_tpu.tools.latgen_faster final.mdl lexicon.txt \\
+        lm.arpa ark:loglik.ark ark:lat.ark \\
+        --transcript-wspecifier=ark,t:hyp.txt \\
+        --acoustic-scale=0.1 --beam=16 --lattice-beam=8
+
+Writes CompactLattice arks in the upstream wire format (binary by
+default, `ark,t:` for text) readable by Kaldi's lattice-* tools, plus
+optional best-path transcripts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from kaldi_lstm_tpu.decode.graph import build_decoding_graph
+from kaldi_lstm_tpu.decode.lattice_faster import decode_lattice_faster
+from kaldi_lstm_tpu.io.arpa import ArpaBigram, uniform_unigram
+from kaldi_lstm_tpu.io.kaldi_io import SequentialMatrixReader, TableWriter
+from kaldi_lstm_tpu.io.lang import SymbolTable, read_lexicon
+from kaldi_lstm_tpu.io.lattice import LatticeWriter, lattice_best_path
+from kaldi_lstm_tpu.io.transition_model import TransitionModel
+from kaldi_lstm_tpu.utils import LOG
+
+
+def _write_text_line(out, words) -> None:
+    out.stream.write((" ".join(str(w) for w in words) + "\n").encode())
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="Lattice-generating Viterbi decoding over an HCLG "
+                    "graph built from model + lexicon + ARPA LM")
+    p.add_argument("model")
+    p.add_argument("lexicon")
+    p.add_argument("arpa", help='ARPA LM file, or "none" for a uniform '
+                                "unigram grammar")
+    p.add_argument("loglik_rspecifier")
+    p.add_argument("lattice_wspecifier")
+    p.add_argument("--transcript-wspecifier", default="",
+                   help="also write best-path transcripts")
+    p.add_argument("--word-symbol-table", default="",
+                   help="words.txt; transcripts become word strings")
+    p.add_argument("--acoustic-scale", type=float, default=0.1)
+    p.add_argument("--beam", type=float, default=16.0)
+    p.add_argument("--lattice-beam", type=float, default=8.0)
+    p.add_argument("--max-active", type=int, default=0)
+    p.add_argument("--sil-phone", type=int, default=0)
+    p.add_argument("--sil-prob", type=float, default=0.0)
+    p.add_argument("--raw", action="store_true",
+                   help="write state-level Lattices instead of "
+                        "CompactLattices")
+    args = p.parse_args(argv)
+
+    tm = TransitionModel.load(args.model)
+    lexicon = read_lexicon(args.lexicon)
+    if args.arpa == "none":
+        lm = uniform_unigram(sorted(lexicon))
+    else:
+        lm = ArpaBigram.load(args.arpa, log_fn=LOG)
+    words = (SymbolTable.load(args.word_symbol_table)
+             if args.word_symbol_table else None)
+    graph = build_decoding_graph(tm, lexicon, lm, words=words,
+                                 sil_phone=args.sil_phone,
+                                 sil_prob=args.sil_prob)
+    LOG(f"decoding graph: {graph.num_states} states, "
+        f"{graph.num_arcs()} arcs")
+
+    tw = None
+    if args.transcript_wspecifier:
+        tw = TableWriter(args.transcript_wspecifier, _write_text_line,
+                         binary=False)
+    n, total_frames, total_cost, no_final = 0, 0, 0.0, 0
+    id2sym = graph.words.id2sym
+    with LatticeWriter(args.lattice_wspecifier,
+                       compact=not args.raw) as lw:
+        for key, mat in SequentialMatrixReader(args.loglik_rspecifier):
+            if mat.shape[1] < tm.num_pdfs:
+                print(f"latgen_faster: {key}: loglik dim {mat.shape[1]} "
+                      f"< model pdfs {tm.num_pdfs}", file=sys.stderr)
+                return 1
+            lat = decode_lattice_faster(
+                graph, mat, args.acoustic_scale, args.beam,
+                args.lattice_beam, args.max_active)
+            lw.write(key, lat)
+            if tw is not None:
+                wids, _tids, cost = lattice_best_path(lat)
+                tw.write(key, [id2sym[i] for i in wids]
+                         if args.word_symbol_table else wids)
+                total_cost += cost
+            n += 1
+            total_frames += mat.shape[0]
+            no_final += 0 if lat.reached_final else 1
+    if tw is not None:
+        tw.close()
+        LOG(f"best-path avg cost per frame "
+            f"{total_cost / max(total_frames, 1):.4f}")
+    LOG(f"Generated lattices for {n} utterances"
+        + (f"; {no_final} did not reach a final state" if no_final else ""))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

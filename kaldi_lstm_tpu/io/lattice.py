@@ -572,6 +572,83 @@ def lattice_best_path(lat) -> tuple[list, list, float]:
     return words, tids, best_cost
 
 
+def lattice_nbest(lat, n: int, max_pops: int = 1_000_000) -> list:
+    """N best (lowest-cost) distinct paths — latbin/lattice-to-nbest
+    semantics (path-level, not word-sequence-level). Exact A* on the
+    lattice DAG: cost-to-go (beta) from a reverse relaxation is the
+    admissible+consistent heuristic, so paths pop off the heap in true
+    total-cost order. Returns [(words, tids, cost)], best first."""
+    import heapq
+
+    compact = isinstance(lat, CompactLattice)
+    ns = lat.num_states
+    beta = [INF] * ns
+    for s, fin in lat.final.items():
+        beta[s] = fin[0] + fin[1]
+    for _ in range(ns):
+        changed = False
+        for s in range(ns):
+            for a in lat.arcs[s]:
+                nd = a.graph_cost + a.acoustic_cost + beta[a.dst]
+                if nd < beta[s] - 1e-12:
+                    beta[s] = nd
+                    changed = True
+        if not changed:
+            break
+    if beta[lat.start] == INF:
+        raise ValueError("lattice has no reachable final state")
+
+    # heap entry = (est_total, seq, cost_so_far, state, parent_node, arc);
+    # state -1 marks a COMPLETED path (finishing is its own heap event so
+    # results pop in exact total-cost order even when continuing past a
+    # final state is locally cheaper than its final weight)
+    results = []
+    seq = 0                              # heap tie-breaker
+    heap = [(beta[lat.start], 0, 0.0, lat.start, None, None)]
+    pops = 0
+    while heap and len(results) < n and pops < max_pops:
+        _est, _sq, cost, s, parent, arc = heapq.heappop(heap)
+        pops += 1
+        if s == -1:
+            results.append((cost, parent, lat.final[parent[1]]))
+            continue
+        node = (cost, s, parent, arc)
+        if s in lat.final:
+            fin = lat.final[s]
+            seq += 1
+            heapq.heappush(heap, (cost + fin[0] + fin[1], seq,
+                                  cost + fin[0] + fin[1], -1, node, None))
+        for a in lat.arcs[s]:
+            nc = cost + a.graph_cost + a.acoustic_cost
+            if nc + beta[a.dst] == INF:
+                continue
+            seq += 1
+            heapq.heappush(heap,
+                           (nc + beta[a.dst], seq, nc, a.dst, node, a))
+
+    out = []
+    for total, node, fin in results:
+        words, tids = [], []
+        _cost, _s, parent, arc = node
+        while arc is not None:
+            if compact:
+                if arc.label:
+                    words.append(arc.label)
+                tids.extend(reversed(arc.tids))
+            else:
+                if arc.olabel:
+                    words.append(arc.olabel)
+                if arc.ilabel:
+                    tids.append(arc.ilabel)
+            _cost, _s, parent, arc = parent
+        words.reverse()
+        tids.reverse()
+        if compact and len(fin) > 2 and fin[2]:
+            tids.extend(fin[2])
+        out.append((words, tids, total))
+    return out
+
+
 def lattice_scale(lat, lm_scale: float = 1.0,
                   acoustic_scale: float = 1.0):
     """lattice-scale: scale graph/acoustic costs in place (returns lat)."""

@@ -17,6 +17,7 @@ from kaldi_lstm_tpu.io.lang import SymbolTable
 from kaldi_lstm_tpu.io.lattice import (
     SequentialLatticeReader,
     lattice_best_path,
+    lattice_nbest,
     lattice_scale,
 )
 from kaldi_lstm_tpu.utils import LOG
@@ -36,6 +37,9 @@ def main(argv=None) -> int:
     p.add_argument("--word-symbol-table", default="")
     p.add_argument("--lm-scale", type=float, default=1.0)
     p.add_argument("--acoustic-scale", type=float, default=1.0)
+    p.add_argument("--nbest", type=int, default=1,
+                   help="N>1 writes the N best paths per utterance under "
+                        "keys <utt>-1 .. <utt>-N (lattice-to-nbest style)")
     args = p.parse_args(argv)
 
     syms = (SymbolTable.load(args.word_symbol_table)
@@ -54,18 +58,23 @@ def main(argv=None) -> int:
                     lattice_scale(lat, args.lm_scale,
                                   args.acoustic_scale)
                 try:
-                    words, tids, cost = lattice_best_path(lat)
+                    if args.nbest > 1:
+                        paths = lattice_nbest(lat, args.nbest)
+                    else:
+                        paths = [lattice_best_path(lat)]
                 except ValueError as e:
                     print(f"lattice_best_path: {key}: {e}",
                           file=sys.stderr)
                     failed += 1
                     continue
-                tw.write(key, [syms.id2sym[i] for i in words] if syms
-                         else words)
-                if aw is not None:
-                    aw.write(key, tids)
+                for k, (words, tids, cost) in enumerate(paths):
+                    okey = key if args.nbest == 1 else f"{key}-{k + 1}"
+                    tw.write(okey, [syms.id2sym[i] for i in words]
+                             if syms else words)
+                    if aw is not None:
+                        aw.write(okey, tids)
                 n += 1
-                total_cost += cost
+                total_cost += paths[0][2]
         except (EOFError, ValueError) as e:
             print(f"lattice_best_path: error reading "
                   f"{args.lattice_rspecifier!r} after {n} lattices: {e}",

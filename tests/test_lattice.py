@@ -370,3 +370,73 @@ def test_latgen_cli_pipeline(tmp_path, capsys):
             key, *tids = line.split()
             assert len(tids) == frames[key]
             assert all(int(t) > 0 for t in tids)
+
+
+# ---------------------------------------------------------------------------
+# N-best
+# ---------------------------------------------------------------------------
+
+def test_nbest_ordering_and_completeness():
+    """N-best on a hand-built diamond: exact costs, true order, and the
+    1-best equals lattice_best_path."""
+    from kaldi_lstm_tpu.io.lattice import lattice_nbest
+    lat = Lattice()
+    for _ in range(4):
+        lat.add_state()
+    # three paths: 0-1-3 (cost 1.0, word 5), 0-2-3 (cost 1.5, word 6),
+    # 0-3 direct (cost 3.0, word 7)
+    lat.arcs[0].append(LatticeArc(1, 5, 0.5, 0.0, 1))
+    lat.arcs[1].append(LatticeArc(2, 0, 0.5, 0.0, 3))
+    lat.arcs[0].append(LatticeArc(1, 6, 1.0, 0.0, 2))
+    lat.arcs[2].append(LatticeArc(2, 0, 0.5, 0.0, 3))
+    lat.arcs[0].append(LatticeArc(3, 7, 3.0, 0.0, 3))
+    lat.final[3] = (0.0, 0.0)
+    paths = lattice_nbest(lat, 5)
+    assert len(paths) == 3
+    costs = [c for _w, _t, c in paths]
+    assert costs == sorted(costs)
+    assert np.allclose(costs, [1.0, 1.5, 3.0])
+    assert [w for w, _t, _c in paths] == [[5], [6], [7]]
+    w1, t1, c1 = lattice_best_path(lat)
+    assert paths[0][0] == w1 and paths[0][1] == t1 \
+        and abs(paths[0][2] - c1) < 1e-9
+
+
+def test_nbest_final_state_with_continuation():
+    """A final state whose continuation is cheaper than finishing: the
+    completion event must still pop in exact total order."""
+    from kaldi_lstm_tpu.io.lattice import lattice_nbest
+    lat = Lattice()
+    for _ in range(2):
+        lat.add_state()
+    lat.arcs[0].append(LatticeArc(1, 1, 0.1, 0.0, 1))  # continue: cheap
+    lat.final[0] = (2.0, 0.0)                          # finish at 0: dear
+    lat.final[1] = (0.0, 0.0)
+    paths = lattice_nbest(lat, 2)
+    assert np.allclose([c for _w, _t, c in paths], [0.1, 2.0])
+    assert paths[0][0] == [1] and paths[1][0] == []
+
+
+def test_nbest_on_decoder_lattice():
+    """On a real decoded lattice: n-best costs are nondecreasing, within
+    lattice_beam of the best, and the 1-best is the Viterbi path."""
+    from kaldi_lstm_tpu.io.lattice import lattice_nbest
+    from kaldi_lstm_tpu.tools.make_word_synth_data import sample_sentence
+    lex, lm, tm, means, rng = _oracle_setup(num_words=8, seed=13)
+    graph = build_decoding_graph(tm, lex, lm)
+    sent = sample_sentence(rng, lm, sorted(lex), 6) or ["w000"]
+    loglik = _emit(tm, lex, means, rng, sent, noise=0.8)
+    lat = decode_lattice_faster(graph, loglik, 1.0, beam=16.0,
+                                lattice_beam=6.0)
+    ref = decode_faster(graph, loglik, 1.0, beam=16.0)
+    paths = lattice_nbest(lat, 8)
+    costs = [c for _w, _t, c in paths]
+    assert costs == sorted(costs)
+    assert abs(-costs[0] - ref.score) < 1e-6
+    assert paths[0][0] == ref.words
+    # (complete paths may exceed best + lattice_beam: the beam is an
+    # arc-level guarantee — see test_lattice_all_paths_within_beam)
+    # works on the compact form too, same results
+    cpaths = lattice_nbest(lattice_to_compact(lat), 8)
+    assert np.allclose([c for _w, _t, c in cpaths], costs)
+    assert [w for w, _t, _c in cpaths] == [w for w, _t, _c in paths]

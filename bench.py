@@ -161,9 +161,12 @@ def main():
     finally:
         set_matmul_dtype(None)
 
-    # grouped device step at the best stream count (--step-group path)
-    tput_g, sps_g = bench_grouped(nnet, params, S=best_cfg, T=20, group=8)
-    print(f"grouped x8 S={best_cfg} T=20: {tput_g:.1f} audio-s/s "
+    # grouped device step at the best stream count (--step-group path);
+    # G=32 nearly saturates the device-busy bound (G sweep: x8 20.8k,
+    # x16 22.8k, x32 23.8k audio-s/s)
+    tput_g, sps_g = bench_grouped(nnet, params, S=best_cfg, T=20,
+                                  group=32)
+    print(f"grouped x32 S={best_cfg} T=20: {tput_g:.1f} audio-s/s "
           f"({sps_g:.1f} steps/s)", file=sys.stderr)
     if tput_g > best_tput:
         best_tput = tput_g

@@ -80,9 +80,18 @@ def _cell_forward(xw_t, c_prev, r_prev, wr_ref, wcr_ref, peep_ref, *,
     return g, i, f, o, c, r
 
 
-def _fwd_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
-                gifo_ref, c_ref, r_ref, c_s, r_s, *, cp: int, tb: int,
-                cell_clip: float):
+def _fwd_kernel(x_ref, wxb_ref, bias_ref, wr_ref, wcr_ref, peep_ref,
+                c0_ref, r0_ref, *rest, cp: int, tb: int,
+                cell_clip: float, has_mask: bool, inv_keep: float):
+    """Training forward with the input projection FUSED: xw(t) is
+    computed in VMEM from the (small) x block and the resident
+    W_gifo_x^T — the [T, S, 4C] pre-activation stream (reference's
+    hoisted GEMM output, …streams.h:246) never exists in HBM (~150 MB
+    write + read per chunk at the flagship shape)."""
+    if has_mask:
+        mask_ref, gifo_ref, c_ref, r_ref, c_s, r_s = rest
+    else:
+        gifo_ref, c_ref, r_ref, c_s, r_s = rest
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -90,10 +99,19 @@ def _fwd_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
         c_s[:] = c0_ref[:]
         r_s[:] = r0_ref[:]
 
+    wdt = wr_ref.dtype
     c = c_s[:]
     r = r_s[:]
     for k in range(tb):
-        g, i, f, o, c, r = _cell_forward(xw_ref[k], c, r, wr_ref, wcr_ref,
+        xw = jnp.dot(x_ref[k].astype(wdt), wxb_ref[:],
+                     preferred_element_type=jnp.float32)
+        if has_mask:
+            # inverted gate dropout on the input projection, pre-bias
+            # (lstm_cell.lstm_scan order; reference stubs this at
+            # …streams.h:247-256)
+            xw = xw * (mask_ref[k].astype(jnp.float32) * inv_keep)
+        xw = xw + bias_ref[0:1, :]
+        g, i, f, o, c, r = _cell_forward(xw, c, r, wr_ref, wcr_ref,
                                          peep_ref, cp=cp,
                                          cell_clip=cell_clip)
         # gate residuals stream out in the weights' dtype (bf16 mode
@@ -106,9 +124,38 @@ def _fwd_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
     r_s[:] = r
 
 
-def _fwd_call(xw, wr, wcr, peep, c0, r0, *, st: int, tb: int,
-              cell_clip: float, interpret: bool):
-    T, sp, c4p = xw.shape
+def _fwd_in_specs(st, tb, cp, rp, ip, mask):
+    def idx_tsx(s, t):
+        return (t, s, 0)
+
+    specs = [
+        pl.BlockSpec((tb, st, ip), idx_tsx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ip, 4 * cp), lambda s, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4 * cp), lambda s, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rp, 4 * cp), lambda s, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cp, rp), lambda s, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, cp), lambda s, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((st, cp), lambda s, t: (s, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((st, rp), lambda s, t: (s, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if mask:
+        specs.append(pl.BlockSpec((tb, st, 4 * cp), idx_tsx,
+                                  memory_space=pltpu.VMEM))
+    return specs
+
+
+def _fwd_call(x_p, wxb, bias, wr, wcr, peep, c0, r0, mask_p=None, *,
+              st: int, tb: int, cell_clip: float, inv_keep: float = 1.0,
+              interpret: bool):
+    T, sp, ip = x_p.shape
+    c4p = wxb.shape[1]
     cp = c4p // 4
     rp = wr.shape[0]
     grid = (sp // st, T // tb)
@@ -116,23 +163,14 @@ def _fwd_call(xw, wr, wcr, peep, c0, r0, *, st: int, tb: int,
     def idx_tsx(s, t):
         return (t, s, 0)
 
+    operands = [x_p, wxb, bias, wr, wcr, peep, c0, r0]
+    if mask_p is not None:
+        operands.append(mask_p)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, cp=cp, tb=tb, cell_clip=cell_clip),
+        functools.partial(_fwd_kernel, cp=cp, tb=tb, cell_clip=cell_clip,
+                          has_mask=mask_p is not None, inv_keep=inv_keep),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tb, st, 4 * cp), idx_tsx,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp, 4 * cp), lambda s, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cp, rp), lambda s, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, cp), lambda s, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((st, cp), lambda s, t: (s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((st, rp), lambda s, t: (s, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=_fwd_in_specs(st, tb, cp, rp, ip, mask_p is not None),
         out_specs=[
             pl.BlockSpec((tb, st, 4 * cp), idx_tsx,
                          memory_space=pltpu.VMEM),
@@ -151,14 +189,18 @@ def _fwd_call(xw, wr, wcr, peep, c0, r0, *, st: int, tb: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(xw, wr, wcr, peep, c0, r0)
+    )(*operands)
 
 
-def _infer_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
-                  r_ref, cT_ref, c_s, r_s, *, cp: int, tb: int,
-                  cell_clip: float):
-    """Inference-only forward: no gate/cell residual writes (those cost
-    ~5x the r output in HBM write bandwidth)."""
+def _infer_kernel(x_ref, wxb_ref, bias_ref, wr_ref, wcr_ref, peep_ref,
+                  c0_ref, r0_ref, *rest, cp: int, tb: int,
+                  cell_clip: float, has_mask: bool, inv_keep: float):
+    """Inference-only forward: fused input projection, no gate/cell
+    residual writes (those cost ~5x the r output in HBM bandwidth)."""
+    if has_mask:
+        mask_ref, r_ref, cT_ref, c_s, r_s = rest
+    else:
+        r_ref, cT_ref, c_s, r_s = rest
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -166,10 +208,16 @@ def _infer_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
         c_s[:] = c0_ref[:]
         r_s[:] = r0_ref[:]
 
+    wdt = wr_ref.dtype
     c = c_s[:]
     r = r_s[:]
     for k in range(tb):
-        _, _, _, _, c, r = _cell_forward(xw_ref[k], c, r, wr_ref, wcr_ref,
+        xw = jnp.dot(x_ref[k].astype(wdt), wxb_ref[:],
+                     preferred_element_type=jnp.float32)
+        if has_mask:
+            xw = xw * (mask_ref[k].astype(jnp.float32) * inv_keep)
+        xw = xw + bias_ref[0:1, :]
+        _, _, _, _, c, r = _cell_forward(xw, c, r, wr_ref, wcr_ref,
                                          peep_ref, cp=cp,
                                          cell_clip=cell_clip)
         r_ref[k] = r
@@ -178,30 +226,23 @@ def _infer_kernel(xw_ref, wr_ref, wcr_ref, peep_ref, c0_ref, r0_ref,
     r_s[:] = r
 
 
-def _infer_call(xw, wr, wcr, peep, c0, r0, *, st: int, tb: int,
-                cell_clip: float, interpret: bool):
-    T, sp, c4p = xw.shape
+def _infer_call(x_p, wxb, bias, wr, wcr, peep, c0, r0, mask_p=None, *,
+                st: int, tb: int, cell_clip: float,
+                inv_keep: float = 1.0, interpret: bool):
+    T, sp, ip = x_p.shape
+    c4p = wxb.shape[1]
     cp = c4p // 4
     rp = wr.shape[0]
 
+    operands = [x_p, wxb, bias, wr, wcr, peep, c0, r0]
+    if mask_p is not None:
+        operands.append(mask_p)
     return pl.pallas_call(
         functools.partial(_infer_kernel, cp=cp, tb=tb,
-                          cell_clip=cell_clip),
+                          cell_clip=cell_clip,
+                          has_mask=mask_p is not None, inv_keep=inv_keep),
         grid=(sp // st, T // tb),
-        in_specs=[
-            pl.BlockSpec((tb, st, 4 * cp), lambda s, t: (t, s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp, 4 * cp), lambda s, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cp, rp), lambda s, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, cp), lambda s, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((st, cp), lambda s, t: (s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((st, rp), lambda s, t: (s, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=_fwd_in_specs(st, tb, cp, rp, ip, mask_p is not None),
         out_specs=[
             pl.BlockSpec((tb, st, rp), lambda s, t: (t, s, 0),
                          memory_space=pltpu.VMEM),
@@ -219,7 +260,7 @@ def _infer_call(xw, wr, wcr, peep, c0, r0, *, st: int, tb: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(xw, wr, wcr, peep, c0, r0)
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
@@ -456,6 +497,7 @@ class _Dims(NamedTuple):
     cp: int   # padded cell dim
     rp: int   # padded recurrent dim
     tb: int   # timesteps per grid step (divides T)
+    ip: int   # padded input dim
 
 
 import os
@@ -478,11 +520,16 @@ def _plan_time_block(T: int, max_tb: int) -> int:
     return 1
 
 
-def _fwd_vmem_bytes(tb, st, cp, rp, gifo_bytes=4) -> int:
+def _fwd_vmem_bytes(tb, st, cp, rp, ip, gifo_bytes=4,
+                    has_mask: bool = False) -> int:
     """Analytic VMEM footprint of one fwd grid step (double-buffered
-    streams + resident weights + outputs + scratch)."""
-    stream_in = tb * st * 4 * cp * 4 * 2
-    weights = (rp * 4 * cp + cp * rp + 3 * cp) * 4
+    streams + resident weights incl. the fused input projection +
+    outputs + scratch)."""
+    stream_in = tb * st * ip * 4 * 2
+    if has_mask:
+        stream_in += tb * st * 4 * cp * 1 * 2
+    weights = (ip * 4 * cp + 4 * cp + rp * 4 * cp + cp * rp
+               + 3 * cp) * 4
     state_in = st * (cp + rp) * 4 * 2
     outs = tb * st * (4 * cp * gifo_bytes + cp * 4 + rp * 4) * 2
     scratch = st * (cp + rp) * 4
@@ -524,13 +571,14 @@ def _plan_dims(S, T, I, C, R, max_stream_tile=None,
         max_time_block = _DEFAULT_TIME_BLOCK
     cp = _round_up(C, 128)
     rp = _round_up(R, 128)
+    ip = _round_up(I, 128)
     sp = _round_up(S, 8)
     st = sp if sp <= max_stream_tile else max_stream_tile
     sp = _round_up(sp, st)
     tb = _plan_time_block(T, max_time_block)
     tb = _fit_time_block(T, tb,
-                         lambda t: _fwd_vmem_bytes(t, st, cp, rp))
-    return _Dims(S, T, I, C, R, sp, st, cp, rp, tb)
+                         lambda t: _fwd_vmem_bytes(t, st, cp, rp, ip))
+    return _Dims(S, T, I, C, R, sp, st, cp, rp, tb, ip)
 
 
 def _pad_gate_mat(w, cp):
@@ -561,10 +609,9 @@ def _lstm_pallas(params: LstmParams, x, state: LstmState, keep_mask,
     else:
         S, T, I = x.shape
     d = _plan_dims(S, T, I, params.cell_dim, params.recur_dim)
-    xw, wr, wcr, peep, c0, r0 = _prepare(params, x, state, d, time_major,
-                                         keep_mask, inv_keep)
-    r_seq, c_last = _infer_call(xw, wr, wcr, peep, c0, r0, st=d.st,
-                                tb=d.tb, cell_clip=cell_clip,
+    ops = _prepare(params, x, state, d, time_major, keep_mask)
+    r_seq, c_last = _infer_call(*ops, st=d.st, tb=d.tb,
+                                cell_clip=cell_clip, inv_keep=inv_keep,
                                 interpret=interpret)
     out = r_seq[:, :S, :params.recur_dim]
     if not time_major:
@@ -584,44 +631,28 @@ def _pad_mask_tm(keep_mask, d: _Dims, time_major: bool):
 
 
 def _prepare(params: LstmParams, x, state: LstmState, d: _Dims,
-             time_major: bool = False, keep_mask=None,
-             inv_keep: float = 1.0):
-    """Pad operands to tile shapes; returns kernel-ready arrays."""
-    # xw: hoisted input projection, one big MXU GEMM (reference :246-259).
-    # Padding the (small) weight/bias first makes the GEMM emit the padded
-    # gate layout directly — no [T,S,4C]-sized pad copy per chunk.
-    wxp = _pad_gate_mat(params.w_gifo_x, d.cp)              # [4cp, I]
-    biasp = jnp.pad(params.bias.reshape(4, d.C),
-                    ((0, 0), (0, d.cp - d.C))).reshape(4 * d.cp)
+             time_major: bool = False, keep_mask=None):
+    """Pad operands to tile shapes for the FUSED forward kernels;
+    returns (x_p, wxb, bias, wr, wcr, peep, c0, r0, mask_p).
+
+    The input projection (reference's hoisted GEMM, :246-259) runs
+    inside the kernel against the resident [ip, 4cp] W_gifo_x^T — only
+    the raw [T, S, I] features stream from HBM (~1.6 MB vs the ~150 MB
+    pre-activation stream at the flagship shape)."""
     from kaldi_lstm_tpu.models.components import get_matmul_dtype
     mm_dt = get_matmul_dtype()
-    # transpose to time-major BEFORE the projection: moving [S,T,I]
-    # (~1.6 MB at the flagship shape) instead of the [T,S,4cp] GEMM
-    # output (~150 MB) — the transpose was ~25% of the whole train step
     x_tm = x if time_major else x.swapaxes(0, 1)            # [T, S, I]
-    xr = x_tm.reshape(d.T * d.S, d.I)
-    if mm_dt is not None:
-        xr, wxp_c = xr.astype(mm_dt), wxp.astype(mm_dt)
-    else:
-        wxp_c = wxp
-    xw = jnp.dot(xr, wxp_c.T, preferred_element_type=jnp.float32)
-    xw = xw.reshape(d.T, d.S, 4 * d.cp)                     # [T, S, 4cp]
-    if keep_mask is not None:
-        # inverted gate dropout on the input projection, before the bias
-        # (lstm_cell.lstm_scan order; reference stubs this at
-        # …streams.h:247-256)
-        m = keep_mask if time_major else keep_mask.swapaxes(0, 1)
-        m = m.reshape(d.T, d.S, 4, d.C)
-        m = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, d.cp - d.C)))
-        xw = xw * (m.reshape(d.T, d.S, 4 * d.cp)
-                   .astype(jnp.float32) * inv_keep)
-    xw = xw + biasp
-    xw = jnp.pad(xw, ((0, 0), (0, d.sp - d.S), (0, 0)))
-
+    x_p = jnp.pad(x_tm, ((0, 0), (0, d.sp - d.S), (0, d.ip - d.I)))
+    wxb = _pad_gate_mat(params.w_gifo_x, d.cp)              # [4cp, I]
+    wxb = jnp.pad(wxb, ((0, 0), (0, d.ip - d.I))).T         # [ip, 4cp]
+    bias = jnp.pad(params.bias.reshape(4, d.C),
+                   ((0, 0), (0, d.cp - d.C))).reshape(1, 4 * d.cp)
     wr = _pad_gate_mat(params.w_gifo_r, d.cp)               # [4cp, R]
     wr = _pad2(wr, 4 * d.cp, d.rp).T                        # [rp, 4cp]
     wcr = _pad2(params.w_r_m, d.rp, d.cp).T                 # [cp, rp]
     if mm_dt is not None:
+        x_p = x_p.astype(mm_dt)
+        wxb = wxb.astype(mm_dt)
         wr = wr.astype(mm_dt)
         wcr = wcr.astype(mm_dt)
     peep = jnp.stack([params.peephole_i_c, params.peephole_f_c,
@@ -629,7 +660,9 @@ def _prepare(params: LstmParams, x, state: LstmState, d: _Dims,
     peep = jnp.pad(peep, ((0, 0), (0, d.cp - d.C)))         # [3, cp]
     c0 = _pad2(state.c, d.sp, d.cp)
     r0 = _pad2(state.r, d.sp, d.rp)
-    return xw, wr, wcr, peep, c0, r0
+    mask_p = None if keep_mask is None \
+        else _pad_mask_tm(keep_mask, d, time_major)
+    return x_p, wxb, bias, wr, wcr, peep, c0, r0, mask_p
 
 
 def _lstm_pallas_fwd(params: LstmParams, x, state: LstmState,
@@ -644,10 +677,11 @@ def _lstm_pallas_fwd(params: LstmParams, x, state: LstmState,
     R = params.recur_dim
     d = _plan_dims(S, T, I, C, R)
 
-    xw, wr, wcr, peep, c0, r0 = _prepare(params, x, state, d,
-                                         time_major, keep_mask, inv_keep)
-    gifo, c_seq, r_seq = _fwd_call(xw, wr, wcr, peep, c0, r0, st=d.st,
-                                   tb=d.tb, cell_clip=cell_clip,
+    ops = _prepare(params, x, state, d, time_major, keep_mask)
+    c0, r0 = ops[6], ops[7]
+    gifo, c_seq, r_seq = _fwd_call(*ops, st=d.st, tb=d.tb,
+                                   cell_clip=cell_clip,
+                                   inv_keep=inv_keep,
                                    interpret=interpret)
 
     out = r_seq[:, :S, :R]

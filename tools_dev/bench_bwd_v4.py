@@ -189,11 +189,11 @@ def main():
     print(f"dims: {d}", file=sys.stderr)
 
     # residuals from the real forward
-    xw, wr, wcr, peep, c0, r0 = jax.jit(lambda: lp._prepare(
-        params, x, st0, d, True))()
+    (x_p, wxb, bias, wr, wcr, peep, c0, r0, _m) = jax.jit(
+        lambda: lp._prepare(params, x, st0, d, True))()
     gifo, c_seq, r_seq = jax.jit(lambda: lp._fwd_call(
-        xw, wr, wcr, peep, c0, r0, st=d.st, tb=d.tb, cell_clip=50.0,
-        interpret=False))()
+        x_p, wxb, bias, wr, wcr, peep, c0, r0, st=d.st, tb=d.tb,
+        cell_clip=50.0, interpret=False))()
     g_r = jax.random.normal(jax.random.PRNGKey(2),
                             (T, d.sp, d.rp)) * 0.01
     gcT = jax.random.normal(jax.random.PRNGKey(3), (d.sp, d.cp)) * 0.01

@@ -50,23 +50,23 @@ def main():
             _, fin = lp.lstm_scan_pallas(params, x, state)
             return fin
 
-        # 2) kernel-only inference: xw prepared once outside the loop
-        xw, wr, wcr, peep, c0, r0 = jax.jit(
+        # 2) kernel-only inference: operands prepared once outside
+        (x_p, wxb, bias, wr, wcr, peep, c0, r0, _m) = jax.jit(
             lambda: lp._prepare(params, x, zero_state(S, C, R), d))()
 
         @jax.jit
         def ker_fwd(c0r0):
             c0_, r0_ = c0r0
-            rs, cl = lp._infer_call(xw, wr, wcr, peep, c0_, r0_, st=d.st,
-                                    tb=d.tb, cell_clip=50.0,
-                                    interpret=False)
+            rs, cl = lp._infer_call(x_p, wxb, bias, wr, wcr, peep, c0_,
+                                    r0_, st=d.st, tb=d.tb,
+                                    cell_clip=50.0, interpret=False)
             return (cl, rs[T - 1])
 
-        # 3) prepare alone (input GEMM + pad + transpose)
+        # 3) prepare alone (pad + transpose; projection is in-kernel now)
         @jax.jit
         def prep(xin):
-            xw_, *_ = lp._prepare(params, xin, zero_state(S, C, R), d)
-            return xin + jnp.sum(xw_) * 1e-30  # chain: feed next iter
+            xp_, *_ = lp._prepare(params, xin, zero_state(S, C, R), d)
+            return xin + jnp.sum(xp_) * 1e-30  # chain: feed next iter
 
         # 4) full fwd+bwd via custom vjp
         def loss(p):
@@ -82,9 +82,9 @@ def main():
         @jax.jit
         def ker_train_fwd(c0r0):
             c0_, r0_ = c0r0
-            gifo, cs, rs = lp._fwd_call(xw, wr, wcr, peep, c0_, r0_,
-                                        st=d.st, tb=d.tb, cell_clip=50.0,
-                                        interpret=False)
+            gifo, cs, rs = lp._fwd_call(x_p, wxb, bias, wr, wcr, peep,
+                                        c0_, r0_, st=d.st, tb=d.tb,
+                                        cell_clip=50.0, interpret=False)
             return (cs[T - 1], rs[T - 1])
 
         t1 = timeit(full_fwd, st0)

@@ -94,4 +94,17 @@ python -m kaldi_lstm_tpu.tools.decode_faster "$dir/words/final.mdl" \
 python -m kaldi_lstm_tpu.tools.compute_wer "$dir/words/text" \
     "$dir/words/hyp.txt"
 
+echo "=== 8. lattices: latgen -> text ark -> best path (same %WER)"
+python -m kaldi_lstm_tpu.tools.latgen_faster "$dir/words/final.mdl" \
+    "$dir/words/lexicon.txt" "$dir/words/lm.arpa" \
+    "ark:$dir/words/loglik.ark" "ark:$dir/words/lat.ark" \
+    --acoustic-scale 1.0 --beam 18 --lattice-beam 7
+python -m kaldi_lstm_tpu.tools.lattice_copy "ark:$dir/words/lat.ark" \
+    "ark,t:$dir/words/lat.txt.ark"
+python -m kaldi_lstm_tpu.tools.lattice_best_path "ark:$dir/words/lat.ark" \
+    "ark,t:$dir/words/hyp_lat.txt" \
+    --word-symbol-table "$dir/words/words.txt"
+python -m kaldi_lstm_tpu.tools.compute_wer "$dir/words/text" \
+    "$dir/words/hyp_lat.txt"
+
 echo "=== demo complete; outputs in $dir"

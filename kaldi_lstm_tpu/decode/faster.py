@@ -164,64 +164,52 @@ def _eps_closure(cg: CompiledGraph, alpha: np.ndarray, bp: np.ndarray,
     return np.zeros(0, np.int64)
 
 
-def decode_faster(graph: DecodingGraph, loglik: np.ndarray,
-                  acoustic_scale: float = 1.0, beam: float = 16.0,
-                  max_active: int = 0) -> DecodeResult:
-    """Vectorized Viterbi beam search over [T, num_pdfs] scaled
-    log-likelihoods: per frame, one batched relaxation over the arcs
-    leaving the surviving (beam-pruned) states — numpy C loops instead
-    of a Python dict per token. Backpointer memory is O(T * num_states)
-    int32 — fine up to ~100k-state graphs at utterance length."""
+def compile_graph(graph: DecodingGraph) -> CompiledGraph:
+    """CSR-compile (cached on the graph object)."""
     cg = getattr(graph, "_compiled", None)
     if cg is None:
         cg = CompiledGraph(graph)
         graph._compiled = cg
-    em = acoustic_scale * np.asarray(loglik, np.float64)
-    T = em.shape[0]
-    ns = cg.ns
+    return cg
 
-    alpha = np.full(ns, NEG)
-    alpha[cg.start] = 0.0
-    bps = np.full((T + 1, ns), -1, np.int32)
-    _eps_closure(cg, alpha, bps[0], np.asarray([cg.start]))
-    active = np.nonzero(alpha > NEG / 2)[0]
 
-    for t in range(T):
-        ids = _out_arcs(cg.em_ptr, active)
-        dst = cg.em_dst[ids]
-        cand = alpha[cg.em_src[ids]] + cg.em_w[ids] \
-            + em[t][cg.em_pdf[ids]]
-        alpha = np.full(ns, NEG)
-        np.maximum.at(alpha, dst, cand)
-        win = cand >= alpha[dst]
-        bp = bps[t + 1]
-        bp[dst[win]] = ids[win]
-        touched = np.unique(dst)
-        if touched.size == 0:
-            raise RuntimeError(
-                f"decode_faster: no tokens survived at frame {t} — "
-                "beam too tight or loglik/graph mismatch")
-        scores = alpha[touched]
-        best = scores.max()
-        cutoff = best - beam
-        if max_active and (scores > cutoff).sum() > max_active:
-            cutoff = max(cutoff,
-                         np.partition(scores, -max_active)[-max_active])
-        dead = touched[alpha[touched] < cutoff]
-        alpha[dead] = NEG
-        bp[dead] = -1
-        active = touched[alpha[touched] > NEG / 2]
-        grown = _eps_closure(cg, alpha, bp, active, cutoff)
-        if grown.size:
-            active = np.unique(np.concatenate([active, grown]))
+def _frame_step(cg: CompiledGraph, alpha, active, em_t, beam: float,
+                max_active: int, bp, frame_idx: int):
+    """One Viterbi frame: batched emitting relaxation from `active`,
+    beam/max_active pruning, epsilon closure. Fills `bp` (per-frame
+    backpointer row) and returns (new_alpha, new_active)."""
+    ids = _out_arcs(cg.em_ptr, active)
+    dst = cg.em_dst[ids]
+    cand = alpha[cg.em_src[ids]] + cg.em_w[ids] + em_t[cg.em_pdf[ids]]
+    alpha = np.full(cg.ns, NEG)
+    np.maximum.at(alpha, dst, cand)
+    win = cand >= alpha[dst]
+    bp[dst[win]] = ids[win]
+    touched = np.unique(dst)
+    if touched.size == 0:
+        raise RuntimeError(
+            f"decode_faster: no tokens survived at frame {frame_idx} — "
+            "beam too tight or loglik/graph mismatch")
+    scores = alpha[touched]
+    best = scores.max()
+    cutoff = best - beam
+    if max_active and (scores > cutoff).sum() > max_active:
+        cutoff = max(cutoff,
+                     np.partition(scores, -max_active)[-max_active])
+    dead = touched[alpha[touched] < cutoff]
+    alpha[dead] = NEG
+    bp[dead] = -1
+    active = touched[alpha[touched] > NEG / 2]
+    grown = _eps_closure(cg, alpha, bp, active, cutoff)
+    if grown.size:
+        active = np.unique(np.concatenate([active, grown]))
+    return alpha, active
 
-    total = alpha + cg.final
-    reached = bool(total.max() > NEG / 2)
-    state = int(np.argmax(total if reached else alpha))
-    score = float(total[state] if reached else alpha[state])
 
+def _traceback(cg: CompiledGraph, bps, state: int, level: int) -> list:
+    """Walk backpointer rows from (level, state) to (0, start);
+    returns the word sequence. `bps` is indexable per level."""
     words = []
-    level = T
     while not (level == 0 and state == cg.start
                and bps[0][state] == -1):
         arc = int(bps[level][state])
@@ -238,6 +226,37 @@ def decode_faster(graph: DecodingGraph, loglik: np.ndarray,
             state = int(cg.em_src[arc])
             level -= 1
     words.reverse()
+    return words
+
+
+def decode_faster(graph: DecodingGraph, loglik: np.ndarray,
+                  acoustic_scale: float = 1.0, beam: float = 16.0,
+                  max_active: int = 0) -> DecodeResult:
+    """Vectorized Viterbi beam search over [T, num_pdfs] scaled
+    log-likelihoods: per frame, one batched relaxation over the arcs
+    leaving the surviving (beam-pruned) states — numpy C loops instead
+    of a Python dict per token. Backpointer memory is O(T * num_states)
+    int32 — fine up to ~100k-state graphs at utterance length."""
+    cg = compile_graph(graph)
+    em = acoustic_scale * np.asarray(loglik, np.float64)
+    T = em.shape[0]
+    ns = cg.ns
+
+    alpha = np.full(ns, NEG)
+    alpha[cg.start] = 0.0
+    bps = np.full((T + 1, ns), -1, np.int32)
+    _eps_closure(cg, alpha, bps[0], np.asarray([cg.start]))
+    active = np.nonzero(alpha > NEG / 2)[0]
+
+    for t in range(T):
+        alpha, active = _frame_step(cg, alpha, active, em[t], beam,
+                                    max_active, bps[t + 1], t)
+
+    total = alpha + cg.final
+    reached = bool(total.max() > NEG / 2)
+    state = int(np.argmax(total if reached else alpha))
+    score = float(total[state] if reached else alpha[state])
+    words = _traceback(cg, bps, state, T)
     return DecodeResult(words=words, score=score, reached_final=reached)
 
 

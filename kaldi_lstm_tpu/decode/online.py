@@ -1,0 +1,210 @@
+"""Online (streaming) recognition: chunk-by-chunk AM scoring with
+carried LSTM state + incremental Viterbi search.
+
+The reference's decode path is batch-only — whole utterances through the
+standard-variant net (state bridging explicitly disabled,
+standard/nnet/nnet-lstm-projected.h:228-231) piped into an offline
+decoder (README.md:17-30). Online operation is what the google variant's
+state-carry machinery exists for in production; this module closes the
+loop natively:
+
+* `OnlineDecoder` — incremental version of `decode_faster`: accepts
+  log-likelihood chunks as they arrive, maintains the (alpha, active,
+  backpointer) search state, and can produce a partial hypothesis at any
+  frame. `finalize()` is bit-identical to the offline decoder (same
+  per-frame relaxation, pruning, and traceback code).
+* `OnlineRecognizer` — full streaming stack: drives the google-format
+  net (Transmit + LstmProjectedStreams + Affine + Softmax) with ONE
+  stream and functional state carried across chunks — no conversion to
+  the standard variant and no whole-utterance latency. The decode-time
+  target delay (TimeShift <Shift> k, or the trainer's --targets-delay)
+  becomes k frames of lookahead buffering: output frame t is scored on
+  input frame t+k, with the reference's end-clamp
+  (nnet-time-shift.h:42-51) reproduced at finalize().
+
+Chunked scoring equals whole-utterance scoring exactly because the
+carried (c, r) state is the same functional carry the trainer threads
+between Tbptt chunks (tested in tests/test_streams.py); hence
+online == offline end to end (tests/test_online_decode.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_lstm_tpu.decode.faster import (
+    NEG,
+    DecodeResult,
+    _frame_step,
+    _traceback,
+    compile_graph,
+)
+from kaldi_lstm_tpu.decode.graph import DecodingGraph
+from kaldi_lstm_tpu.models.components import (
+    BLstmProjectedStreams,
+    Softmax,
+    TimeShift,
+)
+from kaldi_lstm_tpu.models.nnet import Nnet
+
+
+class OnlineDecoder:
+    """Incremental Viterbi beam search. Feed [t, num_pdfs] scaled
+    log-likelihood chunks via `advance`; `partial()` gives the current
+    best hypothesis (ignoring final weights, like upstream
+    GetBestPath(use_final_probs=false)); `finalize()` matches
+    decode_faster exactly."""
+
+    def __init__(self, graph: DecodingGraph, acoustic_scale: float = 1.0,
+                 beam: float = 16.0, max_active: int = 0):
+        self.cg = compile_graph(graph)
+        self.acoustic_scale = acoustic_scale
+        self.beam = beam
+        self.max_active = max_active
+        ns = self.cg.ns
+        self.alpha = np.full(ns, NEG)
+        self.alpha[self.cg.start] = 0.0
+        bp0 = np.full(ns, -1, np.int32)
+        from kaldi_lstm_tpu.decode.faster import _eps_closure
+        _eps_closure(self.cg, self.alpha, bp0,
+                     np.asarray([self.cg.start]))
+        self.active = np.nonzero(self.alpha > NEG / 2)[0]
+        self.bps = [bp0]
+        self.num_frames = 0
+
+    def advance(self, loglik: np.ndarray) -> None:
+        em = self.acoustic_scale * np.asarray(loglik, np.float64)
+        for row in em:
+            bp = np.full(self.cg.ns, -1, np.int32)
+            self.alpha, self.active = _frame_step(
+                self.cg, self.alpha, self.active, row, self.beam,
+                self.max_active, bp, self.num_frames)
+            self.bps.append(bp)
+            self.num_frames += 1
+
+    def partial(self) -> DecodeResult:
+        state = int(np.argmax(self.alpha))
+        return DecodeResult(
+            words=_traceback(self.cg, self.bps, state, self.num_frames),
+            score=float(self.alpha[state]), reached_final=False)
+
+    def finalize(self) -> DecodeResult:
+        total = self.alpha + self.cg.final
+        reached = bool(total.max() > NEG / 2)
+        state = int(np.argmax(total if reached else self.alpha))
+        score = float(total[state] if reached else self.alpha[state])
+        words = _traceback(self.cg, self.bps, state, self.num_frames)
+        return DecodeResult(words=words, score=score,
+                            reached_final=reached)
+
+
+class _ShiftBuffer:
+    """Streams the decode-time target delay: out[t] = in[t + k], end
+    frames clamped to the last input (TimeShift semantics,
+    nnet-time-shift.h:42-51). `push` returns every shifted frame that
+    has become available; `flush` emits the k clamped tail frames."""
+
+    def __init__(self, k: int):
+        if k < 0:
+            raise ValueError("negative target delay is not supported "
+                             "for online decoding")
+        self.k = k
+        self._buf: Optional[np.ndarray] = None
+        self._emitted = 0
+
+    def push(self, frames: np.ndarray) -> np.ndarray:
+        frames = np.asarray(frames, np.float32)
+        self._buf = (frames if self._buf is None
+                     else np.concatenate([self._buf, frames]))
+        out = self._buf[self.k + self._emitted:]
+        self._emitted += len(out)
+        return out
+
+    def flush(self) -> np.ndarray:
+        if self._buf is None or len(self._buf) == 0:
+            return np.zeros((0, 0), np.float32)
+        tail = len(self._buf) - self._emitted
+        self._emitted = len(self._buf)
+        if tail <= 0:
+            return np.zeros((0, self._buf.shape[1]), np.float32)
+        return np.repeat(self._buf[-1:], tail, axis=0)
+
+
+class OnlineRecognizer:
+    """Streaming recognizer over a stateful (google-variant) net.
+
+    `nnet`/`params` may be either format: a leading TimeShift (standard
+    decode nets) is stripped and its <Shift> becomes the lookahead;
+    otherwise pass `targets_delay` (the trainer's --targets-delay).
+    `log_prior` (length num_pdfs) converts posteriors to scaled
+    log-likelihoods exactly as klt-nnet-forward does."""
+
+    def __init__(self, nnet: Nnet, params, graph: DecodingGraph, *,
+                 transf: Optional[Nnet] = None, transf_params=None,
+                 log_prior: Optional[np.ndarray] = None,
+                 acoustic_scale: float = 0.1, beam: float = 16.0,
+                 max_active: int = 0,
+                 targets_delay: Optional[int] = None):
+        comps = list(nnet.components)
+        plist = list(params)
+        if any(isinstance(c, BLstmProjectedStreams) for c in comps):
+            raise ValueError("bidirectional nets cannot stream (the "
+                             "backward pass needs the whole utterance)")
+        if targets_delay is None:
+            targets_delay = 0
+            if comps and isinstance(comps[0], TimeShift):
+                targets_delay = max(comps[0].shift, 0)
+                comps.pop(0)
+                plist.pop(0)
+        # standard-variant components zero their state per call (the
+        # reference's decode semantics); streaming needs the carry, so
+        # convert LstmProjected -> LstmProjectedStreams (same params)
+        self.nnet = Nnet(comps).to_streams()
+        self.params = tuple(plist)
+        self._softmax = bool(comps) and isinstance(comps[-1], Softmax)
+        self.transf = transf
+        self.transf_params = transf_params
+        self.log_prior = (None if log_prior is None
+                          else np.asarray(log_prior, np.float32))
+        self.states = self.nnet.init_states(1)
+        self.shift = _ShiftBuffer(targets_delay)
+        self.decoder = OnlineDecoder(graph, acoustic_scale, beam,
+                                     max_active)
+
+        def am_step(p, tp, x, states):
+            if self.transf is not None:
+                x = self.transf.feedforward(tp, x)
+            y, new_states = self.nnet.propagate(p, x, states,
+                                                logits=True)
+            if self._softmax:
+                y = jax.nn.log_softmax(y, axis=-1)
+            return y, new_states
+
+        self._am_step = jax.jit(am_step)
+
+    def _score(self, frames: np.ndarray) -> None:
+        if frames.shape[0] == 0:
+            return
+        y, self.states = self._am_step(self.params, self.transf_params,
+                                       jnp.asarray(frames,
+                                                   jnp.float32)[None],
+                                       self.states)
+        loglik = np.asarray(y[0], np.float64)
+        if self.log_prior is not None:
+            loglik = loglik - self.log_prior
+        self.decoder.advance(loglik)
+
+    def accept(self, frames: np.ndarray) -> None:
+        """Feed a chunk of raw feature frames [t, feat_dim]."""
+        self._score(self.shift.push(frames))
+
+    def partial(self) -> DecodeResult:
+        return self.decoder.partial()
+
+    def finalize(self) -> DecodeResult:
+        self._score(self.shift.flush())
+        return self.decoder.finalize()

@@ -270,3 +270,22 @@ class Nnet:
             else:
                 out.append(c)
         return out
+
+    def to_streams(self) -> "Nnet":
+        """Inverse of `to_standard`: TimeShift -> Transmit (the shift is
+        the caller's to reapply, e.g. as streaming lookahead) and
+        LstmProjected -> LstmProjectedStreams so state carries across
+        chunks. Parameters are unchanged (layout-identical pytrees)."""
+        out = Nnet()
+        for c in self.components:
+            if isinstance(c, comp.TimeShift):
+                out.append(comp.Transmit(c.input_dim, c.output_dim))
+            elif isinstance(c, comp.LstmProjected) and \
+                    not isinstance(c, comp.LstmProjectedStreams):
+                ls = comp.LstmProjectedStreams(
+                    c.input_dim, c.output_dim, cell_dim=c.cell_dim,
+                    param_scale=c.param_scale)
+                out.append(ls)
+            else:
+                out.append(c)
+        return out

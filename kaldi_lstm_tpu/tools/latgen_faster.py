@@ -16,6 +16,10 @@ from __future__ import annotations
 import argparse
 import sys
 
+from kaldi_lstm_tpu.decode.determinize import (
+    DeterminizeError,
+    determinize_lattice,
+)
 from kaldi_lstm_tpu.decode.graph import build_decoding_graph
 from kaldi_lstm_tpu.decode.lattice_faster import decode_lattice_faster
 from kaldi_lstm_tpu.io.arpa import ArpaBigram, uniform_unigram
@@ -53,7 +57,14 @@ def main(argv=None) -> int:
     p.add_argument("--raw", action="store_true",
                    help="write state-level Lattices instead of "
                         "CompactLattices")
+    p.add_argument("--determinize-lattice", default="true",
+                   help="keep only the best alignment per word sequence "
+                        "(upstream latgen default); false = raw "
+                        "state-level structure, arc-converted")
+    p.add_argument("--max-det-states", type=int, default=200000)
     args = p.parse_args(argv)
+    determinize = (str(args.determinize_lattice).lower()
+                   in ("true", "1", "yes")) and not args.raw
 
     tm = TransitionModel.load(args.model)
     lexicon = read_lexicon(args.lexicon)
@@ -85,7 +96,16 @@ def main(argv=None) -> int:
             lat = decode_lattice_faster(
                 graph, mat, args.acoustic_scale, args.beam,
                 args.lattice_beam, args.max_active)
-            lw.write(key, lat)
+            out_lat = lat
+            if determinize:
+                try:
+                    out_lat = determinize_lattice(
+                        lat, max_states=args.max_det_states)
+                except DeterminizeError as e:
+                    # upstream convention: warn and keep the raw lattice
+                    LOG(f"WARNING: {key}: {e}; writing raw lattice")
+                    out_lat = lat
+            lw.write(key, out_lat)
             if tw is not None:
                 wids, _tids, cost = lattice_best_path(lat)
                 tw.write(key, [id2sym[i] for i in wids]

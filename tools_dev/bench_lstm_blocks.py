@@ -20,10 +20,12 @@ from kaldi_lstm_tpu.ops import init_lstm_params, zero_state
 S, T, I, C, R = 512, 20, 40, 800, 512
 
 
-def run(tb, st, vmem_mb=110):
+def run(tb, st, vmem_mb=110, dtype=None):
     os.environ["KLT_LSTM_TIME_BLOCK"] = str(tb)
     os.environ["KLT_LSTM_STREAM_TILE"] = str(st)
     os.environ["KLT_LSTM_VMEM_LIMIT"] = str(vmem_mb * 1024 * 1024)
+    from kaldi_lstm_tpu.models.components import set_matmul_dtype
+    set_matmul_dtype(jnp.bfloat16 if dtype == "bf16" else None)
     import kaldi_lstm_tpu.ops.lstm_pallas as lp
     importlib.reload(lp)
 
@@ -32,10 +34,16 @@ def run(tb, st, vmem_mb=110):
     x = jax.random.normal(jax.random.PRNGKey(1), (S, T, I))
     st0 = zero_state(S, C, R)
 
+    K = 8  # kernel invocations per dispatch: the axon tunnel costs
+    # ~1 ms per dispatch, which would otherwise swamp kernel deltas
+
     @jax.jit
     def fwd(state):
-        _, fin = lp.lstm_scan_pallas(params, x, state)
-        return fin
+        def body(s, _):
+            _, fin = lp.lstm_scan_pallas(params, x, s)
+            return fin, 0
+        s, _ = jax.lax.scan(body, state, None, length=K)
+        return s
 
     def loss(p):
         out, fin = lp.lstm_scan_pallas(p, x, st0)
@@ -43,8 +51,12 @@ def run(tb, st, vmem_mb=110):
 
     @jax.jit
     def train(p):
-        g = jax.grad(loss)(p)
-        return jax.tree_util.tree_map(lambda a, b: a - 1e-7 * b, p, g)
+        def body(q, _):
+            g = jax.grad(loss)(q)
+            return jax.tree_util.tree_map(
+                lambda a, b: a - 1e-7 * b, q, g), 0
+        q, _ = jax.lax.scan(body, p, None, length=K)
+        return q
 
     def timeit(step, carry, iters=30, warmup=5):
         for _ in range(warmup):
@@ -57,9 +69,10 @@ def run(tb, st, vmem_mb=110):
         return (time.perf_counter() - t0) / iters
 
     try:
-        tf = timeit(fwd, st0)
-        tg = timeit(train, params)
-        print(f"tb={tb:3d} st={st:4d}: fwd {tf*1e3:7.3f} ms | "
+        tf = timeit(fwd, st0) / K
+        tg = timeit(train, params) / K
+        print(f"tb={tb:3d} st={st:4d} {dtype or 'f32 '}: "
+              f"fwd {tf*1e3:7.3f} ms | "
               f"fwd+bwd {tg*1e3:7.3f} ms", flush=True)
     except Exception as e:  # noqa: BLE001 — report which config failed
         print(f"tb={tb:3d} st={st:4d}: FAILED "
@@ -71,8 +84,10 @@ def main():
     cfgs = os.environ.get(
         "KLT_SWEEP", "1:128,2:128,5:128,10:128,20:128,5:64,5:256,10:256")
     for c in cfgs.split(","):
-        tb, st = c.split(":")
-        run(int(tb), int(st))
+        parts = c.split(":")
+        tb, st = int(parts[0]), int(parts[1])
+        dtype = parts[2] if len(parts) > 2 else None
+        run(tb, st, dtype=dtype)
 
 
 if __name__ == "__main__":

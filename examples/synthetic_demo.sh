@@ -15,6 +15,28 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH=$PWD${PYTHONPATH:+:$PYTHONPATH}
 mkdir -p "$dir"
 
+echo "=== 0. native front end: wav -> fbank -> deltas -> compressed ark"
+mkdir -p "$dir/wav"
+python - "$dir/wav" <<'EOF'
+import sys, numpy as np
+from kaldi_lstm_tpu.io.wav import write_wav
+d = sys.argv[1]
+rng = np.random.RandomState(0)
+with open(f"{d}/wav.scp", "w") as f:
+    for i in range(3):
+        t = np.arange(16000) / 16000.0
+        x = 8000 * np.sin(2 * np.pi * (300 + 200 * i) * t) \
+            + 500 * rng.randn(16000)
+        write_wav(f"{d}/u{i}.wav", 16000, x)
+        f.write(f"utt{i} {d}/u{i}.wav\n")
+EOF
+python -m kaldi_lstm_tpu.tools.compute_fbank_feats "scp:$dir/wav/wav.scp" \
+    "ark,scp:$dir/wav/fbank.ark,$dir/wav/fbank.scp" --num-mel-bins 40
+python -m kaldi_lstm_tpu.tools.add_deltas "scp:$dir/wav/fbank.scp" \
+    "ark:$dir/wav/fbank_dd.ark"
+python -m kaldi_lstm_tpu.tools.copy_feats "ark:$dir/wav/fbank_dd.ark" \
+    "ark:$dir/wav/fbank_dd_c.ark" --compress=true
+
 echo "=== 1. synthetic corpus (train + cv)"
 python -m kaldi_lstm_tpu.tools.make_synth_data --dir "$dir/tr" \
     --num-utts 40 --feat-dim 40 --num-classes 100 --seed 0

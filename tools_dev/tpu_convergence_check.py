@@ -26,8 +26,9 @@ PROTO = f"""<NnetProto>
 </NnetProto>"""
 
 
-def main():
-    print("devices:", jax.devices(), file=sys.stderr)
+def run(nsteps=2000, bf16=False):
+    from kaldi_lstm_tpu.models.components import set_matmul_dtype
+    set_matmul_dtype(jnp.bfloat16 if bf16 else None)
     rng = np.random.RandomState(0)
     # structured task: label depends on a random linear map of the input
     # plus the PREVIOUS frame (so the recurrence matters)
@@ -55,24 +56,42 @@ def main():
 
     t0 = time.time()
     acc_first = acc_last = None
-    NSTEPS = 2000
-    for i in range(NSTEPS):
+    for i in range(nsteps):
         feats, ids = make_batch(i)
         flags = flags0 if i == 0 else flagsN
         params, opt, states, aux = step(params, opt, states, (), feats,
                                         ids, w1, mask, flags, lr)
-        if i % 250 == 0 or i == NSTEPS - 1:
+        if i % 250 == 0 or i == nsteps - 1:
             acc = float(aux.correct) / float(aux.frames)
             avg = float(aux.xent) / float(aux.frames)
-            print(f"step {i:4d}: xent/frame {avg:.4f} acc {acc:.4f} "
+            print(f"[{'bf16' if bf16 else 'f32 '}] step {i:4d}: "
+                  f"xent/frame {avg:.4f} acc {acc:.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
             if acc_first is None:
                 acc_first = acc
             acc_last = acc
     chance = 1.0 / K
-    print(f"chance={chance:.4f} first={acc_first:.4f} last={acc_last:.4f}")
+    print(f"[{'bf16' if bf16 else 'f32 '}] chance={chance:.4f} "
+          f"first={acc_first:.4f} last={acc_last:.4f}")
     assert acc_last > 20 * chance, "did not learn"
-    print("CONVERGENCE OK")
+    print(f"[{'bf16' if bf16 else 'f32 '}] CONVERGENCE OK")
+    return acc_last
+
+
+def main():
+    print("devices:", jax.devices(), file=sys.stderr)
+    modes = sys.argv[1:] or ["f32"]
+    accs = {}
+    for m in modes:
+        accs[m] = run(bf16=(m == "bf16"))
+    if len(accs) > 1:
+        print("final accuracies:", accs)
+        if "f32" in accs and "bf16" in accs:
+            # bf16 matmul mode must reach f32-level accuracy (parity
+            # gate for making it a default)
+            assert accs["bf16"] > accs["f32"] - 0.02, \
+                "bf16 convergence parity FAILED"
+            print("BF16 PARITY OK")
 
 
 if __name__ == "__main__":

@@ -42,25 +42,22 @@ class DenGraph(NamedTuple):
     start_logp: jax.Array  # [Ns]
     final_logp: jax.Array  # [Ns]
     state_pdf: jax.Array   # [Ns] int32
+    state_phone: jax.Array  # [Ns] int32 (MPE phone accuracy)
 
     @classmethod
     def from_phone_loop(cls, g: PhoneLoopGraph) -> "DenGraph":
         return cls(jnp.asarray(g.logA, jnp.float32),
                    jnp.asarray(g.start_logp, jnp.float32),
                    jnp.asarray(g.final_logp, jnp.float32),
-                   jnp.asarray(g.state_pdf, jnp.int32))
+                   jnp.asarray(g.state_pdf, jnp.int32),
+                   jnp.asarray(g.state_phone, jnp.int32))
 
 
-def den_logprob(graph: DenGraph, loglik: jax.Array, mask: jax.Array,
-                acoustic_scale: float = 1.0) -> jax.Array:
-    """log p(X | den graph) for a batch.
-
-    loglik: [B, T, K] acoustic log-likelihoods; mask: [B, T] (1 = real
-    frame). Returns [B]. Exact logsumexp forward over the dense graph.
-    """
-    em = acoustic_scale * loglik[:, :, graph.state_pdf]      # [B, T, Ns]
-    em = jnp.where(mask[:, :, None] > 0, em, 0.0)
-
+def _den_logZ_from_em(graph: DenGraph, em: jax.Array,
+                      mask: jax.Array) -> jax.Array:
+    """Exact logsumexp forward over the dense graph on prepared
+    per-state emissions em [B, T, Ns] (padded frames must be 0 in em);
+    returns log p(X | den graph) [B]."""
     alpha0 = graph.start_logp[None, :] + em[:, 0]            # [B, Ns]
 
     def step(alpha, inputs):
@@ -75,6 +72,23 @@ def den_logprob(graph: DenGraph, loglik: jax.Array, mask: jax.Array,
     mask_rest = jnp.swapaxes(mask[:, 1:], 0, 1)
     alpha, _ = jax.lax.scan(step, alpha0, (em_rest, mask_rest))
     return jax.nn.logsumexp(alpha + graph.final_logp[None], axis=-1)
+
+
+def _prepare_em(graph: DenGraph, loglik: jax.Array, mask: jax.Array,
+                acoustic_scale: float) -> jax.Array:
+    em = acoustic_scale * loglik[:, :, graph.state_pdf]      # [B, T, Ns]
+    return jnp.where(mask[:, :, None] > 0, em, 0.0)
+
+
+def den_logprob(graph: DenGraph, loglik: jax.Array, mask: jax.Array,
+                acoustic_scale: float = 1.0) -> jax.Array:
+    """log p(X | den graph) for a batch.
+
+    loglik: [B, T, K] acoustic log-likelihoods; mask: [B, T] (1 = real
+    frame). Returns [B]. Exact logsumexp forward over the dense graph.
+    """
+    return _den_logZ_from_em(
+        graph, _prepare_em(graph, loglik, mask, acoustic_scale), mask)
 
 
 def num_logprob(graph: DenGraph, loglik: jax.Array, states: jax.Array,
@@ -113,6 +127,60 @@ def mmi_objective(graph: DenGraph, loglik: jax.Array, states: jax.Array,
     den = den_logprob(graph, loglik, mask, acoustic_scale)
     obj = jnp.sum(den - num)              # >= 0 up to path-prior slack
     return obj, jax.lax.stop_gradient(den - num)
+
+
+def expected_accuracy(graph: DenGraph, loglik: jax.Array,
+                      ref_pdfs: jax.Array, mask: jax.Array,
+                      acoustic_scale: float = 1.0,
+                      criterion: str = "smbr",
+                      silence_phones: jax.Array | None = None
+                      ) -> jax.Array:
+    """E[A] per utterance: the posterior-expected frame accuracy under
+    the dense denominator graph — the lattice-free form of nnet1's
+    sMBR / MPE criteria (upstream nnet-train-mpe-sequential computes
+    the same expectation over decode lattices).
+
+    The identity: with logZ(em) the denominator log-partition,
+    d logZ / d em(t,s) = gamma_t(s) (the per-frame state posterior), so
+    E[A] = sum_t,s gamma_t(s) * acc(t,s) is exactly the jvp of logZ at
+    em in the direction of the accuracy matrix. jax.jvp gives it in one
+    forward pass, and grad-of-jvp (forward-over-reverse) gives the
+    training gradient — the classic gamma*(acc - E[A]) MPE backward
+    falls out of autodiff.
+
+    criterion: "smbr" scores state accuracy by pdf match against
+    `ref_pdfs` [B, T]; "mpe" by phone match (ref_pdfs then carries
+    per-frame reference PHONES). `silence_phones` (int array) excludes
+    those phones from accuracy, upstream's silence treatment.
+    Returns E[A] [B] (differentiable w.r.t. loglik).
+    """
+    em = _prepare_em(graph, loglik, mask, acoustic_scale)
+    if criterion == "smbr":
+        match = graph.state_pdf[None, None, :] == ref_pdfs[:, :, None]
+    elif criterion == "mpe":
+        match = graph.state_phone[None, None, :] == ref_pdfs[:, :, None]
+    else:
+        raise ValueError(f"unknown criterion {criterion!r}")
+    acc = match.astype(jnp.float32) * mask[:, :, None]
+    if silence_phones is not None and silence_phones.size:
+        sil = jnp.isin(graph.state_phone, silence_phones)
+        acc = acc * (~sil)[None, None, :].astype(jnp.float32)
+    _, ea = jax.jvp(lambda e: _den_logZ_from_em(graph, e, mask),
+                    (em,), (acc,))
+    return ea
+
+
+def smbr_objective(graph: DenGraph, loglik: jax.Array,
+                   ref_pdfs: jax.Array, mask: jax.Array,
+                   acoustic_scale: float = 1.0,
+                   criterion: str = "smbr",
+                   silence_phones: jax.Array | None = None
+                   ) -> tuple[jax.Array, jax.Array]:
+    """(negated summed E[A], per-utterance E[A]); minimize the first
+    (gradient ascent on expected accuracy)."""
+    ea = expected_accuracy(graph, loglik, ref_pdfs, mask,
+                           acoustic_scale, criterion, silence_phones)
+    return -jnp.sum(ea), jax.lax.stop_gradient(ea)
 
 
 def alignment_to_states(tm, tids: np.ndarray) -> np.ndarray:

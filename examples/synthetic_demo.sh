@@ -129,4 +129,24 @@ python -m kaldi_lstm_tpu.tools.lattice_best_path "ark:$dir/words/lat.ark" \
 python -m kaldi_lstm_tpu.tools.compute_wer "$dir/words/text" \
     "$dir/words/hyp_lat.txt"
 
+echo "=== 9. sequence training: realign -> sMBR fine-tune -> same %WER"
+python -m kaldi_lstm_tpu.tools.align_mapped "$dir/words/final.mdl" \
+    "$dir/words/lexicon.txt" "ark:$dir/words/loglik.ark" \
+    "$dir/words/text" "ark:$dir/words/ali_re.ark" --acoustic-scale 1.0
+python -m kaldi_lstm_tpu.tools.nnet_train_smbr "scp:$dir/words/feats.scp" \
+    "ark:$dir/words/ali_re.ark" "$dir/words/final.mdl" \
+    "$dir/words/nnet.iter4" "$dir/words/nnet.smbr" \
+    --learn-rate 1e-3 --acoustic-scale 1.0 --length-bucket 32
+python -m kaldi_lstm_tpu.tools.nnet_forward \
+    --class-frame-counts "$dir/words/counts.vec" --apply-log=true \
+    "$dir/words/nnet.smbr" "scp:$dir/words/feats.scp" \
+    "ark:$dir/words/loglik_smbr.ark"
+python -m kaldi_lstm_tpu.tools.decode_faster "$dir/words/final.mdl" \
+    "$dir/words/lexicon.txt" "$dir/words/lm.arpa" \
+    "ark:$dir/words/loglik_smbr.ark" "ark,t:$dir/words/hyp_smbr.txt" \
+    --word-symbol-table "$dir/words/words.txt" --acoustic-scale 1.0 \
+    --beam 18
+python -m kaldi_lstm_tpu.tools.compute_wer "$dir/words/text" \
+    "$dir/words/hyp_smbr.txt"
+
 echo "=== demo complete; outputs in $dir"

@@ -665,3 +665,162 @@ def lattice_scale(lat, lm_scale: float = 1.0,
             g, ac = fin
             lat.final[s] = (g * lm_scale, ac * acoustic_scale)
     return lat
+
+
+def _topo_order_lat(lat) -> list:
+    """Topological order over all states (raises on cycles); shared by
+    pruning and rescoring, which require acyclic lattices (always true
+    for decoder output)."""
+    n = lat.num_states
+    indeg = [0] * n
+    for arcs in lat.arcs:
+        for a in arcs:
+            indeg[a.dst] += 1
+    stack = [s for s in range(n) if indeg[s] == 0]
+    order = []
+    while stack:
+        s = stack.pop()
+        order.append(s)
+        for a in lat.arcs[s]:
+            indeg[a.dst] -= 1
+            if indeg[a.dst] == 0:
+                stack.append(a.dst)
+    if len(order) != n:
+        raise ValueError("lattice has cycles")
+    return order
+
+
+def lattice_prune(lat, beam: float):
+    """lattice-prune: drop every arc/state not on some complete path
+    within `beam` of the best path (upstream PruneLattice semantics:
+    cost forward alpha + arc + backward beta vs best). Returns a NEW
+    lattice of the same type with states renumbered; start state is
+    preserved. Raises on cyclic input."""
+    compact = isinstance(lat, CompactLattice)
+    order = _topo_order_lat(lat)
+    n = lat.num_states
+    alpha = [INF] * n
+    alpha[lat.start] = 0.0
+    for s in order:
+        if alpha[s] == INF:
+            continue
+        for a in lat.arcs[s]:
+            c = alpha[s] + a.graph_cost + a.acoustic_cost
+            if c < alpha[a.dst]:
+                alpha[a.dst] = c
+    beta = [INF] * n
+    for s, fin in lat.final.items():
+        beta[s] = fin[0] + fin[1]
+    for s in reversed(order):
+        for a in lat.arcs[s]:
+            if beta[a.dst] == INF:
+                continue
+            c = a.graph_cost + a.acoustic_cost + beta[a.dst]
+            if c < beta[s]:
+                beta[s] = c
+    best = alpha[lat.start] + beta[lat.start] if beta[lat.start] != INF \
+        else INF
+    if best == INF:
+        raise ValueError("lattice_prune: no complete path")
+    cutoff = best + beam
+
+    keep = {}
+    out = CompactLattice() if compact else Lattice()
+
+    def kept(s):
+        if s not in keep:
+            keep[s] = out.add_state()
+        return keep[s]
+
+    # map the start first so ids stay stable
+    out.start = kept(lat.start)
+    for s in order:
+        if alpha[s] == INF or beta[s] == INF \
+                or alpha[s] + beta[s] > cutoff + 1e-9:
+            continue
+        ns = kept(s)
+        fin = lat.final.get(s)
+        if fin is not None and alpha[s] + fin[0] + fin[1] \
+                <= cutoff + 1e-9:
+            out.final[ns] = fin
+        for a in lat.arcs[s]:
+            if beta[a.dst] == INF:
+                continue
+            tot = alpha[s] + a.graph_cost + a.acoustic_cost \
+                + beta[a.dst]
+            if tot <= cutoff + 1e-9:
+                na = (CompactLatticeArc(a.label, a.graph_cost,
+                                        a.acoustic_cost, a.tids,
+                                        kept(a.dst)) if compact
+                      else LatticeArc(a.ilabel, a.olabel, a.graph_cost,
+                                      a.acoustic_cost, kept(a.dst)))
+                out.arcs[ns].append(na)
+    return out
+
+
+def lattice_lmrescore(lat, old_lm, new_lm, words, bos: str = "<s>",
+                      eos: str = "</s>"):
+    """lattice-lmrescore: replace the (bigram) LM scores baked into the
+    lattice's graph costs with a different ARPA LM, exactly.
+
+    Per-arc subtraction is impossible in general (backoff arcs split the
+    LM score in the raw lattice, determinization redistributes weights),
+    but per-PATH the old LM contribution is exactly
+    sum_i logp_old(w_i | w_{i-1}) + logp_old(eos | w_last) — the ARPA
+    score with backoff folded in. States are therefore expanded by the
+    last-word history (bounded by |vocab| copies per state) and each
+    word arc's graph cost is adjusted by old_logp - new_logp (costs are
+    negated log-probs); finals adjust by the eos terms. `old_lm` None
+    skips the subtraction (adds LM scores to an LM-free lattice).
+    `words` is the SymbolTable mapping lattice word ids to LM strings.
+    """
+    compact = isinstance(lat, CompactLattice)
+    out = CompactLattice() if compact else Lattice()
+    nodes: dict = {}
+    BOS = -1
+
+    def sym(h):
+        return bos if h == BOS else words.id2sym[h]
+
+    def node(s, h):
+        key = (s, h)
+        if key not in nodes:
+            nodes[key] = out.add_state()
+        return nodes[key]
+
+    out.start = node(lat.start, BOS)
+    stack = [(lat.start, BOS)]
+    seen = {(lat.start, BOS)}
+    while stack:
+        s, h = stack.pop()
+        ns = node(s, h)
+        fin = lat.final.get(s)
+        if fin is not None:
+            delta = -new_lm.logp(sym(h), eos)
+            if old_lm is not None:
+                delta += old_lm.logp(sym(h), eos)
+            if compact:
+                out.final[ns] = (fin[0] + delta, fin[1], fin[2])
+            else:
+                out.final[ns] = (fin[0] + delta, fin[1])
+        for a in lat.arcs[s]:
+            w = a.label if compact else a.olabel
+            g = a.graph_cost
+            nh = h
+            if w:
+                nh = w
+                delta = -new_lm.logp(sym(h), sym(w))
+                if old_lm is not None:
+                    delta += old_lm.logp(sym(h), sym(w))
+                g = g + delta
+            nd = node(a.dst, nh)
+            if compact:
+                out.arcs[ns].append(CompactLatticeArc(
+                    w, g, a.acoustic_cost, a.tids, nd))
+            else:
+                out.arcs[ns].append(LatticeArc(
+                    a.ilabel, w, g, a.acoustic_cost, nd))
+            if (a.dst, nh) not in seen:
+                seen.add((a.dst, nh))
+                stack.append((a.dst, nh))
+    return out

@@ -1,0 +1,195 @@
+"""lattice_prune and lattice_lmrescore, pinned against brute-force
+path enumeration and against re-decoding with the new LM."""
+
+import numpy as np
+import pytest
+
+from kaldi_lstm_tpu.io.lattice import (
+    CompactLattice,
+    Lattice,
+    LatticeArc,
+    lattice_best_path,
+    lattice_lmrescore,
+    lattice_prune,
+    lattice_to_compact,
+)
+
+
+def _paths(lat, compact=False):
+    """[(words, total_cost)] over all complete paths."""
+    out = []
+
+    def dfs(s, words, cost):
+        fin = lat.final.get(s)
+        if fin is not None:
+            out.append((tuple(words), cost + fin[0] + fin[1]))
+        for a in lat.arcs[s]:
+            w = a.label if compact else a.olabel
+            dfs(a.dst, words + ([w] if w else []),
+                cost + a.graph_cost + a.acoustic_cost)
+
+    dfs(lat.start, [], 0.0)
+    return out
+
+
+def _random_lattice(rng, ns=12, nwords=4):
+    lat = Lattice()
+    for _ in range(ns):
+        lat.add_state()
+    for s in range(ns - 1):
+        for _ in range(rng.randint(1, 4)):
+            lat.arcs[s].append(LatticeArc(
+                int(rng.randint(0, 3)),
+                int(rng.randint(0, nwords + 1)),
+                round(float(rng.rand() * 2), 3),
+                round(float(rng.rand() * 2), 3),
+                int(rng.randint(s + 1, ns))))
+        if s > 0 and rng.rand() < 0.3:
+            lat.final[s] = (round(float(rng.rand()), 3), 0.0)
+    lat.final[ns - 1] = (0.0, 0.0)
+    return lat
+
+
+def _alpha_beta(lat):
+    """Independent forward/backward best-cost arrays (plain loops over
+    states in index order — _random_lattice only has forward arcs)."""
+    n = lat.num_states
+    alpha = np.full(n, np.inf)
+    alpha[lat.start] = 0.0
+    for s in range(n):
+        for a in lat.arcs[s]:
+            alpha[a.dst] = min(alpha[a.dst],
+                               alpha[s] + a.graph_cost + a.acoustic_cost)
+    beta = np.full(n, np.inf)
+    for s, fin in lat.final.items():
+        beta[s] = fin[0] + fin[1]
+    for s in range(n - 1, -1, -1):
+        for a in lat.arcs[s]:
+            beta[s] = min(beta[s],
+                          a.graph_cost + a.acoustic_cost + beta[a.dst])
+    return alpha, beta
+
+
+def test_prune_arc_criterion_and_path_properties():
+    rng = np.random.RandomState(0)
+    for compact in (False, True):
+        for _ in range(15):
+            lat = _random_lattice(rng)
+            clat = lattice_to_compact(lat) if compact else lat
+            paths = _paths(clat, compact)
+            pathset = {(p, round(c, 6)) for p, c in paths}
+            best = min(c for _, c in paths)
+            alpha, beta = _alpha_beta(clat)
+            for beam in (0.5, 1.5, 4.0):
+                cutoff = best + beam
+                pruned = lattice_prune(clat, beam)
+                # exactly the arcs whose best path through them is
+                # within the beam survive (upstream PruneLattice)
+                want_arcs = sum(
+                    1 for s in range(clat.num_states)
+                    for a in clat.arcs[s]
+                    if alpha[s] + a.graph_cost + a.acoustic_cost
+                    + beta[a.dst] <= cutoff + 1e-9)
+                assert pruned.num_arcs() == want_arcs
+                got = _paths(pruned, compact)
+                # every in-beam path survives with identical cost; all
+                # survivors are genuine original paths
+                for p, c in paths:
+                    if c <= cutoff + 1e-9:
+                        assert (p, round(c, 6)) in {
+                            (q, round(d, 6)) for q, d in got}
+                for q, d in got:
+                    assert (q, round(d, 6)) in pathset
+                # best path untouched
+                w0, _, c0 = lattice_best_path(clat)
+                w1, _, c1 = lattice_best_path(pruned)
+                assert w1 == w0 and abs(c1 - c0) < 1e-9
+
+
+def test_prune_raises_without_complete_path():
+    lat = Lattice()
+    lat.add_state()
+    lat.add_state()
+    lat.arcs[0].append(LatticeArc(1, 1, 0.1, 0.1, 1))
+    # no final state at all
+    with pytest.raises(ValueError, match="complete path"):
+        lattice_prune(lat, 5.0)
+
+
+def test_lmrescore_exact_against_enumeration():
+    """Decode with LM_A, rescore to LM_B: every path's new total cost
+    must equal old total - LM_A(words+eos) + LM_B(words+eos)."""
+    from kaldi_lstm_tpu.decode.graph import build_decoding_graph
+    from kaldi_lstm_tpu.decode.lattice_faster import decode_lattice_faster
+    from kaldi_lstm_tpu.tools.make_word_synth_data import (
+        make_language,
+        sample_sentence,
+    )
+    from tests.test_word_decode import _emit, _oracle_setup
+
+    lex, lm_a, tm, means, rng = _oracle_setup(num_words=5, seed=17)
+    lm_b = make_language(np.random.RandomState(99), 5, 8, 2, 3,
+                         eos_prob=0.3)[1]
+    # same vocab: rebuild lm_b over lex's words
+    assert sorted(set(lm_b.vocab) - {"<s>", "</s>"}) \
+        == sorted(set(lm_a.vocab) - {"<s>", "</s>"})
+    graph = build_decoding_graph(tm, lex, lm_a)
+    words = graph.words
+
+    def arpa_score(lm, seq):
+        h = "<s>"
+        tot = 0.0
+        for w in seq:
+            tot += lm.logp(h, words.id2sym[w])
+            h = words.id2sym[w]
+        return tot + lm.logp(h, "</s>")
+
+    for _ in range(4):
+        sent = sample_sentence(rng, lm_a, sorted(lex), 5) or ["w000"]
+        ll = _emit(tm, lex, means, rng, sent, noise=0.7)
+        raw = decode_lattice_faster(graph, ll, acoustic_scale=1.0,
+                                    beam=14.0, lattice_beam=7.0)
+        res = lattice_lmrescore(raw, lm_a, lm_b, words)
+        old = {}
+        for p, c in _paths(raw):
+            old[p] = min(old.get(p, np.inf), c)
+        new = {}
+        for p, c in _paths(res):
+            new[p] = min(new.get(p, np.inf), c)
+        assert set(new) == set(old)
+        for p in old:
+            want = old[p] + arpa_score(lm_a, p) - arpa_score(lm_b, p)
+            np.testing.assert_allclose(new[p], want, atol=1e-9)
+
+
+def test_lmrescore_best_path_matches_direct_decode():
+    """Rescored best path == decoding directly with the new LM (oracle
+    acoustics, wide beams, determinized input)."""
+    from kaldi_lstm_tpu.decode.determinize import determinize_lattice
+    from kaldi_lstm_tpu.decode.graph import build_decoding_graph
+    from kaldi_lstm_tpu.decode.lattice_faster import decode_lattice_faster
+    from kaldi_lstm_tpu.decode.faster import decode_faster
+    from kaldi_lstm_tpu.tools.make_word_synth_data import (
+        make_language,
+        sample_sentence,
+    )
+    from tests.test_word_decode import _emit, _oracle_setup
+
+    lex, lm_a, tm, means, rng = _oracle_setup(num_words=5, seed=19)
+    lm_b = make_language(np.random.RandomState(7), 5, 8, 2, 3,
+                         eos_prob=0.3)[1]
+    graph_a = build_decoding_graph(tm, lex, lm_a)
+    graph_b = build_decoding_graph(tm, lex, lm_b,
+                                   words=graph_a.words)
+
+    for _ in range(4):
+        sent = sample_sentence(rng, lm_a, sorted(lex), 5) or ["w000"]
+        ll = _emit(tm, lex, means, rng, sent, noise=0.8)
+        raw = decode_lattice_faster(graph_a, ll, acoustic_scale=1.0,
+                                    beam=20.0, lattice_beam=12.0)
+        det = determinize_lattice(raw)
+        res = lattice_lmrescore(det, lm_a, lm_b, graph_a.words)
+        w_resc, _, c_resc = lattice_best_path(res)
+        ref = decode_faster(graph_b, ll, acoustic_scale=1.0, beam=20.0)
+        assert w_resc == ref.words
+        np.testing.assert_allclose(c_resc, -ref.score, atol=1e-6)

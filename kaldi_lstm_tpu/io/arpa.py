@@ -129,3 +129,94 @@ def uniform_unigram(words: list[str], eos: str = "</s>") -> ArpaBigram:
     for w in list(words) + [eos]:
         lm.unigram[w] = (lp, 0.0)
     return lm
+
+
+@dataclass
+class ArpaLM:
+    """General-order ARPA n-gram LM (natural-log API). Used for lattice
+    LM rescoring (lattice_lmrescore), where the history expansion makes
+    any order exact; the decoding GRAPH itself stays bigram
+    (build_decoding_graph uses ArpaBigram).
+
+    ngrams[k] maps a k-tuple of words to (ln prob, ln backoff); backoff
+    is 0.0 when absent (standard ARPA semantics).
+    """
+    order: int = 0
+    ngrams: dict = field(default_factory=dict)  # k -> {tuple: (lp, bo)}
+
+    @property
+    def vocab(self) -> list:
+        return sorted(w for (w,) in self.ngrams.get(1, {}))
+
+    def cond_logp(self, hist: tuple, w: str) -> float:
+        """ln P(w | hist) with standard recursive backoff. `hist` is a
+        tuple of preceding words (any length; only the last order-1
+        matter)."""
+        hist = tuple(hist)[-(self.order - 1):] if self.order > 1 else ()
+        ent = self.ngrams.get(len(hist) + 1, {}).get(hist + (w,))
+        if ent is not None:
+            return ent[0]
+        if not hist:
+            return NEG  # OOV
+        # back off: drop the oldest history word, pay hist's backoff
+        bo = self.ngrams.get(len(hist), {}).get(hist, (0.0, 0.0))[1]
+        return bo + self.cond_logp(hist[1:], w)
+
+    def score_sentence(self, words: list, bos: str = "<s>",
+                       eos: str = "</s>") -> float:
+        total = 0.0
+        hist: tuple = (bos,)
+        for w in list(words) + [eos]:
+            total += self.cond_logp(hist, w)
+            hist = hist + (w,)
+        return total
+
+    @classmethod
+    def load(cls, filename: str, log_fn=None) -> "ArpaLM":
+        lm = cls()
+        section = None
+        with open(filename, errors="replace") as f:
+            for ln, raw in enumerate(f, 1):
+                line = raw.strip()
+                if not line:
+                    continue
+                low = line.lower()
+                if low == "\\data\\":
+                    section = "data"
+                    continue
+                if low.endswith("-grams:") and low.startswith("\\"):
+                    section = int(line[1:line.index("-")])
+                    lm.order = max(lm.order, section)
+                    lm.ngrams.setdefault(section, {})
+                    continue
+                if low == "\\end\\":
+                    section = "end"
+                    continue
+                if section in ("data", "end", None):
+                    continue
+                parts = line.split()
+                k = section
+                if len(parts) == k + 1:
+                    lp, bo = float(parts[0]) * LN10, 0.0
+                elif len(parts) == k + 2:
+                    lp, bo = (float(parts[0]) * LN10,
+                              float(parts[-1]) * LN10)
+                else:
+                    raise ValueError(
+                        f"{filename}:{ln}: bad {k}-gram line {line!r}")
+                lm.ngrams[k][tuple(parts[1:k + 1])] = (lp, bo)
+        if not lm.ngrams.get(1):
+            raise ValueError(f"{filename}: no unigrams found — not an "
+                             "ARPA file?")
+        if log_fn is not None:
+            counts = {k: len(v) for k, v in lm.ngrams.items()}
+            log_fn(f"ArpaLM: order {lm.order}, counts {counts}")
+        return lm
+
+
+def bigram_as_arpalm(bg: ArpaBigram) -> ArpaLM:
+    """View an ArpaBigram through the general interface."""
+    lm = ArpaLM(order=2)
+    lm.ngrams[1] = dict(bg.unigram)
+    lm.ngrams[2] = {k: (v, 0.0) for k, v in bg.bigram.items()}
+    return lm

@@ -777,10 +777,22 @@ def lattice_lmrescore(lat, old_lm, new_lm, words, bos: str = "<s>",
     compact = isinstance(lat, CompactLattice)
     out = CompactLattice() if compact else Lattice()
     nodes: dict = {}
-    BOS = -1
 
-    def sym(h):
-        return bos if h == BOS else words.id2sym[h]
+    def order(lm):
+        return getattr(lm, "order", 2)
+
+    hist_len = max(order(new_lm),
+                   order(old_lm) if old_lm is not None else 2) - 1
+
+    def cond(lm, hist, w):
+        """ln P(w | hist) for either LM class; hist is a tuple of word
+        STRINGS starting with bos."""
+        if hasattr(lm, "cond_logp"):          # ArpaLM, any order
+            return lm.cond_logp(hist, w)
+        return lm.logp(hist[-1], w)           # ArpaBigram
+
+    def sym(w):
+        return words.id2sym[w]
 
     def node(s, h):
         key = (s, h)
@@ -788,17 +800,18 @@ def lattice_lmrescore(lat, old_lm, new_lm, words, bos: str = "<s>",
             nodes[key] = out.add_state()
         return nodes[key]
 
-    out.start = node(lat.start, BOS)
-    stack = [(lat.start, BOS)]
-    seen = {(lat.start, BOS)}
+    h0 = (bos,)
+    out.start = node(lat.start, h0)
+    stack = [(lat.start, h0)]
+    seen = {(lat.start, h0)}
     while stack:
         s, h = stack.pop()
         ns = node(s, h)
         fin = lat.final.get(s)
         if fin is not None:
-            delta = -new_lm.logp(sym(h), eos)
+            delta = -cond(new_lm, h, eos)
             if old_lm is not None:
-                delta += old_lm.logp(sym(h), eos)
+                delta += cond(old_lm, h, eos)
             if compact:
                 out.final[ns] = (fin[0] + delta, fin[1], fin[2])
             else:
@@ -808,11 +821,12 @@ def lattice_lmrescore(lat, old_lm, new_lm, words, bos: str = "<s>",
             g = a.graph_cost
             nh = h
             if w:
-                nh = w
-                delta = -new_lm.logp(sym(h), sym(w))
+                ws = sym(w)
+                delta = -cond(new_lm, h, ws)
                 if old_lm is not None:
-                    delta += old_lm.logp(sym(h), sym(w))
+                    delta += cond(old_lm, h, ws)
                 g = g + delta
+                nh = (h + (ws,))[-hist_len:] if hist_len else ()
             nd = node(a.dst, nh)
             if compact:
                 out.arcs[ns].append(CompactLatticeArc(

@@ -17,7 +17,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from kaldi_lstm_tpu.io.arpa import ArpaBigram, uniform_unigram
+from kaldi_lstm_tpu.io.arpa import ArpaLM, uniform_unigram
 from kaldi_lstm_tpu.io.lang import SymbolTable
 from kaldi_lstm_tpu.io.lattice import (
     LatticeWriter,
@@ -46,8 +46,8 @@ def main(argv=None) -> int:
     if not args.no_subtract:
         old_lm = (uniform_unigram(sorted(vocab))
                   if args.old_arpa == "none"
-                  else ArpaBigram.load(args.old_arpa, log_fn=LOG))
-    new_lm = ArpaBigram.load(args.new_arpa, log_fn=LOG)
+                  else ArpaLM.load(args.old_arpa, log_fn=LOG))
+    new_lm = ArpaLM.load(args.new_arpa, log_fn=LOG)  # any order
 
     n = 0
     with LatticeWriter(args.lattice_wspecifier) as w:

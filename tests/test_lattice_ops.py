@@ -193,3 +193,114 @@ def test_lmrescore_best_path_matches_direct_decode():
         ref = decode_faster(graph_b, ll, acoustic_scale=1.0, beam=20.0)
         assert w_resc == ref.words
         np.testing.assert_allclose(c_resc, -ref.score, atol=1e-6)
+
+
+def _write_trigram_arpa(path, rng, vocab):
+    """Hand-construct a (not necessarily normalized) trigram ARPA over
+    `vocab` — probabilities only need to be well-defined for the test."""
+    import itertools as it
+    lines = ["\\data\\", f"ngram 1={len(vocab) + 2}"]
+    uni, bi, tri = {}, {}, {}
+    full = list(vocab) + ["</s>"]
+    for w in ["<s>"] + full:
+        uni[w] = (round(-1 - rng.rand(), 4), round(-0.5 * rng.rand(), 4))
+    for v, w in it.product(["<s>"] + list(vocab), full):
+        if rng.rand() < 0.6:
+            bi[(v, w)] = (round(-1 - rng.rand(), 4),
+                          round(-0.5 * rng.rand(), 4))
+    for u, v, w in it.product(["<s>"] + list(vocab), list(vocab), full):
+        if (u, v) in bi and rng.rand() < 0.4:
+            tri[(u, v, w)] = round(-1 - rng.rand(), 4)
+    lines += [f"ngram 2={len(bi)}", f"ngram 3={len(tri)}", "",
+              "\\1-grams:"]
+    for w, (lp, bo) in uni.items():
+        lines.append(f"{lp}\t{w}\t{bo}")
+    lines.append("")
+    lines.append("\\2-grams:")
+    for (v, w), (lp, bo) in bi.items():
+        lines.append(f"{lp}\t{v} {w}\t{bo}")
+    lines.append("")
+    lines.append("\\3-grams:")
+    for (u, v, w), lp in tri.items():
+        lines.append(f"{lp}\t{u} {v} {w}")
+    lines += ["", "\\end\\"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return uni, bi, tri
+
+
+def test_arpalm_trigram_backoff_recursion(tmp_path):
+    from kaldi_lstm_tpu.io.arpa import LN10, ArpaLM
+    rng = np.random.RandomState(0)
+    vocab = ["a", "b", "c"]
+    uni, bi, tri = _write_trigram_arpa(tmp_path / "tri.arpa", rng, vocab)
+    lm = ArpaLM.load(str(tmp_path / "tri.arpa"))
+    assert lm.order == 3
+
+    def ref_cond(hist, w):
+        hist = tuple(hist)[-2:]
+        if len(hist) == 2 and (hist[0], hist[1], w) in tri:
+            return tri[(hist[0], hist[1], w)] * LN10
+        if len(hist) == 2:
+            bo = bi.get((hist[0], hist[1]), (0.0, 0.0))[1] * LN10
+            return bo + ref_cond(hist[1:], w)
+        if (hist[-1], w) in bi:
+            return bi[(hist[-1], w)][0] * LN10
+        return uni[hist[-1]][1] * LN10 + uni[w][0] * LN10
+
+    for hist, w in [(("<s>",), "a"), (("<s>", "a"), "b"),
+                    (("a", "b"), "c"), (("c", "a"), "</s>"),
+                    (("b",), "a"), (("a", "c"), "b")]:
+        np.testing.assert_allclose(lm.cond_logp(hist, w),
+                                   ref_cond(hist, w), atol=1e-9)
+
+
+def test_trigram_lmrescore_exact(tmp_path):
+    """Rescore random ambiguous lattices with a TRIGRAM LM: per-path
+    new cost = old - old_ARPA(path) + new_ARPA(path). Trigram history
+    must survive epsilon arcs and state re-convergence."""
+    from kaldi_lstm_tpu.io.arpa import ArpaLM, uniform_unigram
+    from kaldi_lstm_tpu.io.lang import SymbolTable
+
+    vocab = ["a", "b", "c", "d"]
+    words = SymbolTable()
+    words.add("<eps>", 0)
+    for w in vocab:
+        words.add(w)
+    _write_trigram_arpa(tmp_path / "tri.arpa", np.random.RandomState(5),
+                        vocab)
+    lm_b = ArpaLM.load(str(tmp_path / "tri.arpa"))
+    assert lm_b.order == 3
+    lm_a = uniform_unigram(vocab)
+
+    rng = np.random.RandomState(3)
+    multi = 0
+    for compact in (False, True):
+        for _ in range(10):
+            lat = _random_lattice(rng)
+            clat = lattice_to_compact(lat) if compact else lat
+            res = lattice_lmrescore(clat, lm_a, lm_b, words)
+            old, new = {}, {}
+            for p, c in _paths(clat, compact):
+                old[p] = min(old.get(p, np.inf), round(c, 9))
+            for p, c in _paths(res, compact):
+                new[p] = min(new.get(p, np.inf), round(c, 9))
+            assert set(new) == set(old)
+            multi += len(old) > 1
+            for p in old:
+                seq = [words.id2sym[w] for w in p]
+                want = old[p] + lm_a.score_sentence(seq) \
+                    - lm_b.score_sentence(seq)
+                np.testing.assert_allclose(new[p], want, atol=1e-8)
+            # pure-add mode (old_lm=None): only the new LM joins
+            res2 = lattice_lmrescore(clat, None, lm_b, words)
+            new2 = {}
+            for p, c in _paths(res2, compact):
+                new2[p] = min(new2.get(p, np.inf), round(c, 9))
+            assert set(new2) == set(old)
+            for p in old:
+                seq = [words.id2sym[w] for w in p]
+                np.testing.assert_allclose(
+                    new2[p], old[p] - lm_b.score_sentence(seq),
+                    atol=1e-8)
+    assert multi >= 10, "not enough multi-hypothesis lattices"

@@ -33,6 +33,8 @@ import struct
 import sys
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from kaldi_lstm_tpu.io.kaldi_io import _open_rspecifier, _read_key
 
 FST_MAGIC = 2125659606          # openfst fst.cc kFstMagicNumber
@@ -838,3 +840,72 @@ def lattice_lmrescore(lat, old_lm, new_lm, words, bos: str = "<s>",
                 seen.add((a.dst, nh))
                 stack.append((a.dst, nh))
     return out
+
+
+def lattice_to_post(lat, acoustic_scale: float = 1.0,
+                    lm_scale: float = 1.0):
+    """lattice-to-post: per-frame transition-id posteriors from the
+    lattice forward-backward (log semiring over scaled costs:
+    ln p(arc) = -(lm_scale*graph + acoustic_scale*acoustic)).
+
+    Input must be a raw state-level Lattice (every emitting arc =
+    exactly one frame; convert CompactLattice first). Returns
+    [[(tid, gamma), ...] per frame]; gammas sum to 1 per frame.
+    Requires time-synchronicity: every path reaching a state must have
+    consumed the same number of frames (decoder lattices are)."""
+    if isinstance(lat, CompactLattice):
+        lat = compact_to_lattice(lat)
+    order = _topo_order_lat(lat)
+    n = lat.num_states
+
+    def w(a):
+        return -(lm_scale * a.graph_cost
+                 + acoustic_scale * a.acoustic_cost)
+
+    alpha = [-INF] * n
+    frame = [None] * n
+    alpha[lat.start] = 0.0
+    frame[lat.start] = 0
+    for s in order:
+        if alpha[s] == -INF:
+            continue
+        for a in lat.arcs[s]:
+            nf = frame[s] + (1 if a.ilabel else 0)
+            if frame[a.dst] is None:
+                frame[a.dst] = nf
+            elif frame[a.dst] != nf:
+                raise ValueError(
+                    "lattice_to_post: lattice is not time-synchronous "
+                    f"(state {a.dst} reached at frames {frame[a.dst]} "
+                    f"and {nf})")
+            alpha[a.dst] = float(np.logaddexp(alpha[a.dst],
+                                              alpha[s] + w(a)))
+    beta = [-INF] * n
+    for s, fin in lat.final.items():
+        beta[s] = -(lm_scale * fin[0] + acoustic_scale * fin[1])
+    for s in reversed(order):
+        for a in lat.arcs[s]:
+            if beta[a.dst] > -INF / 2:
+                beta[s] = float(np.logaddexp(beta[s],
+                                             w(a) + beta[a.dst]))
+    logZ = alpha[lat.start] + beta[lat.start]
+    if logZ < -INF / 2:
+        raise ValueError("lattice_to_post: no complete path")
+
+    # frame of an EMITTING ARC leaving s is frame[s]
+    T = 0
+    for s in order:
+        for a in lat.arcs[s]:
+            if a.ilabel and frame[s] is not None:
+                T = max(T, frame[s] + 1)
+    post = [dict() for _ in range(T)]
+    for s in order:
+        if alpha[s] == -INF or frame[s] is None:
+            continue
+        for a in lat.arcs[s]:
+            if not a.ilabel or beta[a.dst] < -INF / 2:
+                continue
+            g = math.exp(alpha[s] + w(a) + beta[a.dst] - logZ)
+            t = frame[s]
+            post[t][a.ilabel] = post[t].get(a.ilabel, 0.0) + g
+    return [sorted(d.items()) for d in post]

@@ -304,3 +304,115 @@ def test_trigram_lmrescore_exact(tmp_path):
                     new2[p], old[p] - lm_b.score_sentence(seq),
                     atol=1e-8)
     assert multi >= 10, "not enough multi-hypothesis lattices"
+
+
+def test_lattice_to_post_exact_and_properties():
+    """Posteriors pinned against brute-force path enumeration; per-frame
+    gammas sum to 1; CompactLattice input auto-converts."""
+    from kaldi_lstm_tpu.io.lattice import lattice_to_post
+
+    def brute(lat, scale=1.0, lm=1.0):
+        # enumerate (path arcs, prob); accumulate per-frame tid mass
+        acc = []
+        tot = 0.0
+
+        def dfs(s, t, logp, arcs):
+            nonlocal tot
+            fin = lat.final.get(s)
+            if fin is not None:
+                p = np.exp(logp - (lm * fin[0] + scale * fin[1]))
+                tot += p
+                for (ft, tid) in arcs:
+                    while len(acc) <= ft:
+                        acc.append({})
+                    acc[ft][tid] = acc[ft].get(tid, 0.0) + p
+            for a in lat.arcs[s]:
+                c = lm * a.graph_cost + scale * a.acoustic_cost
+                dfs(a.dst, t + (1 if a.ilabel else 0), logp - c,
+                    arcs + ([(t, a.ilabel)] if a.ilabel else []))
+
+        dfs(lat.start, 0, 0.0, [])
+        return [sorted((tid, g / tot) for tid, g in d.items())
+                for d in acc]
+
+    # time-synchronous random lattices: layered graph, one emitting arc
+    # per layer step, optional epsilons inside a layer
+    rng = np.random.RandomState(0)
+    for _ in range(10):
+        T, width = 4, 3
+        lat = Lattice()
+        layers = [[lat.add_state() for _ in range(width)]
+                  for _ in range(T + 1)]
+        lat.start = layers[0][0]
+        for t in range(T):
+            for i, s in enumerate(layers[t]):
+                for _ in range(rng.randint(1, 3)):
+                    lat.arcs[s].append(LatticeArc(
+                        int(rng.randint(1, 5)), int(rng.randint(0, 3)),
+                        round(float(rng.rand()), 3),
+                        round(float(rng.rand()), 3),
+                        layers[t + 1][rng.randint(0, width)]))
+                if i + 1 < width and rng.rand() < 0.4:  # eps in-layer
+                    lat.arcs[s].append(LatticeArc(
+                        0, 0, round(float(rng.rand()), 3), 0.0,
+                        layers[t][i + 1]))
+        for s in layers[T]:
+            lat.final[s] = (round(float(rng.rand()), 3), 0.0)
+        got = lattice_to_post(lat, 0.7, 1.0)
+        want = brute(lat, 0.7, 1.0)
+        assert len(got) == len(want) == T
+        for gt, wt in zip(got, want):
+            assert [tid for tid, _ in gt] == [tid for tid, _ in wt]
+            np.testing.assert_allclose([g for _, g in gt],
+                                       [g for _, g in wt], atol=1e-9)
+            np.testing.assert_allclose(sum(g for _, g in gt), 1.0,
+                                       atol=1e-9)
+        # CompactLattice round-trip gives the same posteriors
+        got_c = lattice_to_post(lattice_to_compact(lat), 0.7, 1.0)
+        for gt, wt in zip(got_c, want):
+            np.testing.assert_allclose([g for _, g in gt],
+                                       [g for _, g in wt], atol=1e-9)
+
+
+def test_lattice_to_post_rejects_async():
+    from kaldi_lstm_tpu.io.lattice import lattice_to_post
+    lat = Lattice()
+    for _ in range(3):
+        lat.add_state()
+    lat.arcs[0].append(LatticeArc(1, 0, 0.1, 0.1, 2))   # 1 frame
+    lat.arcs[0].append(LatticeArc(0, 0, 0.1, 0.1, 1))   # eps
+    lat.arcs[1].append(LatticeArc(2, 0, 0.1, 0.1, 2))   # also 1 frame
+    lat.arcs[1].append(LatticeArc(3, 0, 0.1, 0.1, 2))
+    lat.final[2] = (0.0, 0.0)
+    # state 2 reachable at frame 1 via both routes: OK
+    assert lattice_to_post(lat)
+    # now add a 2-frame route into state 2
+    mid = lat.add_state()
+    lat.arcs[0].append(LatticeArc(4, 0, 0.1, 0.1, mid))
+    lat.arcs[mid].append(LatticeArc(5, 0, 0.1, 0.1, 2))
+    with pytest.raises(ValueError, match="time-synchronous"):
+        lattice_to_post(lat)
+
+
+def test_lattice_to_post_cli(tmp_path):
+    from kaldi_lstm_tpu.io.lattice import LatticeWriter
+    from kaldi_lstm_tpu.io.kaldi_io import RandomAccessPosteriorReader
+    from kaldi_lstm_tpu.tools.lattice_to_post import main
+    lat = Lattice()
+    for _ in range(3):
+        lat.add_state()
+    lat.arcs[0].append(LatticeArc(1, 5, 0.0, 1.0, 1))
+    lat.arcs[0].append(LatticeArc(2, 6, 0.0, 2.0, 1))
+    lat.arcs[1].append(LatticeArc(3, 0, 0.0, 0.5, 2))
+    lat.final[2] = (0.0, 0.0)
+    with LatticeWriter(f"ark:{tmp_path}/lat.ark") as w:
+        w.write("u1", lat)
+    assert main([f"ark:{tmp_path}/lat.ark",
+                 f"ark:{tmp_path}/post.ark"]) == 0
+    r = RandomAccessPosteriorReader(f"ark:{tmp_path}/post.ark")
+    post = r.value("u1")
+    assert len(post) == 2
+    f0 = dict(post[0])
+    np.testing.assert_allclose(f0[1], np.exp(-1) / (np.exp(-1)
+                                                    + np.exp(-2)),
+                               rtol=1e-5)

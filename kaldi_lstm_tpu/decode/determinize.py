@@ -54,24 +54,13 @@ def _better(a, b) -> bool:
 
 
 def _topo_order(lat: Lattice) -> list:
-    """Topological order of all states (raises on cycles)."""
-    n = lat.num_states
-    indeg = [0] * n
-    for arcs in lat.arcs:
-        for a in arcs:
-            indeg[a.dst] += 1
-    stack = [s for s in range(n) if indeg[s] == 0]
-    order = []
-    while stack:
-        s = stack.pop()
-        order.append(s)
-        for a in lat.arcs[s]:
-            indeg[a.dst] -= 1
-            if indeg[a.dst] == 0:
-                stack.append(a.dst)
-    if len(order) != n:
-        raise DeterminizeError("determinize: input lattice has cycles")
-    return order
+    """Topological order of all states (shared helper; raises
+    DeterminizeError on cycles)."""
+    from kaldi_lstm_tpu.io.lattice import _topo_order_lat
+    try:
+        return _topo_order_lat(lat)
+    except ValueError as e:
+        raise DeterminizeError(f"determinize: {e}") from e
 
 
 def _eps_closure(lat: Lattice, elems: dict, topo_idx) -> dict:

@@ -157,7 +157,13 @@ class OnlineRecognizer:
         if targets_delay is None:
             targets_delay = 0
             if comps and isinstance(comps[0], TimeShift):
-                targets_delay = max(comps[0].shift, 0)
+                if comps[0].shift < 0:
+                    # a negative shift (past context) cannot stream —
+                    # raise like the explicit targets_delay path does
+                    raise ValueError(
+                        "online decoding: leading TimeShift has "
+                        f"negative shift {comps[0].shift}")
+                targets_delay = comps[0].shift
                 comps.pop(0)
                 plist.pop(0)
         # standard-variant components zero their state per call (the

@@ -143,7 +143,9 @@ def _extract_frames(wave: np.ndarray, opts: FrameOptions) -> np.ndarray:
                  - length // 2)
         idx = start[:, None] + np.arange(length)[None, :]
         n = len(wave)
-        idx = np.abs(idx)                      # reflect at 0
+        # upstream mirrors around the half-sample boundaries
+        # (feature-window.cc): -1 -> 0, -2 -> 1 and n -> n-1, n+1 -> n-2
+        idx = np.where(idx < 0, -idx - 1, idx)
         idx = np.where(idx >= n, 2 * n - 1 - idx, idx)
         idx = np.clip(idx, 0, n - 1)
     return wave[idx]

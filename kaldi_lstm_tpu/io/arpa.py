@@ -124,9 +124,10 @@ class ArpaBigram:
 def uniform_unigram(words: list[str], eos: str = "</s>") -> ArpaBigram:
     """Uniform unigram LM over `words` + sentence end — the no-LM decoding
     grammar (every word equally likely, any length)."""
-    lp = -math.log(len(words) + 1)
+    vocab = list(dict.fromkeys(list(words) + [eos]))  # dedupe, keep order
+    lp = -math.log(len(vocab))
     lm = ArpaBigram()
-    for w in list(words) + [eos]:
+    for w in vocab:
         lm.unigram[w] = (lp, 0.0)
     return lm
 

@@ -85,3 +85,23 @@ def write_lexicon(filename: str, lex: dict[str, list[list[int]]]) -> None:
             for pron in lex[word]:
                 f.write(word + " " + " ".join(str(p) for p in pron)
                         + "\n")
+
+
+def read_text_table(path: str) -> dict:
+    """`key word word ...` text table (transcripts / references).
+    Accepts a plain path or an `ark[,t]:path` rspecifier."""
+    if ":" in path and path.split(":", 1)[0].split(",")[0] in ("ark",
+                                                              "scp"):
+        path = path.split(":", 1)[1]
+    out = {}
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            if parts:
+                out[parts[0]] = parts[1:]
+    return out
+
+
+def write_text_line(out, words) -> None:
+    """TableWriter value callback for text transcript tables."""
+    out.stream.write((" ".join(str(w) for w in words) + "\n").encode())

@@ -493,18 +493,18 @@ class SequentialLatticeReader:
                 key = _read_key(self.stream)
                 if key is None:
                     break
-                head = self.stream.read(2)
+                # peek, don't read: a text record's first line may be
+                # shorter than 2 bytes ('0\n'), and consuming it here
+                # would swallow the record separator (framing bug)
+                head = self.stream.peek(2)[:2]
                 if head == b"\0B":
+                    self.stream.read(2)
                     yield key, read_lattice_binary(self.stream)
                 else:
-                    # text mode: _read_key consumed up to whitespace; the
-                    # head bytes belong to the first lattice line
                     lines = []
-                    buf = head
                     while True:
                         ln = self.stream.readline()
-                        line = (buf + ln).decode()
-                        buf = b""
+                        line = ln.decode()
                         if not line.strip():
                             break
                         lines.append(line)
@@ -524,27 +524,22 @@ def lattice_best_path(lat) -> tuple[list, list, float]:
     """Shortest (lowest-cost) path through a Lattice or CompactLattice.
     Returns (word-ids, transition-ids, total cost). Arc costs =
     graph + acoustic (lattice-best-path semantics with the scales already
-    folded in). Epsilon/zero-cost cycles are not expected in decoder
-    output; states are relaxed in DAG-ish topological order discovered by
-    iterated Bellman-Ford (bounded passes)."""
+    folded in). Lattices are acyclic (the shared topological sort
+    enforces it), so ONE relaxation pass in topological order is exact —
+    O(V+E) regardless of how states happen to be numbered."""
     compact = isinstance(lat, CompactLattice)
     n = lat.num_states
     dist = [INF] * n
     back = [None] * n
     dist[lat.start] = 0.0
-    for _ in range(n):
-        changed = False
-        for s in range(n):
-            if dist[s] == INF:
-                continue
-            for a in lat.arcs[s]:
-                nd = dist[s] + a.graph_cost + a.acoustic_cost
-                if nd < dist[a.dst] - 1e-12:
-                    dist[a.dst] = nd
-                    back[a.dst] = (s, a)
-                    changed = True
-        if not changed:
-            break
+    for s in _topo_order_lat(lat):
+        if dist[s] == INF:
+            continue
+        for a in lat.arcs[s]:
+            nd = dist[s] + a.graph_cost + a.acoustic_cost
+            if nd < dist[a.dst] - 1e-12:
+                dist[a.dst] = nd
+                back[a.dst] = (s, a)
     best_s, best_cost = None, INF
     for s, fin in lat.final.items():
         g, ac = fin[0], fin[1]
@@ -889,7 +884,7 @@ def lattice_to_post(lat, acoustic_scale: float = 1.0,
                 beta[s] = float(np.logaddexp(beta[s],
                                              w(a) + beta[a.dst]))
     logZ = alpha[lat.start] + beta[lat.start]
-    if logZ < -INF / 2:
+    if not math.isfinite(logZ):
         raise ValueError("lattice_to_post: no complete path")
 
     # frame of an EMITTING ARC leaving s is frame[s]
@@ -903,7 +898,7 @@ def lattice_to_post(lat, acoustic_scale: float = 1.0,
         if alpha[s] == -INF or frame[s] is None:
             continue
         for a in lat.arcs[s]:
-            if not a.ilabel or beta[a.dst] < -INF / 2:
+            if not a.ilabel or beta[a.dst] == -INF:
                 continue
             g = math.exp(alpha[s] + w(a) + beta[a.dst] - logZ)
             t = frame[s]

@@ -537,13 +537,16 @@ def _fwd_vmem_bytes(tb, st, cp, rp, ip, gifo_bytes=4,
 
 
 def _bwd_vmem_bytes(tb, st, cp, rp, ip, gifo_bytes=4,
-                    need_dx: bool = True) -> int:
+                    need_dx: bool = True,
+                    has_mask: bool = False) -> int:
     """Analytic VMEM footprint of one bwd grid step: double-buffered
     per-t streams (c/r blocks + one boundary row each), resident weights,
     resident accumulator output blocks PLUS the same-sized local
     accumulators, dx out, state blocks."""
     stream_in = tb * st * (4 * cp * gifo_bytes
                            + (cp + 2 * rp + ip) * 4) * 2
+    if has_mask:
+        stream_in += tb * st * 4 * cp * 1 * 2   # int8 dropout mask
     boundary = st * (cp + rp) * 4 * 2
     weights = (4 * cp * rp + rp * cp + 4 * cp * ip + 3 * cp) * 4
     accum = (4 * cp * ip + 4 * cp * rp + rp * cp
@@ -564,7 +567,7 @@ def _fit_time_block(T: int, tb: int, bytes_fn) -> int:
 
 
 def _plan_dims(S, T, I, C, R, max_stream_tile=None,
-               max_time_block=None) -> _Dims:
+               max_time_block=None, has_mask: bool = False) -> _Dims:
     if max_stream_tile is None:
         max_stream_tile = _DEFAULT_STREAM_TILE
     if max_time_block is None:
@@ -576,8 +579,9 @@ def _plan_dims(S, T, I, C, R, max_stream_tile=None,
     st = sp if sp <= max_stream_tile else max_stream_tile
     sp = _round_up(sp, st)
     tb = _plan_time_block(T, max_time_block)
-    tb = _fit_time_block(T, tb,
-                         lambda t: _fwd_vmem_bytes(t, st, cp, rp, ip))
+    tb = _fit_time_block(
+        T, tb, lambda t: _fwd_vmem_bytes(t, st, cp, rp, ip,
+                                         has_mask=has_mask))
     return _Dims(S, T, I, C, R, sp, st, cp, rp, tb, ip)
 
 
@@ -608,7 +612,8 @@ def _lstm_pallas(params: LstmParams, x, state: LstmState, keep_mask,
         T, S, I = x.shape
     else:
         S, T, I = x.shape
-    d = _plan_dims(S, T, I, params.cell_dim, params.recur_dim)
+    d = _plan_dims(S, T, I, params.cell_dim, params.recur_dim,
+                   has_mask=keep_mask is not None)
     ops = _prepare(params, x, state, d, time_major, keep_mask)
     r_seq, c_last = _infer_call(*ops, st=d.st, tb=d.tb,
                                 cell_clip=cell_clip, inv_keep=inv_keep,
@@ -675,7 +680,7 @@ def _lstm_pallas_fwd(params: LstmParams, x, state: LstmState,
         S, T, I = x.shape
     C = params.cell_dim
     R = params.recur_dim
-    d = _plan_dims(S, T, I, C, R)
+    d = _plan_dims(S, T, I, C, R, has_mask=keep_mask is not None)
 
     ops = _prepare(params, x, state, d, time_major, keep_mask)
     c0, r0 = ops[6], ops[7]
@@ -702,7 +707,7 @@ def _lstm_pallas_bwd(cell_clip, interpret, time_major, inv_keep,
         S, T, I = x.shape
     C = params.cell_dim
     R = params.recur_dim
-    d = _plan_dims(S, T, I, C, R)
+    d = _plan_dims(S, T, I, C, R, has_mask=keep_mask is not None)
 
     # r_T == r_seq[T-1]: fold its extra cotangent into the sequence grad
     g_r = jnp.zeros((T, d.sp, d.rp), jnp.float32)
@@ -737,7 +742,8 @@ def _lstm_pallas_bwd(cell_clip, interpret, time_major, inv_keep,
     gifo_bytes = jnp.dtype(gifo.dtype).itemsize
     tb_bwd = _fit_time_block(
         T, d.tb, lambda t: _bwd_vmem_bytes(t, st_bwd, d.cp, d.rp, ip,
-                                           gifo_bytes, need_input_grad))
+                                           gifo_bytes, need_input_grad,
+                                           keep_mask is not None))
     # per-block boundary rows: c/r at index tau*tb-1 (tau=0 -> the chunk
     # carry) — the kernel shifts within the block, so the full c(t-1)/
     # r(t-1) streams are never materialized (v3 cost two [T, sp, .]

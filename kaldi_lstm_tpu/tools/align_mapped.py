@@ -8,7 +8,7 @@ klt-ali-to-post` regenerates training targets natively (realignment
 between training iterations).
 
     python -m kaldi_lstm_tpu.tools.align_mapped final.mdl lexicon.txt \\
-        ark:loglik.ark ark,t:text ark:ali.ark \\
+        ark:loglik.ark text ark:ali.ark \\
         --acoustic-scale 0.1 --beam 200 [--sil-phone 1 --sil-prob 0.5]
 
 Transcripts are `key word word ...` text lines (words as lexicon
@@ -30,19 +30,13 @@ from kaldi_lstm_tpu.io.kaldi_io import (
     TableWriter,
     write_int_vector,
 )
-from kaldi_lstm_tpu.io.lang import SymbolTable, read_lexicon
+from kaldi_lstm_tpu.io.lang import (
+    SymbolTable,
+    read_lexicon,
+    read_text_table,
+)
 from kaldi_lstm_tpu.io.transition_model import TransitionModel
 from kaldi_lstm_tpu.utils import LOG
-
-
-def read_transcripts(path: str) -> dict:
-    out = {}
-    with open(path, "r", encoding="utf-8") as f:
-        for line in f:
-            parts = line.split()
-            if parts:
-                out[parts[0]] = parts[1:]
-    return out
 
 
 def main(argv=None) -> int:
@@ -69,7 +63,7 @@ def main(argv=None) -> int:
     lexicon = read_lexicon(args.lexicon)
     words = (SymbolTable.load(args.word_symbol_table)
              if args.word_symbol_table else None)
-    texts = read_transcripts(args.transcripts)
+    texts = read_text_table(args.transcripts)
 
     n = no_text = failed = 0
     with TableWriter(args.ali_wspecifier, write_int_vector) as w:

@@ -38,15 +38,32 @@ def main(argv=None) -> int:
     p.add_argument("--word-symbol-table", required=True)
     p.add_argument("--no-subtract", action="store_true",
                    help="only add the new LM (old scores kept)")
+    p.add_argument("--lexicon", default="",
+                   help='with old_arpa="none": the lexicon latgen was '
+                        "run with, so the uniform grammar is rebuilt "
+                        "over exactly the same vocabulary")
     args = p.parse_args(argv)
 
     words = SymbolTable.load(args.word_symbol_table)
-    vocab = [w for w, i in words.sym2id.items() if i != 0]
     old_lm = None
     if not args.no_subtract:
-        old_lm = (uniform_unigram(sorted(vocab))
-                  if args.old_arpa == "none"
-                  else ArpaLM.load(args.old_arpa, log_fn=LOG))
+        if args.old_arpa == "none":
+            if args.lexicon:
+                from kaldi_lstm_tpu.io.lang import read_lexicon
+                vocab = sorted(read_lexicon(args.lexicon))
+            else:
+                # filter symbol-table specials; exact only when
+                # words.txt covers precisely the lexicon words
+                vocab = sorted(
+                    w for w, i in words.sym2id.items()
+                    if i != 0 and w not in ("<s>", "</s>")
+                    and not w.startswith("#"))
+                LOG("WARNING: reconstructing the uniform grammar from "
+                    "words.txt; pass --lexicon for an exact match "
+                    "with latgen's vocabulary")
+            old_lm = uniform_unigram(vocab)
+        else:
+            old_lm = ArpaLM.load(args.old_arpa, log_fn=LOG)
     new_lm = ArpaLM.load(args.new_arpa, log_fn=LOG)  # any order
 
     n = 0

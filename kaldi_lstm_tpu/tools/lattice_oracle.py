@@ -14,7 +14,11 @@ import heapq
 import sys
 
 from kaldi_lstm_tpu.io.kaldi_io import TableWriter
-from kaldi_lstm_tpu.io.lang import SymbolTable
+from kaldi_lstm_tpu.io.lang import (
+    SymbolTable,
+    read_text_table,
+    write_text_line,
+)
 from kaldi_lstm_tpu.io.lattice import (
     CompactLattice,
     SequentialLatticeReader,
@@ -73,20 +77,6 @@ def lattice_oracle(lat, ref: list) -> tuple:
     return dist[best_end], words
 
 
-def read_text(path: str) -> dict:
-    out = {}
-    with open(path, "r", encoding="utf-8") as f:
-        for line in f:
-            parts = line.split()
-            if parts:
-                out[parts[0]] = parts[1:]
-    return out
-
-
-def _write_text_line(out, words) -> None:
-    out.stream.write((" ".join(str(w) for w in words) + "\n").encode())
-
-
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         description="Oracle %WER: best path through each lattice "
@@ -101,8 +91,8 @@ def main(argv=None) -> int:
 
     words = (SymbolTable.load(args.word_symbol_table)
              if args.word_symbol_table else None)
-    refs = read_text(args.reference)
-    ow = (TableWriter(args.oracle_wspecifier, _write_text_line,
+    refs = read_text_table(args.reference)
+    ow = (TableWriter(args.oracle_wspecifier, write_text_line,
                       binary=False) if args.oracle_wspecifier else None)
 
     n = no_ref = 0

@@ -24,15 +24,15 @@ from kaldi_lstm_tpu.decode.graph import build_decoding_graph
 from kaldi_lstm_tpu.decode.online import OnlineRecognizer
 from kaldi_lstm_tpu.io.arpa import ArpaBigram, uniform_unigram
 from kaldi_lstm_tpu.io.kaldi_io import SequentialMatrixReader, TableWriter
-from kaldi_lstm_tpu.io.lang import SymbolTable, read_lexicon
+from kaldi_lstm_tpu.io.lang import (
+    SymbolTable,
+    read_lexicon,
+    write_text_line,
+)
 from kaldi_lstm_tpu.io.transition_model import TransitionModel
 from kaldi_lstm_tpu.models.nnet import Nnet
 from kaldi_lstm_tpu.tools.nnet_forward import read_class_frame_counts
 from kaldi_lstm_tpu.utils import LOG
-
-
-def _write_text_line(out, words) -> None:
-    out.stream.write((" ".join(str(w) for w in words) + "\n").encode())
 
 
 def main(argv=None) -> int:
@@ -89,7 +89,7 @@ def main(argv=None) -> int:
     delay = None if args.targets_delay < 0 else args.targets_delay
     id2sym = graph.words.id2sym
     n, total_frames, no_final = 0, 0, 0
-    with TableWriter(args.trans_wspecifier, _write_text_line,
+    with TableWriter(args.trans_wspecifier, write_text_line,
                      binary=False) as w:
         for key, feats in SequentialMatrixReader(args.feature_rspecifier):
             rec = OnlineRecognizer(

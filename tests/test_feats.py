@@ -235,3 +235,22 @@ def test_wave_reader_pipe_command(tmp_path):
     scp.write_text(f"a cat {p} |\nb {p}\n")
     utts = {k: w.data for k, w in SequentialWaveReader(f"scp:{scp}")}
     np.testing.assert_array_equal(utts["a"], utts["b"])
+
+
+def test_snip_edges_false_left_edge_mirrors_kaldi():
+    """Upstream feature-window.cc mirrors around -0.5: sample -1 -> 0,
+    -2 -> 1 (NOT -1 -> 1)."""
+    from kaldi_lstm_tpu.feats.fbank import _extract_frames
+    wave = np.arange(1000, dtype=np.float64)
+    fo = FrameOptions(snip_edges=False)
+    frames = _extract_frames(wave, fo)
+    # frame 0 starts at shift/2 - length/2 = 80 - 200 = -120
+    want = np.concatenate([wave[119::-1], wave[:280]])
+    np.testing.assert_array_equal(frames[0], want)
+    # right edge: last frame mirrors n -> n-1, n+1 -> n-2
+    start = (frames.shape[0] - 1) * fo.window_shift \
+        + fo.window_shift // 2 - fo.window_size // 2
+    idx = np.arange(start, start + fo.window_size)
+    idx = np.where(idx < 0, -idx - 1, idx)
+    idx = np.where(idx >= 1000, 2 * 1000 - 1 - idx, idx)
+    np.testing.assert_array_equal(frames[-1], wave[idx])

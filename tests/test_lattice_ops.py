@@ -416,3 +416,43 @@ def test_lattice_to_post_cli(tmp_path):
     np.testing.assert_allclose(f0[1], np.exp(-1) / (np.exp(-1)
                                                     + np.exp(-2)),
                                rtol=1e-5)
+
+
+def test_text_ark_roundtrip_trivial_first_record():
+    """Framing regression: a record whose first body line is a bare
+    final state ('0') must not swallow the separator of the next
+    record (reader previously consumed 2 bytes blindly)."""
+    import io as _io
+    from kaldi_lstm_tpu.io.lattice import (
+        CompactLattice,
+        LatticeWriter,
+        SequentialLatticeReader,
+    )
+    import tempfile, os
+    trivial = CompactLattice()
+    trivial.add_state()
+    trivial.final[0] = (0.0, 0.0, ())
+    lat2 = Lattice()
+    for _ in range(2):
+        lat2.add_state()
+    lat2.arcs[0].append(LatticeArc(1, 2, 0.5, 0.5, 1))
+    lat2.final[1] = (0.0, 0.0)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.ark")
+        with LatticeWriter(f"ark,t:{p}") as w:
+            w.write("utt1", trivial)
+            w.write("utt2", lat2)
+        got = list(SequentialLatticeReader(f"ark:{p}"))
+    assert [k for k, _ in got] == ["utt1", "utt2"]
+    assert got[0][1].num_states == 1 and 0 in got[0][1].final
+    assert got[1][1].num_arcs() == 1
+
+
+def test_lattice_to_post_raises_on_no_final():
+    from kaldi_lstm_tpu.io.lattice import lattice_to_post
+    lat = Lattice()
+    for _ in range(2):
+        lat.add_state()
+    lat.arcs[0].append(LatticeArc(7, 0, 0.1, 0.1, 1))
+    with pytest.raises(ValueError, match="no complete path"):
+        lattice_to_post(lat)

@@ -222,16 +222,28 @@ class TransitionModel:
         self.state2id = [0, 1]  # ts is 1-based; tid 0 unused
         cur = 1
         id2pdf = [-1]
+        id2phone = [-1]
+        id2self = [False]
+        id2final = [False]
         self.id2tstate = [0]
         for ts, (phone, hmm_state, fwd, slf) in enumerate(self.tuples,
                                                           start=1):
-            st = self.topo.entry_for_phone(phone)[hmm_state]
+            entry = self.topo.entry_for_phone(phone)
+            st = entry[hmm_state]
             for dst, _p in st.transitions:
                 id2pdf.append(slf if dst == hmm_state else fwd)
+                id2phone.append(phone)
+                id2self.append(dst == hmm_state)
+                # "final" = transition into the entry's non-emitting
+                # final state (upstream TransitionModel::IsFinal)
+                id2final.append(not entry[dst].transitions)
                 self.id2tstate.append(ts)
                 cur += 1
             self.state2id.append(cur)
         self.id2pdf = np.asarray(id2pdf, np.int32)
+        self.id2phone = np.asarray(id2phone, np.int32)
+        self.id2self_loop = np.asarray(id2self, bool)
+        self.id2final = np.asarray(id2final, bool)
         self.num_transition_ids = cur - 1
 
     @property
@@ -251,6 +263,33 @@ class TransitionModel:
             raise ValueError(f"transition-id {bad} out of range "
                              f"[1, {self.num_transition_ids}]")
         return self.id2pdf[tids]
+
+    def transition_ids_to_phones(self, tids) -> np.ndarray:
+        """Vectorized tid -> phone (ali-to-phones --per-frame)."""
+        tids = np.asarray(tids, np.int64)
+        if tids.size and (tids.min() < 1
+                          or tids.max() > self.num_transition_ids):
+            bad = tids[(tids < 1) | (tids > self.num_transition_ids)][0]
+            raise ValueError(f"transition-id {bad} out of range "
+                             f"[1, {self.num_transition_ids}]")
+        return self.id2phone[tids]
+
+    def split_to_phones(self, tids) -> list[np.ndarray]:
+        """Split a per-frame transition-id alignment into per-phone
+        segments (upstream hmm-utils SplitToPhones): a segment ends at
+        a final transition (into the entry's non-emitting state) or,
+        for defective alignments, where the phone changes."""
+        tids = np.asarray(tids, np.int64)
+        segs = []
+        start = 0
+        for i in range(len(tids)):
+            end_here = self.id2final[tids[i]] or (
+                i + 1 < len(tids)
+                and self.id2phone[tids[i + 1]] != self.id2phone[tids[i]])
+            if end_here or i == len(tids) - 1:
+                segs.append(tids[start:i + 1])
+                start = i + 1
+        return segs
 
     # -- serialization ---------------------------------------------------
     def write(self, out: KaldiOutput) -> None:

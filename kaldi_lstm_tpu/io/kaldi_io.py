@@ -207,10 +207,14 @@ def read_float(inp: KaldiInput) -> float:
 # ---------------------------------------------------------------------------
 
 def write_matrix(out: KaldiOutput, mat: np.ndarray) -> None:
-    mat = np.asarray(mat, np.float32)
+    # float64 input keeps double precision on the wire ("DM", the
+    # format of upstream CMVN stats); everything else goes out as "FM"
+    mat = np.asarray(mat)
+    mat = mat.astype(np.float64 if mat.dtype == np.float64
+                     else np.float32, copy=False)
     assert mat.ndim == 2
     if out.binary:
-        write_token(out, "FM")
+        write_token(out, "DM" if mat.dtype == np.float64 else "FM")
         write_int32(out, mat.shape[0])
         write_int32(out, mat.shape[1])
         out.stream.write(np.ascontiguousarray(mat).tobytes())
@@ -237,7 +241,8 @@ def read_matrix(inp: KaldiInput) -> np.ndarray:
         rows = read_int32(inp)
         cols = read_int32(inp)
         data = inp.read(rows * cols * np.dtype(dt).itemsize)
-        return np.frombuffer(data, dt).reshape(rows, cols).astype(np.float32)
+        # DM stays float64 (CMVN stats need the double accumulators)
+        return np.frombuffer(data, dt).reshape(rows, cols)
     # text: " [ \n r0c0 r0c1 \n r1c0 ... ]" — accumulate to the closing
     # bracket, then split physical lines into rows.
     tok = read_token(inp)

@@ -634,6 +634,64 @@ def _split_offset(rxfilename: str):
     return rxfilename, None
 
 
+class RandomAccessMatrixReader:
+    """Random-access float-matrix reader (upstream
+    RandomAccessBaseFloatMatrixReader) — the secondary inputs of tools
+    like paste-feats. `scp:` sources stay lazy (mmap views by offset);
+    plain `ark:` sources are offset-scanned once (native fast path) and
+    records materialized on demand; piped/text arks are read fully."""
+
+    def __init__(self, rspecifier: str):
+        self.kind, stream = _open_rspecifier(rspecifier)
+        self._table: dict[str, np.ndarray] = {}
+        self._records: dict[str, np.ndarray] | None = None
+        self._scp: dict[str, str] = {}
+        _, _, plain_path = rspecifier.partition(":")
+        if (self.kind == "ark" and not plain_path.endswith("|")
+                and plain_path not in ("-", "")):
+            from kaldi_lstm_tpu.io import native
+            try:
+                recs = native.scan_matrix_ark(plain_path)
+            except ValueError:
+                recs = None  # e.g. text ark -> fall back
+            if recs is not None:
+                self._records = dict(recs)
+                stream.close()
+                return
+        if self.kind == "ark":
+            buffered = stream if isinstance(stream, io.BufferedReader) \
+                else io.BufferedReader(stream)
+            while True:
+                key = _read_key(buffered)
+                if key is None:
+                    break
+                inp = _read_value_header(buffered)
+                self._table[key] = read_matrix(inp)
+        else:
+            for line in io.TextIOWrapper(stream):
+                line = line.strip()
+                if line:
+                    key, path = line.split(None, 1)
+                    self._scp[key] = path
+
+    def has_key(self, key: str) -> bool:
+        return (key in self._table or key in self._scp
+                or (self._records is not None and key in self._records))
+
+    def value(self, key: str) -> np.ndarray:
+        if self._records is not None:
+            return self._records[key]
+        if key in self._table:
+            return self._table[key]
+        rxf = self._scp[key]
+        path, offset = _split_offset(rxf)
+        if offset is not None:
+            mat = read_matrix_view(path, offset)
+            if mat is not None:
+                return mat
+        return read_matrix_from_rxfilename(rxf)
+
+
 class RandomAccessPosteriorReader:
     """Random-access posterior reader. For `ark:` sources the table is read
     fully into memory (targets for an epoch fit on host); for `scp:` values
@@ -768,6 +826,36 @@ def CompressedMatrixWriter(wspecifier: str,
 
 def MatrixWriter(wspecifier: str) -> TableWriter:
     return TableWriter(wspecifier, write_matrix)
+
+
+def Int32Writer(wspecifier: str) -> TableWriter:
+    """Per-key int32 table (upstream Int32Writer — e.g. feat-to-len
+    output). Text mode is the usual `key 345` line."""
+    def _write(out: KaldiOutput, value: int) -> None:
+        if out.binary:
+            write_int32(out, int(value))
+        else:
+            out.stream.write(f"{int(value)}\n".encode())
+    return TableWriter(wspecifier, _write)
+
+
+class SequentialInt32Reader:
+    """Sequential reader over `ark:`/`scp:` int32 tables (lengths etc.)."""
+
+    def __init__(self, rspecifier: str):
+        self.kind, self.stream = _open_rspecifier(rspecifier)
+
+    def __iter__(self) -> Iterator[tuple[str, int]]:
+        if self.kind == "scp":
+            raise ValueError("scp int32 tables not supported")
+        stream = self.stream if isinstance(self.stream, io.BufferedReader) \
+            else io.BufferedReader(self.stream)
+        while True:
+            key = _read_key(stream)
+            if key is None:
+                return
+            inp = _read_value_header(stream)
+            yield key, read_int32(inp)
 
 
 def PosteriorWriter(wspecifier: str) -> TableWriter:

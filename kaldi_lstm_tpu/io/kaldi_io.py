@@ -796,11 +796,10 @@ class TableWriter:
 
     def write(self, key: str, value) -> None:
         self.ark.write(key.encode() + b" ")
-        offset = self.ark.tell()
+        if self.scp is not None:  # stdout/pipes are unseekable
+            self.scp.write(f"{key} {self.ark_path}:{self.ark.tell()}\n")
         out = KaldiOutput(self.ark, binary=self.binary)
         self.write_fn(out, value)
-        if self.scp is not None:
-            self.scp.write(f"{key} {self.ark_path}:{offset}\n")
 
     def close(self) -> None:
         if self.ark is not sys.stdout.buffer:

@@ -103,9 +103,24 @@ def read_wav(path_or_stream) -> WaveData:
     return parse_wav(path_or_stream.read())
 
 
-def write_wav(path, samp_freq: float, data: np.ndarray) -> None:
-    """PCM16 writer (test fixtures / synthetic corpora). `data` is
-    [samples] or [channels, samples] in int16 scale."""
+def read_wav_record(stream) -> WaveData:
+    """Read ONE RIFF wave from a stream that may hold further records
+    (wav-ark values): the RIFF header's size field bounds the read."""
+    head = stream.read(8)
+    if len(head) < 8:
+        raise EOFError("truncated wav record")
+    if head[:4] != b"RIFF":
+        raise ValueError("wav record does not start with RIFF")
+    (size,) = struct.unpack_from("<I", head, 4)
+    body = stream.read(size)
+    if len(body) < size:
+        raise EOFError("truncated wav record body")
+    return parse_wav(head + body)
+
+
+def wav_bytes(samp_freq: float, data: np.ndarray) -> bytes:
+    """PCM16 RIFF encoding of [samples] or [channels, samples] int16-scale
+    data (the WaveData wire form, upstream wave-reader.h WaveData::Write)."""
     x = np.asarray(data)
     if x.ndim == 1:
         x = x[None, :]
@@ -115,19 +130,95 @@ def write_wav(path, samp_freq: float, data: np.ndarray) -> None:
                       b"WAVE", b"fmt ", 16, 1, ch, int(samp_freq),
                       int(samp_freq) * ch * 2, ch * 2, 16, b"data",
                       len(pcm))
+    return hdr + pcm
+
+
+class WaveWriter:
+    """`ark[,scp]:` writer of wave records — upstream WaveHolder tables
+    (binary-only: the value is the raw RIFF stream, no \\0B marker;
+    util/kaldi-holder-inl.h WaveHolder). Lets extract-segments pipe into
+    compute-fbank-feats exactly like upstream featbin."""
+
+    def __init__(self, wspecifier: str):
+        import os
+        kind, rest = wspecifier.split(":", 1)
+        opts = kind.split(",")
+        if opts[0] != "ark" or "t" in opts:
+            raise ValueError("wave tables are binary ark only, got "
+                             f"{wspecifier!r}")
+        self.scp = None
+        if "scp" in opts:
+            ark_path, scp_path = rest.split(",", 1)
+            self.ark = open(ark_path, "wb")
+            self.scp = open(scp_path, "w")
+            self.ark_path = os.path.abspath(ark_path)
+        else:
+            self.ark = sys.stdout.buffer if rest == "-" else open(rest, "wb")
+            self.ark_path = rest
+
+    def write(self, key: str, samp_freq: float, data: np.ndarray) -> None:
+        self.ark.write(key.encode() + b" ")
+        if self.scp is not None:
+            self.scp.write(f"{key} {self.ark_path}:{self.ark.tell()}\n")
+        self.ark.write(wav_bytes(samp_freq, data))
+
+    def close(self) -> None:
+        if self.ark is not sys.stdout.buffer:
+            self.ark.close()
+        if self.scp is not None:
+            self.scp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_wav(path, samp_freq: float, data: np.ndarray) -> None:
+    """PCM16 writer (test fixtures / synthetic corpora). `data` is
+    [samples] or [channels, samples] in int16 scale."""
     with open(path, "wb") as f:
-        f.write(hdr + pcm)
+        f.write(wav_bytes(samp_freq, data))
+
+
+def _read_ark_key(stream):
+    chars = []
+    while True:
+        c = stream.read(1)
+        if not c:
+            return None if not chars else b"".join(chars).decode()
+        if c.isspace():
+            if chars:
+                return b"".join(chars).decode()
+            continue
+        chars.append(c)
 
 
 class SequentialWaveReader:
     """Iterate (key, WaveData) over `scp:wav.scp` — lines
-    `key path` or `key command ... |` (upstream wav.scp semantics)."""
+    `key path` or `key command ... |` (upstream wav.scp semantics) —
+    or over `ark:` wave tables (key + raw RIFF records, upstream
+    WaveHolder; supports files, `-` and trailing-`|` pipes) so
+    `extract-segments ... ark:- | compute-fbank-feats ark:-` works."""
 
     def __init__(self, rspecifier: str):
         kind, rest = rspecifier.split(":", 1)
-        if kind.split(",")[0] != "scp":
-            raise ValueError("wave reading expects an scp rspecifier, "
-                             f"got {rspecifier!r}")
+        self.kind = kind.split(",")[0]
+        if self.kind not in ("scp", "ark"):
+            raise ValueError("wave reading expects scp:/ark:, got "
+                             f"{rspecifier!r}")
+        if self.kind == "ark":
+            self._lines = None
+            if rest.endswith("|"):
+                proc = subprocess.Popen(rest[:-1], shell=True,
+                                        stdout=subprocess.PIPE)
+                self._stream = proc.stdout
+            elif rest == "-":
+                self._stream = sys.stdin.buffer
+            else:
+                self._stream = open(rest, "rb")
+            return
         self._lines = []
         stream = (sys.stdin if rest == "-"
                   else open(rest, "r", encoding="utf-8"))
@@ -140,13 +231,27 @@ class SequentialWaveReader:
                 self._lines.append((key, val))
 
     def __iter__(self):
+        if self._lines is None:
+            while True:
+                key = _read_ark_key(self._stream)
+                if key is None:
+                    return
+                yield key, read_wav_record(self._stream)
         for key, val in self._lines:
             if val.endswith("|"):
                 out = subprocess.run(val[:-1], shell=True, check=True,
                                      stdout=subprocess.PIPE).stdout
                 yield key, parse_wav(out)
             else:
-                yield key, read_wav(val)
+                path, _, off = val.rpartition(":")
+                if path and off.isdigit():  # wav-ark scp offsets
+                    with open(path, "rb") as f:
+                        f.seek(int(off))
+                        yield key, read_wav_record(f)
+                else:
+                    yield key, read_wav(val)
 
     def __len__(self):
+        if self._lines is None:
+            raise TypeError("ark wave tables have no known length")
         return len(self._lines)

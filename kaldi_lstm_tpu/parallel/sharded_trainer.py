@@ -88,10 +88,14 @@ def make_sharded_train_step(nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
         (_, (aux, new_states)), grads = jax.value_and_grad(
             objective, has_aux=True)(params)
         from kaldi_lstm_tpu.train.trainer import (
-            apply_max_norm, build_lr_scale, nnet_has_max_norm)
+            apply_max_norm, build_lr_scale, build_reg_mask,
+            nnet_has_max_norm)
         params, opt_state = momentum_update(
             params, grads, opt_state, learn_rate, opts.momentum,
-            opts.grad_clip, lr_scale=build_lr_scale(nnet, params))
+            opts.grad_clip, lr_scale=build_lr_scale(nnet, params),
+            l1_penalty=opts.l1_penalty, l2_penalty=opts.l2_penalty,
+            num_frames=x.shape[0] * x.shape[1],
+            reg_mask=build_reg_mask(nnet, params))
         if nnet_has_max_norm(nnet):
             params = apply_max_norm(nnet, params)
         return params, opt_state, new_states, aux

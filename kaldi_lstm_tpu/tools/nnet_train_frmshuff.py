@@ -83,6 +83,10 @@ def main(argv=None) -> int:
     p.add_argument("--learn-rate", type=float, default=0.008,
                    help="upstream nnet-train-frmshuff default")
     p.add_argument("--momentum", type=float, default=0.0)
+    p.add_argument("--l1-penalty", type=float, default=0.0,
+                   help="L1 penalty (lassoo) scaled by num-frames")
+    p.add_argument("--l2-penalty", type=float, default=0.0,
+                   help="L2 penalty (weight decay) scaled by num-frames")
     p.add_argument("--minibatch-size", type=int, default=256)
     p.add_argument("--randomizer-size", type=int, default=32768)
     p.add_argument("--randomizer-seed", type=int, default=777)
@@ -119,6 +123,8 @@ def main(argv=None) -> int:
 
     opts = TrainOptions(learn_rate=args.learn_rate,
                         momentum=args.momentum,
+                        l1_penalty=args.l1_penalty,
+                        l2_penalty=args.l2_penalty,
                         objective=args.objective_function)
     step = make_train_step(nnet, opts, transf=None,
                            crossvalidate=crossvalidate)

@@ -52,6 +52,10 @@ def main(argv=None) -> int:
     p.add_argument("--feature-transform", default="")
     p.add_argument("--learn-rate", type=float, default=8e-5)
     p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--l1-penalty", type=float, default=0.0,
+                   help="L1 penalty (lassoo) scaled by num-frames")
+    p.add_argument("--l2-penalty", type=float, default=0.0,
+                   help="L2 penalty (weight decay) scaled by num-frames")
     p.add_argument("--grad-clip", type=float, default=50.0,
                    help="Element-wise gradient clip "
                         "(nnet-lstm-projected.h:480-493)")
@@ -75,6 +79,8 @@ def main(argv=None) -> int:
 
     nnet, params = Nnet.read(args.model_in)
     opts = TrainOptions(learn_rate=args.learn_rate, momentum=args.momentum,
+                        l1_penalty=args.l1_penalty,
+                        l2_penalty=args.l2_penalty,
                         grad_clip=args.grad_clip)
     step = make_train_step(nnet, opts, transf, crossvalidate)
     opt_state = init_momentum(params)

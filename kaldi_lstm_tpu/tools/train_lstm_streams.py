@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Objective function : xent|mse")
     p.add_argument("--learn-rate", type=float, default=1e-5)
     p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--l1-penalty", type=float, default=0.0,
+                   help="L1 penalty (lassoo) scaled by num-frames "
+                        "(upstream NnetTrainOptions)")
+    p.add_argument("--l2-penalty", type=float, default=0.0,
+                   help="L2 penalty (weight decay) scaled by num-frames "
+                        "(upstream NnetTrainOptions)")
     p.add_argument("--grad-clip", type=float, default=0.0,
                    help="Element-wise gradient clip (50 reproduces the "
                         "standard-variant behaviour)")
@@ -114,6 +120,8 @@ def main(argv=None) -> int:
     nnet, params = Nnet.read(args.model_in)
     opts = TrainOptions(learn_rate=args.learn_rate, momentum=args.momentum,
                         grad_clip=args.grad_clip,
+                        l1_penalty=args.l1_penalty,
+                        l2_penalty=args.l2_penalty,
                         objective=args.objective_function)
 
     LOG(("CROSS-VALIDATION" if crossvalidate else "TRAINING") + " STARTED")

@@ -47,6 +47,8 @@ class TrainOptions(NamedTuple):
     learn_rate: float = 1e-5
     momentum: float = 0.9
     grad_clip: float = 0.0    # 50.0 reproduces the standard variant
+    l1_penalty: float = 0.0   # upstream --l1-penalty (affine linearity)
+    l2_penalty: float = 0.0   # upstream --l2-penalty (affine linearity)
     objective: str = "xent"   # xent | mse
     # fuse the senone AffineTransform+Softmax+xent into one Pallas kernel
     # (logits never materialized; requires the net to end with
@@ -149,6 +151,20 @@ def build_lr_scale(nnet: Nnet, params):
     return tuple(out)
 
 
+def build_reg_mask(nnet: Nnet, params):
+    """Per-leaf 0/1 markers for where nnet1 applies --l1/--l2-penalty:
+    only AffineTransform linearity (nnet-affine-transform.h Update; the
+    reference LSTM component's Update has no regularization)."""
+    from kaldi_lstm_tpu.models.components import AffineTransform
+    out = []
+    for c, p in zip(nnet.components, params):
+        if isinstance(c, AffineTransform):
+            out.append({"linearity": 1.0, "bias": 0.0})
+        else:
+            out.append(jax.tree_util.tree_map(lambda _: 0.0, p))
+    return tuple(out)
+
+
 def apply_max_norm(nnet: Nnet, params):
     """Per-neuron max-norm projection after the weight update: rows of an
     AffineTransform's linearity whose L2 norm exceeds <MaxNorm> are shrunk
@@ -208,7 +224,10 @@ def _make_step_fn(nnet: Nnet, opts: TrainOptions,
             objective, has_aux=True)(params)
         params, opt_state = momentum_update(
             params, grads, opt_state, learn_rate, opts.momentum,
-            opts.grad_clip, lr_scale=build_lr_scale(nnet, params))
+            opts.grad_clip, lr_scale=build_lr_scale(nnet, params),
+            l1_penalty=opts.l1_penalty, l2_penalty=opts.l2_penalty,
+            num_frames=feats.shape[0] * feats.shape[1],
+            reg_mask=build_reg_mask(nnet, params))
         if nnet_has_max_norm(nnet):
             params = apply_max_norm(nnet, params)
         return params, opt_state, new_states, aux

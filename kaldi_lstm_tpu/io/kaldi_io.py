@@ -634,6 +634,23 @@ def _split_offset(rxfilename: str):
     return rxfilename, None
 
 
+def read_float_vectors(rspecifier: str) -> dict[str, np.ndarray]:
+    """Read a whole BaseFloatVector table (`ark:`) into a dict — e.g.
+    per-frame weights (--frame-weights) or per-utterance scales."""
+    kind, stream = _open_rspecifier(rspecifier)
+    if kind != "ark":
+        raise ValueError("float-vector tables: only ark: supported")
+    buffered = stream if isinstance(stream, io.BufferedReader) \
+        else io.BufferedReader(stream)
+    out = {}
+    while True:
+        key = _read_key(buffered)
+        if key is None:
+            break
+        out[key] = read_vector(_read_value_header(buffered))
+    return out
+
+
 class RandomAccessMatrixReader:
     """Random-access float-matrix reader (upstream
     RandomAccessBaseFloatMatrixReader) — the secondary inputs of tools

@@ -304,8 +304,8 @@ def _fused_fwd(r, w, b, ids, tw, mask, interpret):
     tgt_best = jnp.take_along_axis(
         ids, jnp.argmax(jnp.where(tw > 0, tw, -jnp.inf), -1,
                         keepdims=True), -1)[..., 0]
-    correct = jnp.sum((aidx == tgt_best) * mask.astype(jnp.int32))
-    frames = jnp.sum(mask.astype(jnp.int32))
+    correct = jnp.sum((aidx == tgt_best) * mask.astype(jnp.float32))
+    frames = jnp.sum(mask.astype(jnp.float32))
     aux = LossAux(xent=jax.lax.stop_gradient(xent),
                   entropy=jax.lax.stop_gradient(ent),
                   correct=correct, frames=frames)

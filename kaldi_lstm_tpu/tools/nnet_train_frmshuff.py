@@ -27,7 +27,6 @@ frame's loss and gradient; zero weight excludes the frame.
 from __future__ import annotations
 
 import argparse
-import io
 import sys
 
 import jax
@@ -36,10 +35,7 @@ import numpy as np
 from kaldi_lstm_tpu.io.kaldi_io import (
     RandomAccessPosteriorReader,
     SequentialMatrixReader,
-    _open_rspecifier,
-    _read_key,
-    _read_value_header,
-    read_vector,
+    read_float_vectors,
 )
 from kaldi_lstm_tpu.models import Nnet
 from kaldi_lstm_tpu.models.components import _LstmBase
@@ -50,21 +46,6 @@ from kaldi_lstm_tpu.train.trainer import TrainOptions, make_train_step
 from kaldi_lstm_tpu.tools.nnet_train_mmi import _bool
 from kaldi_lstm_tpu.utils import LOG, WARN, Timer, set_verbose_level
 
-
-def read_float_vectors(rspecifier: str) -> dict[str, np.ndarray]:
-    """Read a whole BaseFloatVector table (ark) into a dict."""
-    kind, stream = _open_rspecifier(rspecifier)
-    if kind != "ark":
-        raise ValueError("frame-weights: only ark: supported")
-    buffered = stream if isinstance(stream, io.BufferedReader) \
-        else io.BufferedReader(stream)
-    out = {}
-    while True:
-        key = _read_key(buffered)
-        if key is None:
-            break
-        out[key] = read_vector(_read_value_header(buffered))
-    return out
 
 
 def main(argv=None) -> int:
@@ -226,7 +207,7 @@ def main(argv=None) -> int:
         f"[{'CROSS-VALIDATION' if crossvalidate else 'TRAINING'}, "
         f"{'NOT-' if not _bool(args.randomize) else ''}RANDOMIZED, "
         f"{t / 60:.2f} min, fps{stats.frames / max(t, 1e-9):.0f}; "
-        f"{minibatches} minibatches, {stats.frames} frames]")
+        f"{minibatches} minibatches, {stats.frames:g} frames]")
     print(stats.report(), file=sys.stderr)
     return 0
 

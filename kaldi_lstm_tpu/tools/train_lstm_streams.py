@@ -80,11 +80,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", default="",
                    help="Write a jax.profiler trace of the steady-state "
                         "steps to this directory")
-    # dummy options for script compatibility (reference :65-69; the
-    # reference registers --frame-weights but never applies it, :110-113)
+    p.add_argument("--frame-weights", default="",
+                   help="Per-frame weights (ark: float-vector table) to "
+                        "scale gradients — frame selection/weighting "
+                        "(the reference registers this flag but never "
+                        "applies it, bd-nnet-train-lstm-streams.cc:46,"
+                        "110-113; here it works)")
+    # dummy options for script compatibility (reference :65-69)
     p.add_argument("--randomize", default="false", help="Dummy option, "
-                   "for compatibility")
-    p.add_argument("--frame-weights", default="", help="Dummy option, "
                    "for compatibility")
     p.add_argument("--length-tolerance", type=int, default=5,
                    help="Dummy option, for compatibility")
@@ -128,10 +131,15 @@ def main(argv=None) -> int:
 
     feats = SequentialMatrixReader(args.feature_rspecifier)
     targets = RandomAccessPosteriorReader(args.targets_rspecifier)
+    frame_weights = None
+    if args.frame_weights:
+        from kaldi_lstm_tpu.io.kaldi_io import read_float_vectors
+        frame_weights = read_float_vectors(args.frame_weights)
     scheduler = StreamScheduler(
         iter(feats), targets, feat_dim=nnet.input_dim,
         num_stream=args.num_stream, batch_size=args.batch_size,
-        targets_delay=args.targets_delay, warn=WARN)
+        targets_delay=args.targets_delay, warn=WARN,
+        frame_weights=frame_weights)
 
     def dump(p, num_done):
         name = f"{args.model_out}_utt{num_done}"

@@ -74,13 +74,15 @@ def masked_xent_loss(logits: jax.Array, tgt_ids: jax.Array,
     ent = -jnp.sum(jnp.sum(jnp.where(w > 0, w * jnp.log(
         jnp.maximum(w, 1e-20)), 0.0), -1) * m)
 
-    # frame accuracy: argmax(net) vs argmax over sparse target entries
+    # frame accuracy: argmax(net) vs argmax over sparse target entries;
+    # weighted by the (possibly fractional) frame mask, upstream
+    # CountCorrectFramesWeighted / frames_ += frame_weights.Sum()
     pred = jnp.argmax(logits, axis=-1)                         # [S,T]
     tw = jnp.where(w > 0, w, -jnp.inf)
     tgt_best = jnp.take_along_axis(
         tgt_ids, jnp.argmax(tw, -1, keepdims=True), -1)[..., 0]
-    correct = jnp.sum((pred == tgt_best) * mask.astype(jnp.int32))
-    frames = jnp.sum(mask.astype(jnp.int32))
+    correct = jnp.sum((pred == tgt_best) * m)
+    frames = jnp.sum(m)
 
     aux = LossAux(xent=jax.lax.stop_gradient(xent), entropy=ent,
                   correct=correct, frames=frames)
@@ -100,10 +102,10 @@ def masked_mse_loss(logits: jax.Array, tgt_ids: jax.Array,
           + jnp.sum(tgt_weights * tgt_weights, -1))
     m = mask.astype(logits.dtype)
     loss = 0.5 * jnp.sum(sq * m)
-    frames = jnp.sum(mask.astype(jnp.int32))
+    frames = jnp.sum(m)
     aux = LossAux(xent=jax.lax.stop_gradient(loss),
                   entropy=jnp.zeros((), logits.dtype),
-                  correct=jnp.array(-1, jnp.int32), frames=frames)
+                  correct=jnp.array(-1.0, logits.dtype), frames=frames)
     return loss, aux
 
 
@@ -118,19 +120,19 @@ class LossStats:
         self.name = name
         self.loss = 0.0
         self.entropy = 0.0
-        self.correct = 0
-        self.frames = 0
+        self.correct = 0.0   # weighted counts (fractional frame weights)
+        self.frames = 0.0
         self.loss_progress = 0.0
         self.entropy_progress = 0.0
-        self.correct_progress = 0
-        self.frames_progress = 0
+        self.correct_progress = 0.0
+        self.frames_progress = 0.0
         self.loss_vec: list[float] = []
 
     def add(self, aux: LossAux, log_fn=None) -> None:
         xent = float(aux.xent)
         ent = float(aux.entropy)
-        cor = int(aux.correct)
-        frm = int(aux.frames)
+        cor = float(aux.correct)
+        frm = float(aux.frames)
         self.loss += xent
         self.entropy += ent
         self.correct += cor

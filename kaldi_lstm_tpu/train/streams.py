@@ -88,12 +88,18 @@ class StreamScheduler:
       targets_delay: feature shift (future context).
       max_entries: Kmax sparse-target width (1 for ali-to-post targets).
       warn: logging callback for skipped utterances.
+      frame_weights: optional dict key -> [L] float32 per-frame gradient
+        weights (--frame-weights; upstream registers the flag at
+        bd-nnet-train-lstm-streams.cc:46 but never applies it — here the
+        weights multiply the frame mask, so padding stays zero and
+        fractional weights scale both the gradient and the weighted
+        frame/accuracy counts).
     """
 
     def __init__(self, utterances: Iterator[tuple[str, np.ndarray]],
                  targets, feat_dim: int, num_stream: int = 4,
                  batch_size: int = 20, targets_delay: int = 5,
-                 max_entries: int = 1, warn=None):
+                 max_entries: int = 1, warn=None, frame_weights=None):
         self.source = iter(utterances)
         self.targets = targets
         self.feat_dim = feat_dim
@@ -102,11 +108,13 @@ class StreamScheduler:
         self.delay = targets_delay
         self.K = max_entries
         self.warn = warn or (lambda msg: None)
+        self.frame_weights = frame_weights
 
         self.keys: list[str] = [""] * self.S
         self.feats: list[Optional[np.ndarray]] = [None] * self.S
         self.tgt_ids: list[Optional[np.ndarray]] = [None] * self.S
         self.tgt_w: list[Optional[np.ndarray]] = [None] * self.S
+        self.fw: list[Optional[np.ndarray]] = [None] * self.S
         self.curt = np.zeros(self.S, np.int64)
         self.lent = np.zeros(self.S, np.int64)
         self.source_done = False
@@ -153,8 +161,20 @@ class StreamScheduler:
                           f"targets, skip")
                 self.num_other_error += 1
                 continue
+            fw = None
+            if self.frame_weights is not None:
+                if key not in self.frame_weights:
+                    self.warn(f"{key}, missing frame weights, skip")
+                    self.num_other_error += 1
+                    continue
+                fw = np.asarray(self.frame_weights[key], np.float32)
+                if fw.shape[0] != feats.shape[0]:
+                    self.warn(f"{key}, length miss-match between feats "
+                              f"and frame weights, skip")
+                    self.num_other_error += 1
+                    continue
             return (key, np.ascontiguousarray(feats, np.float32),
-                    np.ascontiguousarray(ids), np.ascontiguousarray(w))
+                    np.ascontiguousarray(ids), np.ascontiguousarray(w), fw)
 
     def _refill(self) -> np.ndarray:
         """Feed exhausted streams; returns new_utt_flags [S]."""
@@ -165,7 +185,8 @@ class StreamScheduler:
             nxt = self._next_utterance()
             if nxt is None:
                 continue
-            self.keys[s], self.feats[s], self.tgt_ids[s], self.tgt_w[s] = nxt
+            (self.keys[s], self.feats[s], self.tgt_ids[s], self.tgt_w[s],
+             self.fw[s]) = nxt
             self.curt[s] = 0
             self.lent[s] = self.feats[s].shape[0]
             self._fp[s] = self.feats[s].ctypes.data
@@ -182,6 +203,7 @@ class StreamScheduler:
                 return  # every stream exhausted and source dry
 
             S, T, D, K = self.S, self.T, self.feat_dim, self.K
+            curt_before = self.curt.copy()
             if self._native is not None:
                 # one native call fills every stream (and zeroes dry ones)
                 feats = np.empty((S, T, D), np.float32)
@@ -210,8 +232,20 @@ class StreamScheduler:
                     feats[s] = fs[np.minimum(idx + self.delay, lent - 1)]
                     self.curt[s] = curt + T
 
+            if self.frame_weights is not None:
+                # scale the 0/1 padding mask by per-frame weights (the
+                # loss consumes mask multiplicatively, so this weights
+                # gradients and the weighted frame/accuracy counts)
+                for s in range(S):
+                    if self.fw[s] is None:
+                        continue
+                    idx = int(curt_before[s]) + np.arange(T)
+                    valid = idx < int(self.lent[s])
+                    if valid.any():
+                        mask[s, valid] *= self.fw[s][idx[valid]]
+
             self.num_done += int(flags.sum())
-            self.total_valid_frames += int(mask.sum())
+            self.total_valid_frames += float(mask.sum())
             yield StreamBatch(feats=feats, tgt_ids=ids, tgt_weights=weights,
                               mask=mask, reset_flags=flags,
                               num_new_utts=int(flags.sum()))

@@ -505,7 +505,7 @@ def _flush_stats(pending, stats: LossStats, scheduler,
                 f"— learning rate too high or corrupt input; "
                 f"xent={xent}")
         stats.add(LossAux(xent=float(xent), entropy=float(ent),
-                          correct=int(correct), frames=int(frames)),
+                          correct=float(correct), frames=float(frames)),
                   log_fn=lambda m: VLOG(1, m))
-        total_frames += int(frames)
+        total_frames += float(frames)
     return total_frames

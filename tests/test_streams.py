@@ -162,3 +162,37 @@ def test_scp_mmap_fast_path(tmp_path):
     assert v is not None and not v.flags.owndata
     # bad offset falls back to None, not garbage
     assert read_matrix_view(path, off + 1) is None
+
+
+def test_frame_weights_scale_mask():
+    """--frame-weights: per-frame weights multiply the padding mask;
+    missing/mismatched weight vectors skip the utterance."""
+    lengths = [5, 3]
+    utts, targets = make_utts(lengths)
+    fw = {"utt0": np.full(5, 0.5, np.float32),
+          "utt1": np.arange(1, 4, dtype=np.float32)}
+    sched = StreamScheduler(iter(utts), targets, feat_dim=D, num_stream=1,
+                            batch_size=4, frame_weights=fw)
+    batches = list(sched)
+    total = sum(float(b.mask.sum()) for b in batches)
+    assert total == pytest.approx(0.5 * 5 + (1 + 2 + 3))
+    # weights land on the right frames (utt0 rows all 0.5 while valid)
+    b0 = batches[0]
+    np.testing.assert_allclose(b0.mask[0], [0.5, 0.5, 0.5, 0.5])
+    # padding frames stay exactly zero
+    b1 = batches[1]
+    np.testing.assert_allclose(b1.mask[0], [0.5, 0, 0, 0])
+
+
+def test_frame_weights_missing_or_mismatched_skip():
+    lengths = [4, 4, 4]
+    utts, targets = make_utts(lengths)
+    fw = {"utt0": np.ones(4, np.float32),
+          # utt1 missing entirely
+          "utt2": np.ones(7, np.float32)}  # wrong length
+    sched = StreamScheduler(iter(utts), targets, feat_dim=D, num_stream=1,
+                            batch_size=4, frame_weights=fw)
+    batches = list(sched)
+    assert sched.num_done == 1
+    assert sched.num_other_error == 2
+    assert sum(float(b.mask.sum()) for b in batches) == 4.0

@@ -8,6 +8,15 @@ double as resume points.
         --tr-feats scp:tr/feats.scp --tr-targets ark:tr/post.ark \\
         --cv-feats scp:cv/feats.scp --cv-targets ark:cv/post.ark \\
         --proto nnet.proto --dir exp/lstm
+
+`--scheduler newbob` switches to upstream nnet1's train_scheduler.sh
+logic instead of the fixed halving plan: an initial CV pass sets the
+base loss; each iteration is ACCEPTED only if its CV AvgLoss improves
+(rejected models are kept as nnet.iterN_rejected and the next iteration
+restarts from the previous accepted model); halving starts when the
+relative improvement drops below --start-halving-impr and training
+stops when it drops below --end-halving-impr (newbob defaults 0.5 /
+0.01 / 0.001, --min-iters/--keep-lr-iters honored).
 """
 
 from __future__ import annotations
@@ -39,9 +48,24 @@ def main(argv=None) -> int:
     p.add_argument("--dump-interval", type=int, default=10000)
     p.add_argument("--max-iters", type=int, default=15)
     p.add_argument("--start-halving", type=int, default=3)
-    p.add_argument("--halving-factor", type=float, default=0.8)
+    p.add_argument("--halving-factor", type=float, default=None,
+                   help="default 0.8 (fixed; train_lstm_streams.sh:13) "
+                        "or 0.5 (newbob; train_scheduler.sh)")
+    p.add_argument("--scheduler", choices=("fixed", "newbob"),
+                   default="fixed",
+                   help="fixed = the reference recipe's unconditional "
+                        "halving plan; newbob = nnet1 train_scheduler.sh "
+                        "accept/reject on CV loss")
+    p.add_argument("--min-iters", type=int, default=0,
+                   help="newbob: always accept/continue this many iters")
+    p.add_argument("--keep-lr-iters", type=int, default=0,
+                   help="newbob: don't halve before this many iters")
+    p.add_argument("--start-halving-impr", type=float, default=0.01)
+    p.add_argument("--end-halving-impr", type=float, default=0.001)
     p.add_argument("--verbose", type=int, default=1)
     args = p.parse_args(argv)
+    if args.halving_factor is None:
+        args.halving_factor = 0.5 if args.scheduler == "newbob" else 0.8
 
     d = args.dir
     os.makedirs(f"{d}/log", exist_ok=True)
@@ -70,6 +94,9 @@ def main(argv=None) -> int:
         f"--dump-interval={args.dump_interval}",
         f"--verbose={args.verbose}",
     ]
+
+    if args.scheduler == "newbob":
+        return _newbob(args, d, common, learn_rate)
 
     it = 0
     # resume: skip iterations whose output model already exists
@@ -102,6 +129,69 @@ def main(argv=None) -> int:
 
     final = f"{d}/nnet/nnet.iter{args.max_iters}"
     LOG(f"training finished, final model: {final}")
+    return 0
+
+
+def _newbob(args, d: str, common: list, learn_rate: float) -> int:
+    """nnet1 train_scheduler.sh: initial CV -> iterate (train, CV),
+    accept iff CV AvgLoss improved (else restart from the previous
+    accepted model), halve once relative improvement < start_halving_impr,
+    stop once < end_halving_impr (both only after min_iters)."""
+    import shutil
+
+    def cv(model: str):
+        rc, stats = train_lstm_streams.run_main(
+            [args.cv_feats, args.cv_targets, model,
+             "--cross-validate=true"] + common)
+        if rc != 0 or stats is None:
+            raise RuntimeError(f"cross-validation failed on {model}")
+        return stats.avg_loss()
+
+    cur = f"{d}/nnet/nnet.iter0"
+    loss = cv(cur)
+    LOG(f"### PREPARE CROSS-VALIDATION: AvgLoss {loss:.6f}")
+
+    halving = False
+    final = cur
+    for it in range(1, args.max_iters + 1):
+        nxt = f"{d}/nnet/nnet.iter{it}"
+        LOG(f"### ITERATION {it}/{args.max_iters}, learn_rate "
+            f"{learn_rate:g}{' (halving)' if halving else ''}")
+        rc = train_lstm_streams.main(
+            [args.tr_feats, args.tr_targets, cur, nxt,
+             f"--learn-rate={learn_rate}"] + common)
+        if rc != 0:
+            return rc
+        loss_new = cv(nxt)
+        loss_prev = loss
+        if (loss_new < loss or it <= args.keep_lr_iters
+                or it <= args.min_iters):
+            # accept
+            loss = loss_new
+            cur = final = nxt
+            LOG(f"nnet accepted ({os.path.basename(nxt)}), "
+                f"AvgLoss {loss_new:.6f}")
+        else:
+            shutil.move(nxt, nxt + "_rejected")
+            LOG(f"nnet rejected ({os.path.basename(nxt)}), "
+                f"AvgLoss {loss_new:.6f} > {loss:.6f}")
+        # stopping criterion
+        rel_impr = (loss_prev - loss_new) / max(abs(loss_prev), 1e-20)
+        if halving and rel_impr < args.end_halving_impr:
+            if it <= args.min_iters:
+                LOG(f"we were supposed to finish, but we continue as "
+                    f"min_iters : {args.min_iters}")
+                continue
+            LOG(f"finished, too small rel. improvement {rel_impr:g}")
+            break
+        # start learning-rate halving
+        if rel_impr < args.start_halving_impr and it > args.keep_lr_iters:
+            halving = True
+        if halving:
+            learn_rate *= args.halving_factor
+    shutil.copy(final, f"{d}/final.nnet")
+    LOG(f"training finished, final model: {d}/final.nnet "
+        f"(= {os.path.basename(final)}), CV AvgLoss {loss:.6f}")
     return 0
 
 

@@ -100,7 +100,15 @@ def _bool(s: str) -> bool:
     return str(s).lower() in ("true", "1", "yes")
 
 
-def main(argv=None) -> int:
+def run_main(argv=None):
+    """main() that also returns the epoch's LossStats (None on argument
+    errors) — the recipe's newbob scheduler reads the CV AvgLoss."""
+    out: list = []
+    rc = main(argv, out)
+    return rc, (out[0] if out else None)
+
+
+def main(argv=None, _stats_out=None) -> int:
     args = build_parser().parse_args(argv)
     from kaldi_lstm_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
@@ -183,6 +191,8 @@ def main(argv=None) -> int:
         f"{res.elapsed / 60:.2f} min, "
         f"fps{res.total_frames / max(res.elapsed, 1e-9):.0f}]")
     LOG(res.stats.report())
+    if _stats_out is not None:
+        _stats_out.append(res.stats)
     return 0
 
 

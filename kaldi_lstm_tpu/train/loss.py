@@ -155,6 +155,11 @@ class LossStats:
             self.correct_progress = 0
             self.frames_progress = 0
 
+    def avg_loss(self) -> float:
+        """AvgLoss as reported: (xent - target entropy) / frames — the
+        value nnet1's train_scheduler.sh parses for newbob decisions."""
+        return (self.loss - self.entropy) / max(self.frames, 1)
+
     def report(self) -> str:
         frames = max(self.frames, 1)
         lines = [f"AvgLoss: {(self.loss - self.entropy) / frames:g} "

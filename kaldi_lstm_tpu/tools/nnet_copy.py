@@ -30,9 +30,26 @@ def main(argv=None) -> int:
     p.add_argument("--time-shift", type=int, default=5,
                    help="<Shift> for the TimeShift produced by "
                         "--to-standard (match --targets-delay)")
+    p.add_argument("--remove-first-components", type=int, default=0,
+                   help="Remove N first components (upstream nnet-copy; "
+                        "e.g. strip a bundled feature transform)")
+    p.add_argument("--remove-last-components", type=int, default=0,
+                   help="Remove N last components (e.g. strip "
+                        "AffineTransform+Softmax for bottleneck features)")
     args = p.parse_args(argv)
 
     nnet, params = Nnet.read(args.model_in)
+    nfirst, nlast = args.remove_first_components, args.remove_last_components
+    if nfirst < 0 or nlast < 0 or nfirst + nlast >= len(nnet.components):
+        print(f"nnet-copy: cannot remove {nfirst}+{nlast} of "
+              f"{len(nnet.components)} components", file=sys.stderr)
+        return 1
+    if nfirst or nlast:
+        end = len(nnet.components) - nlast
+        nnet = Nnet(list(nnet.components[nfirst:end]))
+        params = tuple(params[nfirst:end])
+        LOG(f"kept components {nfirst}..{end - 1} "
+            f"({nnet.input_dim} -> {nnet.output_dim})")
     if args.to_standard:
         nnet = nnet.to_standard()
         for c in nnet.components:

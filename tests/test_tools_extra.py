@@ -54,3 +54,34 @@ def test_make_synth_data(tmp_path):
     f2 = dict(SequentialMatrixReader(f"scp:{d2}/feats.scp"))
     assert not np.array_equal(list(feats.values())[0][:5],
                               list(f2.values())[0][:5])
+
+
+def test_nnet_copy_remove_components(tmp_path):
+    """upstream nnet-copy --remove-first-components/--remove-last-components."""
+    import jax
+    from kaldi_lstm_tpu.models import Nnet
+    from kaldi_lstm_tpu.tools.nnet_copy import main as copy_main
+    proto = """<NnetProto>
+<AddShift> <InputDim> 6 <OutputDim> 6
+<AffineTransform> <InputDim> 6 <OutputDim> 9 <ParamStddev> 0.1
+<Sigmoid> <InputDim> 9 <OutputDim> 9
+<AffineTransform> <InputDim> 9 <OutputDim> 4 <ParamStddev> 0.1
+<Softmax> <InputDim> 4 <OutputDim> 4
+</NnetProto>
+"""
+    nnet, params = Nnet.init_from_proto(proto, jax.random.PRNGKey(0))
+    src = str(tmp_path / "full.nnet")
+    nnet.write(src, params)
+    out = str(tmp_path / "bn.nnet")
+    # strip the feature shift and the senone classifier -> bottleneck net
+    assert copy_main([src, out, "--remove-first-components=1",
+                      "--remove-last-components=2"]) == 0
+    bn, bn_params = Nnet.read(out)
+    assert [c.token for c in bn.components] == \
+        ["<AffineTransform>", "<Sigmoid>"]
+    assert bn.input_dim == 6 and bn.output_dim == 9
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(bn_params[0]["linearity"]),
+                                  np.asarray(params[1]["linearity"]))
+    # removing everything is an error
+    assert copy_main([src, out, "--remove-first-components=5"]) == 1

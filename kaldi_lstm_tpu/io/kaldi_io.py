@@ -709,6 +709,26 @@ class RandomAccessMatrixReader:
         return read_matrix_from_rxfilename(rxf)
 
 
+class SequentialPosteriorReader:
+    """Sequential (key, Posterior) iteration over `ark:` posterior tables
+    (files, `-`, trailing-`|` pipes)."""
+
+    def __init__(self, rspecifier: str):
+        kind, stream = _open_rspecifier(rspecifier)
+        if kind != "ark":
+            raise ValueError("sequential posterior reading expects ark:, "
+                             f"got {rspecifier!r}")
+        self._stream = stream if isinstance(stream, io.BufferedReader) \
+            else io.BufferedReader(stream)
+
+    def __iter__(self) -> Iterator[tuple[str, Posterior]]:
+        while True:
+            key = _read_key(self._stream)
+            if key is None:
+                return
+            yield key, read_posterior(_read_value_header(self._stream))
+
+
 class RandomAccessPosteriorReader:
     """Random-access posterior reader. For `ark:` sources the table is read
     fully into memory (targets for an epoch fit on host); for `scp:` values

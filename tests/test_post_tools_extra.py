@@ -1,0 +1,80 @@
+"""scale-post / sum-post / analyze-counts."""
+
+import numpy as np
+
+from kaldi_lstm_tpu.io.kaldi_io import (
+    KaldiInput,
+    PosteriorWriter,
+    SequentialPosteriorReader,
+    TableWriter,
+    read_vector,
+    write_int_vector,
+    write_vector,
+)
+from kaldi_lstm_tpu.tools.analyze_counts import main as counts_main
+from kaldi_lstm_tpu.tools.scale_post import main as scale_main
+from kaldi_lstm_tpu.tools.sum_post import main as sum_main
+
+
+def _write_post(path, table):
+    with PosteriorWriter(f"ark:{path}") as w:
+        for k, post in table.items():
+            w.write(k, post)
+
+
+def test_scale_post_global(tmp_path):
+    post = {"u0": [[(1, 1.0)], [(2, 0.5), (3, 0.5)]],
+            "u1": [[(0, 1.0)]]}
+    _write_post(tmp_path / "p.ark", post)
+    assert scale_main([f"ark:{tmp_path}/p.ark", "0.25",
+                       f"ark:{tmp_path}/o.ark"]) == 0
+    got = dict(SequentialPosteriorReader(f"ark:{tmp_path}/o.ark"))
+    assert got["u0"][1] == [(2, 0.125), (3, 0.125)]
+    assert got["u1"][0] == [(0, 0.25)]
+
+
+def test_scale_post_per_frame_table(tmp_path):
+    post = {"u0": [[(1, 1.0)], [(2, 2.0)]]}
+    _write_post(tmp_path / "p.ark", post)
+    with TableWriter(f"ark:{tmp_path}/s.ark", write_vector) as w:
+        w.write("u0", np.array([0.5, 0.0], np.float32))
+    assert scale_main([f"ark:{tmp_path}/p.ark", f"ark:{tmp_path}/s.ark",
+                       f"ark:{tmp_path}/o.ark"]) == 0
+    got = dict(SequentialPosteriorReader(f"ark:{tmp_path}/o.ark"))
+    assert got["u0"] == [[(1, 0.5)], [(2, 0.0)]]
+
+
+def test_sum_post_merge_and_scales(tmp_path):
+    a = {"u0": [[(1, 1.0)], [(2, 1.0)]]}
+    b = {"u0": [[(1, 1.0)], [(3, 1.0)]]}
+    _write_post(tmp_path / "a.ark", a)
+    _write_post(tmp_path / "b.ark", b)
+    assert sum_main(["--scale1", "0.75", "--scale2", "0.25",
+                     f"ark:{tmp_path}/a.ark", f"ark:{tmp_path}/b.ark",
+                     f"ark:{tmp_path}/o.ark"]) == 0
+    got = dict(SequentialPosteriorReader(f"ark:{tmp_path}/o.ark"))
+    # frame 0: id 1 appears in both -> merged weight 1.0
+    assert got["u0"][0] == [(1, 1.0)]
+    assert sorted(got["u0"][1]) == [(2, 0.75), (3, 0.25)]
+    # zero-if-disjoint empties frame 1 (no common pdf)
+    assert sum_main(["--zero-if-disjoint=true",
+                     f"ark:{tmp_path}/a.ark", f"ark:{tmp_path}/b.ark",
+                     f"ark:{tmp_path}/z.ark"]) == 0
+    got = dict(SequentialPosteriorReader(f"ark:{tmp_path}/z.ark"))
+    assert got["u0"][1] == []
+    assert got["u0"][0] == [(1, 2.0)]
+
+
+def test_analyze_counts(tmp_path):
+    with TableWriter(f"ark:{tmp_path}/ali.ark", write_int_vector) as w:
+        w.write("u0", [0, 1, 1, 3])
+        w.write("u1", [3, 3])
+    assert counts_main([f"ark:{tmp_path}/ali.ark",
+                        f"{tmp_path}/counts",
+                        "--counts-padding", "0.5"]) == 0
+    with open(tmp_path / "counts", "rb") as f:
+        v = read_vector(KaldiInput(f, binary=False))
+    np.testing.assert_allclose(v, [1.5, 2.5, 0.5, 3.5])
+    # fixed --num-classes errors on out-of-range ids
+    assert counts_main([f"ark:{tmp_path}/ali.ark",
+                        f"{tmp_path}/c2", "--num-classes", "3"]) == 1

@@ -182,19 +182,6 @@ def write_wav(path, samp_freq: float, data: np.ndarray) -> None:
         f.write(wav_bytes(samp_freq, data))
 
 
-def _read_ark_key(stream):
-    chars = []
-    while True:
-        c = stream.read(1)
-        if not c:
-            return None if not chars else b"".join(chars).decode()
-        if c.isspace():
-            if chars:
-                return b"".join(chars).decode()
-            continue
-        chars.append(c)
-
-
 class SequentialWaveReader:
     """Iterate (key, WaveData) over `scp:wav.scp` — lines
     `key path` or `key command ... |` (upstream wav.scp semantics) —
@@ -209,15 +196,9 @@ class SequentialWaveReader:
             raise ValueError("wave reading expects scp:/ark:, got "
                              f"{rspecifier!r}")
         if self.kind == "ark":
+            from kaldi_lstm_tpu.io.kaldi_io import _open_rspecifier
             self._lines = None
-            if rest.endswith("|"):
-                proc = subprocess.Popen(rest[:-1], shell=True,
-                                        stdout=subprocess.PIPE)
-                self._stream = proc.stdout
-            elif rest == "-":
-                self._stream = sys.stdin.buffer
-            else:
-                self._stream = open(rest, "rb")
+            _, self._stream = _open_rspecifier(rspecifier)
             return
         self._lines = []
         stream = (sys.stdin if rest == "-"
@@ -232,8 +213,9 @@ class SequentialWaveReader:
 
     def __iter__(self):
         if self._lines is None:
+            from kaldi_lstm_tpu.io.kaldi_io import _read_key
             while True:
-                key = _read_ark_key(self._stream)
+                key = _read_key(self._stream)
                 if key is None:
                     return
                 yield key, read_wav_record(self._stream)

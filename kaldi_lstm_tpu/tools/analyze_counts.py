@@ -55,6 +55,10 @@ def main(argv=None) -> int:
         if key is None:
             break
         ali = np.asarray(read_int_vector(_read_value_header(buffered)))
+        if ali.size and int(ali.min()) < 0:
+            print(f"analyze-counts: {key} contains negative id "
+                  f"{int(ali.min())}", file=sys.stderr)
+            return 1
         if ali.size and int(ali.max()) >= counts.shape[0]:
             if args.num_classes:
                 print(f"analyze-counts: {key} has id {int(ali.max())} >= "

@@ -69,8 +69,10 @@ def main(argv=None) -> int:
         by_rec.setdefault(s[1], []).append(s)
 
     n_done = n_err = 0
+    seen_recs = set()
     with WaveWriter(args.wav_wspecifier) as w:
         for rec, wave in SequentialWaveReader(args.wav_rspecifier):
+            seen_recs.add(rec)
             freq = wave.samp_freq
             num_samp = wave.data.shape[1]
             for seg, _, start, end, chan in by_rec.get(rec, ()):
@@ -101,6 +103,12 @@ def main(argv=None) -> int:
                     continue
                 w.write(seg, freq, wave.data[chan, s0:s1])
                 n_done += 1
+    for rec, segs_of_rec in by_rec.items():
+        if rec not in seen_recs:
+            for seg, *_ in segs_of_rec:
+                WARN(f"extract-segments: {seg}: recording {rec} not "
+                     f"present in the wav table")
+                n_err += 1
     LOG(f"Extracted {n_done} segments; {n_err} errors")
     return 0 if n_done > 0 else 1
 

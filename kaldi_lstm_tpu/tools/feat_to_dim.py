@@ -38,12 +38,20 @@ def main(argv=None) -> int:
         return 0
 
     if is_table:
+        dim = None
         for _, mat in SequentialMatrixReader(src):
-            print(mat.shape[1])
-            return 0
-        print("feat-to-dim: empty table", file=sys.stderr)
-        return 1
-    print(read_matrix_from_rxfilename(src).shape[1])
+            dim = mat.shape[1]
+            break
+        if dim is None:
+            print("feat-to-dim: empty table", file=sys.stderr)
+            return 1
+    else:
+        dim = read_matrix_from_rxfilename(src).shape[1]
+    if args.wspecifier == "-":
+        print(dim)
+    else:  # upstream <dim-wxfilename>: write the dim to a file
+        with open(args.wspecifier, "w") as f:
+            f.write(f"{dim}\n")
     return 0
 
 

@@ -136,7 +136,10 @@ def _newbob(args, d: str, common: list, learn_rate: float) -> int:
     """nnet1 train_scheduler.sh: initial CV -> iterate (train, CV),
     accept iff CV AvgLoss improved (else restart from the previous
     accepted model), halve once relative improvement < start_halving_impr,
-    stop once < end_halving_impr (both only after min_iters)."""
+    stop once < end_halving_impr (both only after min_iters). Progress is
+    journaled to <dir>/nnet/newbob.state (JSON) after every iteration so
+    a killed run resumes from the last completed iteration."""
+    import json
     import shutil
 
     def cv(model: str):
@@ -147,13 +150,31 @@ def _newbob(args, d: str, common: list, learn_rate: float) -> int:
             raise RuntimeError(f"cross-validation failed on {model}")
         return stats.avg_loss()
 
-    cur = f"{d}/nnet/nnet.iter0"
-    loss = cv(cur)
-    LOG(f"### PREPARE CROSS-VALIDATION: AvgLoss {loss:.6f}")
-
+    state_file = f"{d}/nnet/newbob.state"
+    start_iter = 1
     halving = False
-    final = cur
-    for it in range(1, args.max_iters + 1):
+    if os.path.exists(state_file):
+        with open(state_file) as f:
+            st = json.load(f)
+        start_iter = st["iter"] + 1
+        loss, halving = st["loss"], st["halving"]
+        learn_rate, cur, final = st["learn_rate"], st["cur"], st["final"]
+        LOG(f"resuming newbob from iteration {start_iter} "
+            f"(AvgLoss {loss:.6f}, lr {learn_rate:g}, "
+            f"halving {halving})")
+    else:
+        cur = f"{d}/nnet/nnet.iter0"
+        loss = cv(cur)
+        LOG(f"### PREPARE CROSS-VALIDATION: AvgLoss {loss:.6f}")
+        final = cur
+
+    def save_state(it):
+        with open(state_file, "w") as f:
+            json.dump({"iter": it, "loss": loss, "halving": halving,
+                       "learn_rate": learn_rate, "cur": cur,
+                       "final": final}, f)
+
+    for it in range(start_iter, args.max_iters + 1):
         nxt = f"{d}/nnet/nnet.iter{it}"
         LOG(f"### ITERATION {it}/{args.max_iters}, learn_rate "
             f"{learn_rate:g}{' (halving)' if halving else ''}")
@@ -181,6 +202,7 @@ def _newbob(args, d: str, common: list, learn_rate: float) -> int:
             if it <= args.min_iters:
                 LOG(f"we were supposed to finish, but we continue as "
                     f"min_iters : {args.min_iters}")
+                save_state(it)
                 continue
             LOG(f"finished, too small rel. improvement {rel_impr:g}")
             break
@@ -189,6 +211,7 @@ def _newbob(args, d: str, common: list, learn_rate: float) -> int:
             halving = True
         if halving:
             learn_rate *= args.halving_factor
+        save_state(it)
     shutil.copy(final, f"{d}/final.nnet")
     LOG(f"training finished, final model: {d}/final.nnet "
         f"(= {os.path.basename(final)}), CV AvgLoss {loss:.6f}")

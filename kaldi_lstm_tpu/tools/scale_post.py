@@ -1,33 +1,63 @@
 """Scale posterior weights — upstream scale-post (bin/scale-post.cc):
-the scale is either a global float or a per-utterance float table
-(`ark:` of BaseFloat values is uncommon; upstream accepts a vector
-table of per-FRAME scales too — both forms are supported here).
-Posterior-weighted gradient shaping for sequence-training recipes.
+the scale is a global float or a per-utterance scalar BaseFloat table
+(upstream's form); additionally a float-VECTOR table gives per-frame
+scales. Posterior-weighted gradient shaping for sequence-training
+recipes.
 
     python -m kaldi_lstm_tpu.tools.scale_post ark:post.ark 0.5 \\
         ark:scaled.ark
     python -m kaldi_lstm_tpu.tools.scale_post ark:post.ark \\
-        ark:frame_scales.ark ark:scaled.ark
+        ark:utt_scales.ark ark:scaled.ark
 """
 
 from __future__ import annotations
 
 import argparse
+import io
 import sys
+
+import numpy as np
 
 from kaldi_lstm_tpu.io.kaldi_io import (
     PosteriorWriter,
     SequentialPosteriorReader,
-    read_float_vectors,
+    _open_rspecifier,
+    _read_key,
+    _read_value_header,
+    peek_token,
+    read_float,
+    read_vector,
 )
 from kaldi_lstm_tpu.utils import LOG, WARN
+
+
+def read_scale_table(rspecifier: str) -> dict:
+    """key -> float (upstream scalar BaseFloat table) or [T] np array
+    (per-frame vector table); the two record kinds may even be mixed."""
+    kind, stream = _open_rspecifier(rspecifier)
+    if kind != "ark":
+        raise ValueError("scale table: only ark: supported")
+    buffered = stream if isinstance(stream, io.BufferedReader) \
+        else io.BufferedReader(stream)
+    out: dict = {}
+    while True:
+        key = _read_key(buffered)
+        if key is None:
+            return out
+        inp = _read_value_header(buffered)
+        # binary: FV/DV marker = vector, else scalar; text: '[' = vector
+        tok = peek_token(buffered)
+        if tok in ("FV", "DV", "["):
+            out[key] = read_vector(inp)
+        else:
+            out[key] = read_float(inp)
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Scale posteriors")
     p.add_argument("post_rspecifier")
-    p.add_argument("scale", help="float, or ark: float-vector table of "
-                                 "per-frame scales")
+    p.add_argument("scale", help="float, or ark: table of per-utterance "
+                                 "scalars / per-frame float vectors")
     p.add_argument("post_wspecifier")
     args = p.parse_args(argv)
 
@@ -36,7 +66,7 @@ def main(argv=None) -> int:
         global_scale = float(args.scale)
     except ValueError:
         global_scale = None
-        table = read_float_vectors(args.scale)
+        table = read_scale_table(args.scale)
 
     n_done = n_err = 0
     with PosteriorWriter(args.post_wspecifier) as w:
@@ -48,11 +78,16 @@ def main(argv=None) -> int:
                     WARN(f"scale-post: no scale for {key}")
                     n_err += 1
                     continue
-                scales = table[key]
-                if len(scales) != len(post):
-                    WARN(f"scale-post: scale length mismatch for {key}")
-                    n_err += 1
-                    continue
+                s = table[key]
+                if isinstance(s, float):
+                    scales = [s] * len(post)
+                else:
+                    scales = np.asarray(s)
+                    if len(scales) != len(post):
+                        WARN(f"scale-post: scale length mismatch for "
+                             f"{key}")
+                        n_err += 1
+                        continue
             w.write(key, [[(i, wt * float(s)) for i, wt in frame]
                           for frame, s in zip(post, scales)])
             n_done += 1

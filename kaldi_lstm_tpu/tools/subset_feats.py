@@ -52,14 +52,14 @@ def main(argv=None) -> int:
     n = 0
     with writer as w:
         for key, mat in SequentialMatrixReader(args.rspecifier):
+            if 0 <= args.n <= n:
+                break
             if keep is not None and key not in keep:
                 continue
             if drop is not None and key in drop:
                 continue
             w.write(key, mat)
             n += 1
-            if 0 <= args.n <= n:
-                break
     LOG(f"Kept {n} records")
     return 0 if n > 0 else 1
 

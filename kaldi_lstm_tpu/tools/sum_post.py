@@ -16,10 +16,36 @@ import sys
 
 from kaldi_lstm_tpu.io.kaldi_io import (
     PosteriorWriter,
-    RandomAccessPosteriorReader,
     SequentialPosteriorReader,
 )
 from kaldi_lstm_tpu.utils import LOG, WARN
+
+
+class _FullPosteriorTable:
+    """Random access over the SECOND table with full fidelity: plain-ark
+    sources are read whole via the sequential reader (the random-access
+    reader's native dense scan truncates each frame to max_entries and
+    drops non-positive weights — wrong for posterior algebra); scp
+    sources stay lazy via the generic reader."""
+
+    def __init__(self, rspecifier: str):
+        kind = rspecifier.split(",")[0].split(":")[0]
+        if kind == "ark":
+            self._table = dict(SequentialPosteriorReader(rspecifier))
+            self._lazy = None
+        else:
+            from kaldi_lstm_tpu.io.kaldi_io import (
+                RandomAccessPosteriorReader)
+            self._table = None
+            self._lazy = RandomAccessPosteriorReader(rspecifier)
+
+    def has_key(self, key: str) -> bool:
+        return (key in self._table if self._table is not None
+                else self._lazy.has_key(key))
+
+    def value(self, key: str):
+        return (self._table[key] if self._table is not None
+                else self._lazy.value(key))
 
 
 def merge_frame(entries, merge: bool):
@@ -48,7 +74,7 @@ def main(argv=None) -> int:
     zero_disjoint = str(args.zero_if_disjoint).lower() in \
         ("true", "1", "yes")
 
-    post2 = RandomAccessPosteriorReader(args.post2_rspecifier)
+    post2 = _FullPosteriorTable(args.post2_rspecifier)
     n_done = n_err = 0
     with PosteriorWriter(args.post_wspecifier) as w:
         for key, p1 in SequentialPosteriorReader(args.post1_rspecifier):

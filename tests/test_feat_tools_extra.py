@@ -150,3 +150,20 @@ def test_subset_feats(tmp_path):
                         "--exclude", str(tmp_path / "keys")]) == 0
     assert sorted(dict(SequentialMatrixReader(
         f"ark:{tmp_path}/e.ark"))) == ["u0", "u2", "u4"]
+
+
+def test_feat_to_dim_wxfilename(tmp_path):
+    """Upstream <dim-wxfilename> form: dim written to a plain file."""
+    mats = _mats(n=1)
+    _write_ark(str(tmp_path / "in"), mats)
+    out = tmp_path / "dim"
+    assert dim_main([f"ark:{tmp_path}/in.ark", str(out)]) == 0
+    assert out.read_text().strip() == "7"
+
+
+def test_subset_feats_n_zero(tmp_path):
+    mats = _mats(n=3)
+    _write_ark(str(tmp_path / "in"), mats)
+    assert subset_main([f"ark:{tmp_path}/in.ark",
+                        f"ark:{tmp_path}/z.ark", "--n", "0"]) == 1
+    assert dict(SequentialMatrixReader(f"ark:{tmp_path}/z.ark")) == {}

@@ -131,3 +131,31 @@ def test_newbob_e2e_learns(tmp_path):
         return s.avg_loss()
 
     assert cv_loss(d / "final.nnet") < cv_loss(d / "nnet.init")
+
+
+def test_newbob_resume(tmp_path, monkeypatch):
+    """Killing a newbob run mid-way and restarting continues from the
+    journaled iteration instead of retraining from scratch."""
+    d = tmp_path / "exp"
+    os.makedirs(d / "nnet")
+    (d / "nnet.init").write_text("M0")
+    # first run: losses for initial CV + 2 iterations, then crash (no
+    # more scripted values -> IndexError)
+    stub = StubTrainer([10.0, 9.0, 8.0])
+    monkeypatch.setattr(run_recipe, "train_lstm_streams", stub)
+    argv = ["--tr-feats", "scp:x", "--tr-targets", "ark:x",
+            "--cv-feats", "scp:x", "--cv-targets", "ark:x",
+            "--dir", str(d), "--scheduler", "newbob",
+            "--learn-rate", "1.0", "--max-iters", "4"]
+    with pytest.raises(IndexError):
+        run_recipe.main(argv)
+    assert os.path.exists(d / "nnet" / "newbob.state")
+    trained_before = len(stub.train_lrs)
+    # resume: only CV losses for the REMAINING iterations are consumed
+    stub2 = StubTrainer([7.5, 7.49])
+    monkeypatch.setattr(run_recipe, "train_lstm_streams", stub2)
+    assert run_recipe.main(argv) == 0
+    # iterations 1-2 were not retrained
+    assert trained_before == 3  # initial 2 accepted + the crashed 3rd
+    assert len(stub2.train_lrs) == 2  # only iters 3 (re-run) and 4
+    assert (d / "final.nnet").read_text() == "M0++++"

@@ -78,3 +78,39 @@ def test_analyze_counts(tmp_path):
     # fixed --num-classes errors on out-of-range ids
     assert counts_main([f"ark:{tmp_path}/ali.ark",
                         f"{tmp_path}/c2", "--num-classes", "3"]) == 1
+
+
+def test_scale_post_scalar_table(tmp_path):
+    """Upstream scale-post form: per-utterance scalar BaseFloat table."""
+    from kaldi_lstm_tpu.io.kaldi_io import write_float
+    post = {"u0": [[(1, 1.0)], [(2, 2.0)]], "u1": [[(0, 4.0)]]}
+    _write_post(tmp_path / "p.ark", post)
+    with TableWriter(f"ark:{tmp_path}/s.ark", write_float) as w:
+        w.write("u0", 0.5)
+        w.write("u1", 0.25)
+    assert scale_main([f"ark:{tmp_path}/p.ark", f"ark:{tmp_path}/s.ark",
+                       f"ark:{tmp_path}/o.ark"]) == 0
+    got = dict(SequentialPosteriorReader(f"ark:{tmp_path}/o.ark"))
+    assert got["u0"] == [[(1, 0.5)], [(2, 1.0)]]
+    assert got["u1"] == [[(0, 1.0)]]
+
+
+def test_sum_post_keeps_all_entries_of_second_table(tmp_path):
+    """The second table must not be truncated to one entry per frame."""
+    a = {"u0": [[(1, 1.0)]]}
+    b = {"u0": [[(1, 0.6), (2, 0.4)]]}
+    _write_post(tmp_path / "a.ark", a)
+    _write_post(tmp_path / "b.ark", b)
+    assert sum_main([f"ark:{tmp_path}/a.ark", f"ark:{tmp_path}/b.ark",
+                     f"ark:{tmp_path}/o.ark"]) == 0
+    got = sorted(dict(SequentialPosteriorReader(
+        f"ark:{tmp_path}/o.ark"))["u0"][0])
+    assert [i for i, _ in got] == [1, 2]
+    np.testing.assert_allclose([w for _, w in got], [1.6, 0.4], rtol=1e-6)
+
+
+def test_analyze_counts_rejects_negative_ids(tmp_path):
+    with TableWriter(f"ark:{tmp_path}/bad.ark", write_int_vector) as w:
+        w.write("u0", [0, -1, 2])
+    assert counts_main([f"ark:{tmp_path}/bad.ark",
+                        f"{tmp_path}/c"]) == 1

@@ -355,8 +355,16 @@ class AffineTransform(Component):
             x_c, w_c = x.astype(_MATMUL_DTYPE), w.astype(_MATMUL_DTYPE)
         else:
             x_c, w_c = x, w
+        # one flat [S*T, in] x [in, out] GEMM: XLA lowers the 3-D
+        # [S, T, in] form to a far slower program on v5e at senone widths
+        # (tools_dev/debug_tail5.py); reshapes are free
+        shape = x.shape
+        if x.ndim > 2:
+            x_c = x_c.reshape(-1, shape[-1])
         y = jnp.dot(x_c, w_c.T,
                     preferred_element_type=jnp.float32) + params["bias"]
+        if x.ndim > 2:
+            y = y.reshape(*shape[:-1], y.shape[-1])
         return y, state
 
     def read_data(self, inp):
@@ -417,6 +425,14 @@ class Softmax(Component):
     token = "<Softmax>"
 
     def apply(self, params, x, state=None):
+        # Flatten to rows first: XLA's softmax over the last axis of a
+        # 3-D [S, T, K] tensor is ~20x slower than the same rows as 2-D
+        # [S*T, K] on v5e (335 ms vs 16 ms at [512, 100, 8000] —
+        # tools_dev/debug_tail5.py); reshapes are free.
+        if x.ndim > 2:
+            shape = x.shape
+            y = jax.nn.softmax(x.reshape(-1, shape[-1]), axis=-1)
+            return y.reshape(shape), state
         return jax.nn.softmax(x, axis=-1), state
 
 

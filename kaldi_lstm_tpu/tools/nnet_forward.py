@@ -87,11 +87,23 @@ def main(argv=None) -> int:
         log_prior = args.prior_scale * np.log(
             np.maximum(priors, args.prior_floor)).astype(np.float32)
 
+    lp_dev = None if log_prior is None else jnp.asarray(log_prior)
+
     @jax.jit
     def forward(params, transf_params, x):
         if transf is not None:
             x = transf.feedforward(transf_params, x)
-        y, _ = nnet.propagate(params, x, logits=no_softmax)
+        # --apply-log: take the logits and log-softmax on DEVICE, in 2-D
+        # rows (3-D softmax is ~20x slower on v5e, see Softmax.apply);
+        # host-side np.log of the [N, 16k] posteriors was the slow path
+        y, _ = nnet.propagate(params, x,
+                              logits=no_softmax or apply_log)
+        if apply_log and not no_softmax:
+            shape = y.shape
+            y = jax.nn.log_softmax(y.reshape(-1, shape[-1]),
+                                   axis=-1).reshape(shape)
+        if lp_dev is not None and (apply_log or no_softmax):
+            y = y - lp_dev
         return y
 
     num_done = 0
@@ -100,14 +112,11 @@ def main(argv=None) -> int:
     B = max(args.batch_utts, 1)
 
     def postprocess(y):
-        if apply_log and not no_softmax:
-            y = np.log(np.maximum(y, 1e-20))
-        if log_prior is not None:
-            if not (apply_log or no_softmax):
-                WARN("class-frame-counts given but output is not in log "
-                     "domain; taking log before prior division")
-                y = np.log(np.maximum(y, 1e-20))
-            y = y - log_prior
+        # device path already applied log-softmax / prior subtraction
+        if log_prior is not None and not (apply_log or no_softmax):
+            WARN("class-frame-counts given but output is not in log "
+                 "domain; taking log before prior division")
+            y = np.log(np.maximum(y, 1e-20)) - log_prior
         return y
 
     def flush(group, writer):

@@ -64,7 +64,11 @@ def masked_xent_loss(logits: jax.Array, tgt_ids: jax.Array,
     first output equals (softmax(logits) - t) * mask — the reference's
     obj_diff (nnet-loss.cc:103-107).
     """
-    logp = jax.nn.log_softmax(logits, axis=-1)                # [S,T,K]
+    # log-softmax in 2-D rows: the 3-D [S, T, K] reduction is ~20x
+    # slower on v5e (tools_dev/debug_tail5.py); reshapes are free
+    logp = jax.nn.log_softmax(
+        logits.reshape(-1, logits.shape[-1]),
+        axis=-1).reshape(logits.shape)                        # [S,T,K]
     picked = jnp.take_along_axis(logp, tgt_ids, axis=-1)       # [S,T,Kmax]
     m = mask.astype(logits.dtype)
     xent = -jnp.sum(jnp.sum(tgt_weights * picked, -1) * m)
@@ -95,7 +99,8 @@ def masked_mse_loss(logits: jax.Array, tgt_ids: jax.Array,
     """0.5 * || (softmax(y) - t) ⊙ mask ||² against sparse targets,
     without densifying t (Mse::EvalMasked semantics, nnet-loss.cc:374-436):
     ||y - t||² = ||y||² - 2·Σ w·y[id] + Σ w²."""
-    y = jax.nn.softmax(logits, axis=-1)
+    y = jax.nn.softmax(logits.reshape(-1, logits.shape[-1]),
+                       axis=-1).reshape(logits.shape)
     picked = jnp.take_along_axis(y, tgt_ids, axis=-1)
     sq = (jnp.sum(y * y, -1)
           - 2.0 * jnp.sum(tgt_weights * picked, -1)

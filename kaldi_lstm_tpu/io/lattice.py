@@ -520,14 +520,11 @@ class SequentialLatticeReader:
 # lattice operations
 # ---------------------------------------------------------------------------
 
-def lattice_best_path(lat) -> tuple[list, list, float]:
-    """Shortest (lowest-cost) path through a Lattice or CompactLattice.
-    Returns (word-ids, transition-ids, total cost). Arc costs =
-    graph + acoustic (lattice-best-path semantics with the scales already
-    folded in). Lattices are acyclic (the shared topological sort
-    enforces it), so ONE relaxation pass in topological order is exact —
-    O(V+E) regardless of how states happen to be numbered."""
-    compact = isinstance(lat, CompactLattice)
+def _best_path_arcs(lat) -> tuple[list, tuple, float]:
+    """Arc sequence of the lowest-cost path (start -> final), the final
+    weight tuple, and the total cost. Lattices are acyclic (the shared
+    topological sort enforces it), so ONE relaxation pass in topological
+    order is exact — O(V+E) regardless of state numbering."""
     n = lat.num_states
     dist = [INF] * n
     back = [None] * n
@@ -547,26 +544,68 @@ def lattice_best_path(lat) -> tuple[list, list, float]:
             best_s, best_cost = s, dist[s] + g + ac
     if best_s is None:
         raise ValueError("lattice has no reachable final state")
-    words, tids = [], []
+    arcs = []
     s = best_s
     while back[s] is not None:
         prev, a = back[s]
+        arcs.append(a)
+        s = prev
+    arcs.reverse()
+    return arcs, lat.final[best_s], best_cost
+
+
+def lattice_best_path(lat) -> tuple[list, list, float]:
+    """Shortest (lowest-cost) path through a Lattice or CompactLattice.
+    Returns (word-ids, transition-ids, total cost). Arc costs =
+    graph + acoustic (lattice-best-path semantics with the scales already
+    folded in)."""
+    compact = isinstance(lat, CompactLattice)
+    arcs, fin, best_cost = _best_path_arcs(lat)
+    words, tids = [], []
+    for a in arcs:
         if compact:
             if a.label:
                 words.append(a.label)
-            tids.extend(reversed(a.tids))
+            tids.extend(a.tids)
         else:
             if a.olabel:
                 words.append(a.olabel)
             if a.ilabel:
                 tids.append(a.ilabel)
-        s = prev
-    words.reverse()
-    tids.reverse()
-    fin = lat.final[best_s]
     if compact and fin[2]:
         tids.extend(fin[2])
     return words, tids, best_cost
+
+
+def best_path_word_segments(lat) -> tuple[list, float]:
+    """Word-level time segmentation of the best path:
+    ([(word-id, start-frame, num-frames)], total cost) — the CTM
+    quantities. Exact for determinized CompactLattices, where each arc
+    carries one word plus that word's own transition-id alignment
+    (decode/determinize.py; upstream DeterminizeLattice). For
+    state-level lattices the frames from each word label to the next are
+    grouped (graphs built by decode/graph.py put the word label on the
+    word's first arc); leading label-less frames (silence) are skipped."""
+    compact = isinstance(lat, CompactLattice)
+    arcs, fin, best_cost = _best_path_arcs(lat)
+    segs = []
+    t = 0
+    if compact:
+        for a in arcs:
+            n = len(a.tids)
+            if a.label:
+                segs.append([a.label, t, n])
+            # epsilon-arc frames (silence) attach to no word
+            t += n
+    else:
+        for a in arcs:
+            n = 1 if a.ilabel else 0
+            if a.olabel:
+                segs.append([a.olabel, t, 0])
+            if segs and n and segs[-1][1] + segs[-1][2] == t:
+                segs[-1][2] += n
+            t += n
+    return [tuple(s) for s in segs], best_cost
 
 
 def lattice_nbest(lat, n: int, max_pops: int = 1_000_000) -> list:

@@ -10,6 +10,8 @@ standard/README.md:6).
 Default: one phone id per phone instance (SplitToPhones segmentation).
 --per-frame: one phone id per frame. --write-lengths: text
 "phone duration ; phone duration ..." pairs (upstream format).
+--ctm-output: phone-level CTM lines "utt 1 start dur phone"
+(--frame-shift seconds per frame), the forced-alignment timing export.
 """
 
 from __future__ import annotations
@@ -43,12 +45,17 @@ def main(argv=None) -> int:
                    help="write one phone per frame")
     p.add_argument("--write-lengths", default="false",
                    help="write text 'phone duration ;' pairs")
+    p.add_argument("--ctm-output", default="false",
+                   help="write phone-level CTM lines instead")
+    p.add_argument("--frame-shift", type=float, default=0.01,
+                   help="seconds per frame for --ctm-output")
     args = p.parse_args(argv)
     per_frame = _bool(args.per_frame)
     write_lengths = _bool(args.write_lengths)
-    if per_frame and write_lengths:
-        print("ali_to_phones: --per-frame and --write-lengths are "
-              "exclusive", file=sys.stderr)
+    ctm = _bool(args.ctm_output)
+    if per_frame + write_lengths + ctm > 1:
+        print("ali_to_phones: --per-frame / --write-lengths / "
+              "--ctm-output are exclusive", file=sys.stderr)
         return 1
 
     tm = TransitionModel.load(args.model)
@@ -64,6 +71,28 @@ def main(argv=None) -> int:
                           + "\n").encode())
 
     n = 0
+    if ctm:
+        out = sys.stdout if args.phones_wspecifier == "-" \
+            else open(args.phones_wspecifier, "w")
+        fs = args.frame_shift
+        try:
+            while True:
+                key = _read_key(buffered)
+                if key is None:
+                    break
+                ali = read_int_vector(_read_value_header(buffered))
+                t = 0
+                for s in tm.split_to_phones(ali):
+                    out.write(f"{key} 1 {t * fs:.2f} {len(s) * fs:.2f} "
+                              f"{int(tm.id2phone[s[0]])}\n")
+                    t += len(s)
+                n += 1
+        finally:
+            if out is not sys.stdout:
+                out.close()
+        LOG(f"Done {n} utterances")
+        return 0
+
     writer = TableWriter(args.phones_wspecifier,
                          write_pairs if write_lengths
                          else write_int_vector)

@@ -167,3 +167,16 @@ def test_silence_weighting_pipeline(tmp_path):
         phones = TM.transition_ids_to_phones(a)
         want = np.where(np.isin(phones, [1, 3]), 0.0, 1.0)
         np.testing.assert_allclose(weights[k], want)
+
+
+def test_ali_to_phones_ctm_output(tmp_path):
+    from kaldi_lstm_tpu.tools.ali_to_phones import main as a2p
+    d = str(tmp_path)
+    TM.dump(f"{d}/final.mdl")
+    ali = np.asarray([1, 1, 2, 4, 5, 6, 7, 8], np.int32)
+    with TableWriter(f"ark:{d}/ali.ark", write_int_vector) as w:
+        w.write("u1", ali)
+    assert a2p([f"{d}/final.mdl", f"ark:{d}/ali.ark", f"{d}/ph.ctm",
+                "--ctm-output=true"]) == 0
+    lines = open(f"{d}/ph.ctm").read().strip().splitlines()
+    assert lines == ["u1 1 0.00 0.04 1", "u1 1 0.04 0.04 2"]

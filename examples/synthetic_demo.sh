@@ -128,6 +128,10 @@ python -m kaldi_lstm_tpu.tools.lattice_best_path "ark:$dir/words/lat.ark" \
     --word-symbol-table "$dir/words/words.txt"
 python -m kaldi_lstm_tpu.tools.compute_wer "$dir/words/text" \
     "$dir/words/hyp_lat.txt"
+# word-level timings (CTM) from the determinized lattices
+python -m kaldi_lstm_tpu.tools.lattice_to_ctm "ark:$dir/words/lat.ark" \
+    "$dir/words/hyp.ctm" --word-symbol-table "$dir/words/words.txt"
+head -3 "$dir/words/hyp.ctm"
 
 echo "=== 9. sequence training: realign -> sMBR fine-tune -> same %WER"
 python -m kaldi_lstm_tpu.tools.align_mapped "$dir/words/final.mdl" \

@@ -95,3 +95,41 @@ def test_sharded_step_matches_single_device(setup, data, model):
     assert int(aux.correct) == int(ref_aux.correct)
     np.testing.assert_allclose(float(aux.xent), float(ref_aux.xent),
                                rtol=1e-4)
+
+
+def test_sharded_step_l2_and_max_norm_matches(setup):
+    """Regularized update (l2 penalty + per-leaf lr-scale machinery)
+    agrees between the sharded and single-device steps."""
+    nnet, params0 = setup
+    opts = TrainOptions(learn_rate=0.05, momentum=0.9, l2_penalty=0.01)
+
+    params = copy_tree(params0)
+    step = make_train_step(nnet, opts)
+    opt = init_momentum(params)
+    states = nnet.init_states(S)
+    for i in range(2):
+        feats, ids, w, mask, flags = make_batch(seed=i)
+        params, opt, states, _ = step(
+            params, opt, states, (), jnp.asarray(feats), jnp.asarray(ids),
+            jnp.asarray(w), jnp.asarray(mask), jnp.asarray(flags),
+            jnp.float32(0.05))
+    ref_params = params
+
+    mesh = make_mesh(data=4, model=2)
+    plan = MeshPlan(mesh, nnet)
+    states = nnet.init_states(S)
+    sstep = make_sharded_train_step(nnet, opts, plan,
+                                    params_example=params0,
+                                    states_example=states)
+    params = plan.place_params(copy_tree(params0))
+    opt = init_momentum(params)
+    states = plan.place_states(states)
+    for i in range(2):
+        batch = plan.place_batch(*make_batch(seed=i))
+        params, opt, states, _ = sstep(params, opt, states, (), *batch,
+                                       jnp.float32(0.05))
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)

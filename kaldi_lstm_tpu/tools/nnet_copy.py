@@ -27,6 +27,10 @@ def main(argv=None) -> int:
     p.add_argument("--to-standard", action="store_true",
                    help="Convert Transmit->TimeShift and "
                         "LstmProjectedStreams->LstmProjected for decoding")
+    p.add_argument("--to-streams", action="store_true",
+                   help="Inverse conversion: TimeShift->Transmit and "
+                        "LstmProjected->LstmProjectedStreams (resume "
+                        "multi-stream training from a standard net)")
     p.add_argument("--time-shift", type=int, default=5,
                    help="<Shift> for the TimeShift produced by "
                         "--to-standard (match --targets-delay)")
@@ -50,11 +54,17 @@ def main(argv=None) -> int:
         params = tuple(params[nfirst:end])
         LOG(f"kept components {nfirst}..{end - 1} "
             f"({nnet.input_dim} -> {nnet.output_dim})")
+    if args.to_standard and args.to_streams:
+        print("nnet-copy: --to-standard and --to-streams are exclusive",
+              file=sys.stderr)
+        return 1
     if args.to_standard:
         nnet = nnet.to_standard()
         for c in nnet.components:
             if isinstance(c, TimeShift):
                 c.shift = args.time_shift
+    elif args.to_streams:
+        nnet = nnet.to_streams()
     nnet.write(args.model_out, params,
                binary=str(args.binary).lower() in ("true", "1", "yes"))
     LOG(f"Written model to {args.model_out}")

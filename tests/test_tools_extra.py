@@ -85,3 +85,35 @@ def test_nnet_copy_remove_components(tmp_path):
                                   np.asarray(params[1]["linearity"]))
     # removing everything is an error
     assert copy_main([src, out, "--remove-first-components=5"]) == 1
+
+
+def test_nnet_copy_to_streams_roundtrip(tmp_path):
+    """--to-standard then --to-streams restores the google topology with
+    identical parameters."""
+    import jax
+    import numpy as np
+    from kaldi_lstm_tpu.models import Nnet
+    from kaldi_lstm_tpu.tools.nnet_copy import main as copy_main
+    proto = """<NnetProto>
+<Transmit> <InputDim> 6 <OutputDim> 6
+<LstmProjectedStreams> <InputDim> 6 <OutputDim> 8 <CellDim> 10 <ParamScale> 0.05 <NumStream> 4
+<AffineTransform> <InputDim> 8 <OutputDim> 5 <ParamStddev> 0.1
+<Softmax> <InputDim> 5 <OutputDim> 5
+</NnetProto>
+"""
+    nnet, params = Nnet.init_from_proto(proto, jax.random.PRNGKey(0))
+    g0 = str(tmp_path / "g0.nnet")
+    nnet.write(g0, params)
+    std = str(tmp_path / "std.nnet")
+    assert copy_main([g0, std, "--to-standard", "--time-shift", "3"]) == 0
+    g1 = str(tmp_path / "g1.nnet")
+    assert copy_main([std, g1, "--to-streams"]) == 0
+    n1, p1 = Nnet.read(g1)
+    assert [c.token for c in n1.components] == [
+        "<Transmit>", "<LstmProjectedStreams>", "<AffineTransform>",
+        "<Softmax>"]
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # exclusive flags
+    assert copy_main([g0, std, "--to-standard", "--to-streams"]) == 1

@@ -327,6 +327,67 @@ class Tanh(Component):
 
 
 @register
+class LogSoftmax(Component):
+    """Row log-softmax (upstream nnet-activation.h LogSoftmax) — nets
+    whose decoder wants log posteriors directly."""
+
+    token = "<LogSoftmax>"
+
+    def apply(self, params, x, state=None):
+        if x.ndim > 2:  # 2-D rows: see Softmax.apply
+            shape = x.shape
+            y = jax.nn.log_softmax(x.reshape(-1, shape[-1]), axis=-1)
+            return y.reshape(shape), state
+        return jax.nn.log_softmax(x, axis=-1), state
+
+
+@register
+class Dropout(Component):
+    """Standalone dropout (upstream nnet-various.h Dropout) for DNN
+    stacks: inverted dropout in training (keep-mask / retention), exact
+    identity at test time — no nnet-copy surgery needed before decoding.
+    Reads either <DropoutRate> or upstream's <DropoutRetention>."""
+
+    token = "<Dropout>"
+    uses_rng = True
+    axis_invariant = True
+
+    def __init__(self, input_dim, output_dim, dropout_rate: float = 0.5):
+        super().__init__(input_dim, output_dim)
+        self.dropout_rate = float(dropout_rate)
+
+    def apply(self, params, x, state=None, rng=None, train=False):
+        keep = 1.0 - self.dropout_rate
+        if not train or rng is None or self.dropout_rate <= 0.0:
+            return x, state
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return x * mask.astype(x.dtype) / keep, state
+
+    def read_data(self, inp):
+        tok = kio.peek_token(inp.stream)
+        if tok == "<DropoutRate>":
+            kio.read_token(inp)
+            self.dropout_rate = kio.read_float(inp)
+        elif tok == "<DropoutRetention>":
+            kio.read_token(inp)
+            self.dropout_rate = 1.0 - kio.read_float(inp)
+        return {}
+
+    def write_data(self, out, params):
+        kio.write_token(out, "<DropoutRate>")
+        kio.write_float(out, self.dropout_rate)
+        if not out.binary:
+            out.stream.write(b"\n")
+
+    def init_from_config(self, tokens, rng):
+        if "<DropoutRetention>" in tokens:
+            self.dropout_rate = 1.0 - float(tokens["<DropoutRetention>"])
+        else:
+            self.dropout_rate = float(tokens.get("<DropoutRate>", 0.5))
+        return {}
+
+
+@register
 class AffineTransform(Component):
     """y = x W^T + b with W [out, in] (Kaldi orientation). The 16k-senone
     output layer of the reference nets (/root/reference/README.md:27)."""

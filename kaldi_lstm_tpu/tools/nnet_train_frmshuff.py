@@ -148,6 +148,10 @@ def main(argv=None) -> int:
     num_done = num_no_tgt = num_other = 0
     minibatches = 0
 
+    use_dropout = (not crossvalidate and any(
+        getattr(c, "dropout_rate", 0.0) > 0 for c in nnet.components))
+    drop_key = jax.random.PRNGKey(args.randomizer_seed or 777)
+
     def run_batches(final=False):
         nonlocal params, opt_state, states, minibatches
         if rand is None or (not rand.full and not final):
@@ -155,10 +159,12 @@ def main(argv=None) -> int:
         for f, i, w, fw in rand.drain():
             if states is None:
                 states = nnet.init_states(B)
+            extra = {"rng": jax.random.fold_in(drop_key, minibatches)} \
+                if use_dropout else {}
             params, opt_state, states, aux = step(
                 params, opt_state, states, None, jnp.asarray(f),
                 jnp.asarray(i), jnp.asarray(w), jnp.asarray(fw),
-                ones, lr)
+                ones, lr, **extra)
             stats.add(aux, log_fn=LOG)
             minibatches += 1
 

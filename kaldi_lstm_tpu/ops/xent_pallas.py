@@ -282,6 +282,27 @@ def fused_affine_xent(r, w, b, ids, tw, mask, interpret=False):
     return out
 
 
+def fused_loss_and_stats(lse, picked, aidx, ids, tw, mask):
+    """(xent, LossAux) from per-frame logsumexp, picked target log-prob
+    sums, and net argmax ids — the loss/statistics epilogue shared by
+    the single-chip fused kernel and the tensor-parallel variant
+    (parallel/xent_tp.py); identical to masked_xent_loss's stats."""
+    m = mask.astype(jnp.float32)
+    wtot = jnp.sum(tw, axis=-1)
+    xent = jnp.sum((wtot * lse - picked) * m)
+    ent = -jnp.sum(jnp.sum(jnp.where(tw > 0, tw * jnp.log(
+        jnp.maximum(tw, 1e-20)), 0.0), -1) * m)
+    tgt_best = jnp.take_along_axis(
+        ids, jnp.argmax(jnp.where(tw > 0, tw, -jnp.inf), -1,
+                        keepdims=True), -1)[..., 0]
+    correct = jnp.sum((aidx == tgt_best) * m)
+    frames = jnp.sum(m)
+    aux = LossAux(xent=jax.lax.stop_gradient(xent),
+                  entropy=jax.lax.stop_gradient(ent),
+                  correct=correct, frames=frames)
+    return xent, aux
+
+
 def _fused_fwd(r, w, b, ids, tw, mask, interpret):
     n = r.shape[0]
     r_p, w_p, b_p, ids_p, tw_p, mask_p, npad, rp, kp = _pad_inputs(
@@ -293,22 +314,7 @@ def _fused_fwd(r, w, b, ids, tw, mask, interpret):
     lse = lse[:n, 0]
     picked = picked[:n, 0]
     aidx = aidx[:n, 0].astype(jnp.int32)
-
-    m = mask.astype(jnp.float32)
-    wtot = jnp.sum(tw, axis=-1)
-    xent = jnp.sum((wtot * lse - picked) * m)
-
-    # stats identical to masked_xent_loss
-    ent = -jnp.sum(jnp.sum(jnp.where(tw > 0, tw * jnp.log(
-        jnp.maximum(tw, 1e-20)), 0.0), -1) * m)
-    tgt_best = jnp.take_along_axis(
-        ids, jnp.argmax(jnp.where(tw > 0, tw, -jnp.inf), -1,
-                        keepdims=True), -1)[..., 0]
-    correct = jnp.sum((aidx == tgt_best) * mask.astype(jnp.float32))
-    frames = jnp.sum(mask.astype(jnp.float32))
-    aux = LossAux(xent=jax.lax.stop_gradient(xent),
-                  entropy=jax.lax.stop_gradient(ent),
-                  correct=correct, frames=frames)
+    xent, aux = fused_loss_and_stats(lse, picked, aidx, ids, tw, mask)
     residuals = (r, w, b, ids, tw, mask, lse)
     return (xent, aux), residuals
 

@@ -13,32 +13,45 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from kaldi_lstm_tpu.models.nnet import Nnet
 from kaldi_lstm_tpu.parallel.mesh import MeshPlan
-from kaldi_lstm_tpu.train.loss import masked_mse_loss, masked_xent_loss
-from kaldi_lstm_tpu.train.optim import momentum_update
 from kaldi_lstm_tpu.train.trainer import TrainOptions
 
-_LOSS_FNS = {"xent": masked_xent_loss, "mse": masked_mse_loss}
 
-
-def _fused_eligible(nnet: Nnet, opts: TrainOptions, plan: MeshPlan) -> bool:
+def _fused_eligible(nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
+                    states_example=None) -> bool:
     """Fused TP xent requires an [Affine, Softmax] tail, xent objective,
     and the senone count divisible by the model-axis size (shard_map
-    needs even shards). Auto mode mirrors trainer.make_train_step: on
-    when the compute backend is TPU."""
-    from kaldi_lstm_tpu.models.components import _on_tpu
-    from kaldi_lstm_tpu.train.trainer import _tail_is_affine_softmax
-    fused_wanted = (_on_tpu() if opts.fused_xent is None
-                    else opts.fused_xent)
-    if not (fused_wanted and opts.objective == "xent"
-            and _tail_is_affine_softmax(nnet)):
+    needs even shards); otherwise fall back to the GSPMD (non-fused)
+    path. Auto mode mirrors trainer.make_train_step: on when the compute
+    backend is TPU. (Stream-count divisibility over the data axis is a
+    constraint of the batch sharding itself, validated separately in
+    make_sharded_train_step.)"""
+    from kaldi_lstm_tpu.train.trainer import default_use_fused
+    if not default_use_fused(nnet, opts):
         return False
     k = nnet.components[-2].output_dim
     return k % plan.mesh.shape.get("model", 1) == 0
+
+
+def _validate_stream_count(plan: MeshPlan, states_example) -> None:
+    """Fail fast with a clear message when S does not divide over the
+    data axis (the GSPMD error otherwise surfaces as a cryptic
+    device_put failure at the first step)."""
+    data = plan.mesh.shape.get("data", 1)
+    if states_example is None or data <= 1:
+        return
+    for leaf in jax.tree_util.tree_leaves(states_example):
+        if hasattr(leaf, "shape") and len(leaf.shape) >= 1:
+            s = leaf.shape[0]
+            if s % data != 0:
+                raise ValueError(
+                    f"num_stream={s} is not divisible by the mesh data "
+                    f"axis ({data}); pick S as a multiple of the data "
+                    f"axis (pad with dummy streams if needed — masked "
+                    f"frames contribute nothing)")
+            return
 
 
 def make_sharded_train_step(nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
@@ -51,7 +64,7 @@ def make_sharded_train_step(nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
     `*_example` args provide pytree structure for the sharding specs
     (shapes are not needed, only the tree).
     """
-    loss_fn = _LOSS_FNS[opts.objective]
+    _validate_stream_count(plan, states_example)
     p_shard = plan.params_sharding(params_example)
     s_shard = plan.states_sharding(states_example)
     b_shard = plan.batch_sharding()
@@ -60,57 +73,42 @@ def make_sharded_train_step(nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
     from kaldi_lstm_tpu.train.optim import MomentumState
     opt_shard = MomentumState(corr=p_shard)
 
-    use_fused = _fused_eligible(nnet, opts, plan)
+    use_fused = _fused_eligible(nnet, opts, plan, states_example)
     if use_fused:
         from kaldi_lstm_tpu.parallel.xent_tp import make_tp_fused_xent
         fused_fn = make_tp_fused_xent(plan.mesh)
     else:
         fused_fn = None
-    from kaldi_lstm_tpu.train.trainer import make_objective
-    objective_fn = make_objective(nnet, loss_fn, use_fused, fused_fn,
-                                  train=not crossvalidate)
-
-    def step_fn(params, opt_state, states, transf_params, feats, tgt_ids,
-                tgt_weights, mask, reset_flags, learn_rate, rng=None):
-        states = nnet.reset_states(states, reset_flags)
-        x = feats
-        if transf is not None:
-            x = transf.feedforward(transf_params, x)
-
-        def objective(params):
-            return objective_fn(params, x, states, tgt_ids, tgt_weights,
-                                mask, rng)
-
-        if crossvalidate:
-            _, (aux, new_states) = objective(params)
-            return params, opt_state, new_states, aux
-
-        (_, (aux, new_states)), grads = jax.value_and_grad(
-            objective, has_aux=True)(params)
-        from kaldi_lstm_tpu.train.trainer import (
-            apply_max_norm, build_lr_scale, build_reg_mask,
-            nnet_has_max_norm)
-        params, opt_state = momentum_update(
-            params, grads, opt_state, learn_rate, opts.momentum,
-            opts.grad_clip, lr_scale=build_lr_scale(nnet, params),
-            l1_penalty=opts.l1_penalty, l2_penalty=opts.l2_penalty,
-            num_frames=x.shape[0] * x.shape[1],
-            reg_mask=build_reg_mask(nnet, params))
-        if nnet_has_max_norm(nnet):
-            params = apply_max_norm(nnet, params)
-        return params, opt_state, new_states, aux
+    # the step body is the single-chip one (train/trainer.py) with the
+    # tensor-parallel fused kernel substituted; time-major stays off
+    # (the batch shardings are declared stream-major)
+    from kaldi_lstm_tpu.train.trainer import _make_step_fn
+    step_fn = _make_step_fn(nnet, opts, transf, crossvalidate,
+                            use_fused=use_fused, fused_fn=fused_fn,
+                            time_major=False)
 
     transf_shard = jax.tree_util.tree_map(lambda _: repl,
                                           transf_params_example)
     in_shardings = (
         p_shard, opt_shard, s_shard, transf_shard,
         b_shard["feats"], b_shard["tgt_ids"], b_shard["tgt_weights"],
-        b_shard["mask"], b_shard["reset_flags"], repl,
+        b_shard["mask"], b_shard["reset_flags"], repl, repl,
     )
     from kaldi_lstm_tpu.train.loss import LossAux
     aux_shard = LossAux(xent=repl, entropy=repl, correct=repl, frames=repl)
     out_shardings = (p_shard, opt_shard, s_shard, aux_shard)
 
     donate = () if crossvalidate else (0, 1, 2)
-    return jax.jit(step_fn, in_shardings=in_shardings,
-                   out_shardings=out_shardings, donate_argnums=donate)
+    jitted = jax.jit(step_fn, in_shardings=in_shardings,
+                     out_shardings=out_shardings, donate_argnums=donate)
+
+    def call(params, opt_state, states, transf_params, feats, tgt_ids,
+             tgt_weights, mask, reset_flags, learn_rate, rng=None):
+        # rng is passed positionally so the 11-entry in_shardings always
+        # binds; pass a PRNG key per step to drive dropout components
+        # (None = deterministic, dropout layers no-op)
+        return jitted(params, opt_state, states, transf_params, feats,
+                      tgt_ids, tgt_weights, mask, reset_flags,
+                      learn_rate, rng)
+
+    return call

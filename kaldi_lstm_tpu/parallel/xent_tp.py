@@ -119,21 +119,9 @@ def make_tp_fused_xent(mesh: Mesh, data_axis: str = "data",
     def _fwd(r, w, b, ids, tw, mask):
         lse, picked, aidx = fwd_sm(r, w, b, ids, tw, mask)
         aidx = aidx.astype(jnp.int32)
-
-        # loss/stats identical to xent_pallas._fused_fwd
-        m = mask.astype(jnp.float32)
-        wtot = jnp.sum(tw, axis=-1)
-        xent = jnp.sum((wtot * lse - picked) * m)
-        ent = -jnp.sum(jnp.sum(jnp.where(tw > 0, tw * jnp.log(
-            jnp.maximum(tw, 1e-20)), 0.0), -1) * m)
-        tgt_best = jnp.take_along_axis(
-            ids, jnp.argmax(jnp.where(tw > 0, tw, -jnp.inf), -1,
-                            keepdims=True), -1)[..., 0]
-        correct = jnp.sum((aidx == tgt_best) * mask.astype(jnp.float32))
-        frames = jnp.sum(mask.astype(jnp.float32))
-        aux = LossAux(xent=jax.lax.stop_gradient(xent),
-                      entropy=jax.lax.stop_gradient(ent),
-                      correct=correct, frames=frames)
+        from kaldi_lstm_tpu.ops.xent_pallas import fused_loss_and_stats
+        xent, aux = fused_loss_and_stats(lse, picked, aidx, ids, tw,
+                                         mask)
         return (xent, aux), (r, w, b, ids, tw, mask, lse)
 
     def _bwd(residuals, cotangents):

@@ -33,7 +33,10 @@ def save_train_state(path: str, params: Any,
         json.dumps({"meta": meta or {},
                     "num_params": len(leaves_p),
                     "has_opt": opt_state is not None}).encode(), np.uint8)
-    np.savez(path, **payload)
+    # write through a file object: np.savez(path) silently appends .npz
+    # to bare paths, breaking --state-out x / --state-in x round-trips
+    with open(path, "wb") as f:
+        np.savez(f, **payload)
 
 
 def load_train_state(path: str, params_example: Any

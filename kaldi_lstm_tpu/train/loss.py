@@ -93,24 +93,24 @@ def masked_xent_loss(logits: jax.Array, tgt_ids: jax.Array,
     return xent, aux
 
 
-def masked_mse_loss(logits: jax.Array, tgt_ids: jax.Array,
+def masked_mse_loss(y: jax.Array, tgt_ids: jax.Array,
                     tgt_weights: jax.Array, mask: jax.Array
                     ) -> tuple[jax.Array, LossAux]:
-    """0.5 * || (softmax(y) - t) ⊙ mask ||² against sparse targets,
-    without densifying t (Mse::EvalMasked semantics, nnet-loss.cc:374-436):
-    ||y - t||² = ||y||² - 2·Σ w·y[id] + Σ w²."""
-    y = jax.nn.softmax(logits.reshape(-1, logits.shape[-1]),
-                       axis=-1).reshape(logits.shape)
+    """0.5 * || (y - t) ⊙ mask ||² on the NET OUTPUT as-is (upstream
+    Mse::EvalMasked forms diff = net_out - target directly,
+    nnet-loss.cc:374-436 — no extra softmax here; trainers pass the
+    post-softmax/post-activation output, see make_objective). Sparse
+    targets, no densify: ||y - t||² = ||y||² - 2·Σ w·y[id] + Σ w²."""
     picked = jnp.take_along_axis(y, tgt_ids, axis=-1)
     sq = (jnp.sum(y * y, -1)
           - 2.0 * jnp.sum(tgt_weights * picked, -1)
           + jnp.sum(tgt_weights * tgt_weights, -1))
-    m = mask.astype(logits.dtype)
+    m = mask.astype(y.dtype)
     loss = 0.5 * jnp.sum(sq * m)
     frames = jnp.sum(m)
     aux = LossAux(xent=jax.lax.stop_gradient(loss),
-                  entropy=jnp.zeros((), logits.dtype),
-                  correct=jnp.array(-1.0, logits.dtype), frames=frames)
+                  entropy=jnp.zeros((), y.dtype),
+                  correct=jnp.array(-1.0, y.dtype), frames=frames)
     return loss, aux
 
 
@@ -118,11 +118,15 @@ class LossStats:
     """Host-side running/progressive accumulator with the reference's
     report formats (nnet-loss.cc:144-163, 293-307)."""
 
-    # 6 minutes of 100 fps audio (nnet-loss.cc:146)
+    # 6 minutes of 100 fps audio (nnet-loss.cc:146); the Mse variant
+    # logs every 1e6 samples (nnet-loss.cc:422-436)
     PROGRESS_STEP = 3600 * 100 // 10
+    PROGRESS_STEP_MSE = 1_000_000
 
     def __init__(self, name: str = "Xent"):
         self.name = name
+        if name == "Mse":
+            self.PROGRESS_STEP = self.PROGRESS_STEP_MSE
         self.loss = 0.0
         self.entropy = 0.0
         self.correct = 0.0   # weighted counts (fractional frame weights)
@@ -153,7 +157,8 @@ class LossStats:
                 log_fn(f"ProgressLoss[{self.frames_progress / 100 / 3600:g}h/"
                        f"{self.frames / 100 / 3600:g}h]: {avg:g} "
                        f"({self.name})")
-                log_fn(f"FrameAccuracy[{self.correct_progress / self.frames_progress:g}]")
+                if self.correct_progress >= 0:  # Mse reports no accuracy
+                    log_fn(f"FrameAccuracy[{self.correct_progress / self.frames_progress:g}]")
             self.loss_vec.append(avg)
             self.loss_progress = 0.0
             self.entropy_progress = 0.0

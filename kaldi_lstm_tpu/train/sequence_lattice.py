@@ -312,7 +312,10 @@ def mpe_forward_backward(lat: Lattice, acc, frame,
     # beta_acc[s]: expected accuracy still to come from s to a final
     beta_acc = [0.0] * n
     for s in reversed(order):
-        if beta[s] == NEG:
+        if beta[s] == NEG or frame[s] is None:
+            # frame[s] is None for states co-reachable to a final but not
+            # reachable from the start (untrimmed lattices); no reachable
+            # predecessor consumes their beta_acc, so skipping is exact
             continue
         total = 0.0
         for a in lat.arcs[s]:

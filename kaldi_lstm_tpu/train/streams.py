@@ -156,6 +156,10 @@ class StreamScheduler:
                     for k, (pdf, weight) in enumerate(frame[:self.K]):
                         ids[t, k] = pdf
                         w[t, k] = weight
+            if feats.shape[0] == 0:
+                self.warn(f"{key}, zero-length utterance, skip")
+                self.num_other_error += 1
+                continue
             if feats.shape[0] != ids.shape[0]:
                 self.warn(f"{key}, length miss-match between feats and "
                           f"targets, skip")

@@ -78,7 +78,8 @@ def trunk_supports_time_major(nnet: Nnet) -> bool:
 
 
 def make_objective(nnet: Nnet, loss_fn, use_fused: bool, fused_fn,
-                   train: bool, time_major: bool = False):
+                   train: bool, time_major: bool = False,
+                   want_logits: bool = True):
     """Objective builder shared by the single-chip and sharded steps.
 
     Returns objective(params, x, states, tgt_ids, tgt_weights, mask, rng)
@@ -129,7 +130,11 @@ def make_objective(nnet: Nnet, loss_fn, use_fused: bool, fused_fn,
                 ids_f.reshape(n, -1), tw_f.reshape(n, -1),
                 mask_f.reshape(n))
             return loss, (aux, tuple(new_states))
-        logits, new_states = nnet.propagate(params, x, states, logits=True,
+        # xent consumes pre-softmax logits (jax.grad = combined
+        # softmax+xent backward); mse consumes the net output as-is
+        # (upstream Mse::EvalMasked, nnet-loss.cc:374-436)
+        logits, new_states = nnet.propagate(params, x, states,
+                                            logits=want_logits,
                                             rng=rng, train=train)
         loss, aux = loss_fn(logits, tgt_ids, tgt_weights, mask)
         return loss, (aux, new_states)
@@ -188,22 +193,35 @@ def nnet_has_max_norm(nnet: Nnet) -> bool:
                for c in nnet.components)
 
 
-def _make_step_fn(nnet: Nnet, opts: TrainOptions,
-                  transf: Optional[Nnet], crossvalidate: bool):
-    """The un-jitted single-step computation shared by the plain and
-    grouped train steps."""
-    loss_fn = _LOSS_FNS[opts.objective]
+def default_use_fused(nnet: Nnet, opts: TrainOptions) -> bool:
     from kaldi_lstm_tpu.models.components import _on_tpu
     fused_wanted = (_on_tpu() if opts.fused_xent is None
                     else opts.fused_xent)
-    use_fused = (fused_wanted and opts.objective == "xent"
-                 and _tail_is_affine_softmax(nnet))
+    return (fused_wanted and opts.objective == "xent"
+            and _tail_is_affine_softmax(nnet))
 
-    from kaldi_lstm_tpu.ops.xent_pallas import masked_xent_affine
+
+def _make_step_fn(nnet: Nnet, opts: TrainOptions,
+                  transf: Optional[Nnet], crossvalidate: bool,
+                  use_fused: Optional[bool] = None, fused_fn=None,
+                  time_major: Optional[bool] = None):
+    """The un-jitted single-step computation shared by the plain,
+    grouped, and sharded (parallel/sharded_trainer.py) train steps.
+    `use_fused`/`fused_fn`/`time_major` override the single-chip
+    defaults — the sharded step passes the tensor-parallel fused kernel
+    and disables the time-major layout."""
+    loss_fn = _LOSS_FNS[opts.objective]
+    if use_fused is None:
+        use_fused = default_use_fused(nnet, opts)
+    if fused_fn is None:
+        from kaldi_lstm_tpu.ops.xent_pallas import masked_xent_affine
+        fused_fn = masked_xent_affine
+    if time_major is None:
+        time_major = use_fused and trunk_supports_time_major(nnet)
     objective_fn = make_objective(
-        nnet, loss_fn, use_fused, masked_xent_affine,
-        train=not crossvalidate,
-        time_major=use_fused and trunk_supports_time_major(nnet))
+        nnet, loss_fn, use_fused, fused_fn,
+        train=not crossvalidate, time_major=time_major,
+        want_logits=opts.objective == "xent")
 
     def step(params, opt_state, states, transf_params, feats, tgt_ids,
              tgt_weights, mask, reset_flags, learn_rate, rng=None):
@@ -403,11 +421,18 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
         if group:
             yield group
 
+    # utterances CONSUMED by trained batches — scheduler.num_done runs
+    # ahead of training by up to the prefetch depth (the background
+    # thread feeds utterances into queued batches); reports and dump
+    # names must count processed work (reference :263-281 semantics)
+    consumed_done = 0
+
     for group in batched_source():
         if first_batch and monitor_verbose >= 1:
             _monitor_first_batch(nnet, params, transf, transf_params,
                                  group[0], opts, crossvalidate)
         first_batch = False
+        consumed_done += sum(g.num_new_utts for g in group)
         if use_group and len(group) == step_group:
             b = len(group)
             gargs = (params, opt_state, states, transf_params,
@@ -457,21 +482,20 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
                                         total_frames)
 
         # speed report every 1000 utterances (:263-267)
-        if scheduler.num_done - last_report_done >= 1000:
+        if consumed_done - last_report_done >= 1000:
             total_frames = _flush_stats(pending, stats, scheduler,
                                         total_frames)
-            last_report_done = scheduler.num_done - scheduler.num_done % 1000
+            last_report_done = consumed_done - consumed_done % 1000
             t = timer.elapsed()
-            VLOG(1, f"After {scheduler.num_done} utterances: time elapsed = "
+            VLOG(1, f"After {consumed_done} utterances: time elapsed = "
                     f"{t / 60:.2f} min; processed {total_frames / t:.0f} "
                     f"frames per second.")
 
         if (dump_interval > 0 and dump_fn is not None
-                and scheduler.num_done - last_dump_done >= dump_interval):
-            last_dump_done = scheduler.num_done \
-                - scheduler.num_done % dump_interval
+                and consumed_done - last_dump_done >= dump_interval):
+            last_dump_done = consumed_done - consumed_done % dump_interval
             if not crossvalidate:
-                dump_fn(params, scheduler.num_done)
+                dump_fn(params, consumed_done)
 
     total_frames = _flush_stats(pending, stats, scheduler, total_frames)
     return EpochResult(params=params, opt_state=opt_state, stats=stats,

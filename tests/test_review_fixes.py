@@ -1,0 +1,167 @@
+"""Regression tests for the round-1 review findings (trainer/parallel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kaldi_lstm_tpu.models import Nnet
+from kaldi_lstm_tpu.train import TrainOptions, init_momentum, make_train_step
+from kaldi_lstm_tpu.train.streams import StreamScheduler
+
+SIG_PROTO = """<NnetProto>
+<AffineTransform> <InputDim> 4 <OutputDim> 6 <ParamStddev> 0.3
+<Sigmoid> <InputDim> 6 <OutputDim> 6
+</NnetProto>
+"""
+
+
+def test_mse_uses_net_output_not_softmax():
+    """objective='mse' on a sigmoid-tailed net: loss must be
+    0.5*||sigmoid(out) - t||^2 (upstream Mse::EvalMasked on net_out)."""
+    nnet, params = Nnet.init_from_proto(SIG_PROTO, jax.random.PRNGKey(0))
+    S, T = 2, 3
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(S, T, 4), np.float32)
+    ids = jnp.asarray(rng.randint(0, 6, (S, T, 1)), np.int32)
+    w = jnp.ones((S, T, 1), np.float32)
+    mask = jnp.ones((S, T), np.float32)
+    flags = jnp.zeros((S,), np.int32)
+    opts = TrainOptions(learn_rate=0.0, momentum=0.0, objective="mse",
+                        fused_xent=False)
+    step = make_train_step(nnet, opts)
+    p = jax.tree_util.tree_map(jnp.array, params)
+    _, _, _, aux = step(p, init_momentum(p), nnet.init_states(S), (),
+                        feats, ids, w, mask, flags, jnp.float32(0.0))
+    y = np.asarray(nnet.feedforward(params, feats))
+    t = np.zeros_like(y)
+    for s in range(S):
+        for tt in range(T):
+            t[s, tt, int(ids[s, tt, 0])] = 1.0
+    expect = 0.5 * np.sum((y - t) ** 2)
+    np.testing.assert_allclose(float(aux.xent), expect, rtol=1e-5)
+
+
+def test_zero_length_utterance_skipped():
+    class DictTargets:
+        def __init__(self, table):
+            self.table = table
+
+        def has_key(self, key):
+            return key in self.table
+
+        def value(self, key):
+            return self.table[key]
+
+    utts = [("a", np.zeros((0, 3), np.float32)),
+            ("b", np.ones((5, 3), np.float32))]
+    targets = DictTargets({"a": [], "b": [[(0, 1.0)]] * 5})
+    sched = StreamScheduler(iter(utts), targets, feat_dim=3,
+                            num_stream=1, batch_size=4)
+    batches = list(sched)  # must not crash
+    assert sched.num_other_error == 1
+    assert sum(float(b.mask.sum()) for b in batches) == 5.0
+
+
+def test_checkpoint_roundtrip_bare_path(tmp_path):
+    from kaldi_lstm_tpu.train.checkpoint import (load_train_state,
+                                                 save_train_state)
+    params = ({"w": jnp.arange(6.0).reshape(2, 3)},)
+    opt = init_momentum(params)
+    path = str(tmp_path / "iter3.state")  # no .npz suffix
+    save_train_state(path, params, opt, meta={"it": 3})
+    import os
+    assert os.path.exists(path)
+    p2, o2, meta = load_train_state(path, params)
+    np.testing.assert_array_equal(np.asarray(p2[0]["w"]),
+                                  np.asarray(params[0]["w"]))
+    assert meta == {"it": 3}
+
+
+DROP_PROTO = """<NnetProto>
+<AffineTransform> <InputDim> 4 <OutputDim> 16 <ParamStddev> 0.2
+<Dropout> <InputDim> 16 <OutputDim> 16 <DropoutRate> 0.5
+<AffineTransform> <InputDim> 16 <OutputDim> 8 <ParamStddev> 0.2
+<Softmax> <InputDim> 8 <OutputDim> 8
+</NnetProto>
+"""
+
+
+def test_sharded_step_dropout_rng():
+    """The sharded step accepts a per-step rng and dropout actually
+    fires (different keys -> different updates; no key -> identity)."""
+    from kaldi_lstm_tpu.parallel import (MeshPlan, make_mesh,
+                                         make_sharded_train_step)
+    nnet, params = Nnet.init_from_proto(DROP_PROTO, jax.random.PRNGKey(0))
+    S, T = 8, 4
+    mesh = make_mesh(data=4, model=2)
+    plan = MeshPlan(mesh, nnet)
+    states = nnet.init_states(S)
+    step = make_sharded_train_step(
+        nnet, TrainOptions(learn_rate=0.1, momentum=0.0), plan,
+        params_example=params, states_example=states)
+    rng = np.random.RandomState(0)
+    batch = plan.place_batch(
+        rng.randn(S, T, 4).astype(np.float32),
+        rng.randint(0, 8, (S, T, 1)).astype(np.int32),
+        np.ones((S, T, 1), np.float32), np.ones((S, T), np.float32),
+        np.zeros(S, np.int32))
+
+    def run(key):
+        p = plan.place_params(jax.tree_util.tree_map(jnp.array, params))
+        p, _, _, _ = step(p, init_momentum(p), plan.place_states(
+            nnet.init_states(S)), (), *batch, jnp.float32(0.1),
+            rng=key)
+        return np.asarray(p[0]["linearity"])
+
+    w1 = run(jax.random.PRNGKey(1))
+    w2 = run(jax.random.PRNGKey(2))
+    w_none_a = run(None)
+    w_none_b = run(None)
+    assert not np.allclose(w1, w2)          # dropout fired
+    np.testing.assert_array_equal(w_none_a, w_none_b)  # deterministic
+
+
+def test_sharded_step_rejects_odd_stream_count():
+    """S not divisible by the data axis cannot shard at all; the builder
+    must fail fast with an actionable message (not a cryptic GSPMD
+    device_put error at the first step)."""
+    from kaldi_lstm_tpu.parallel import (MeshPlan, make_mesh,
+                                         make_sharded_train_step)
+    PROTO = """<NnetProto>
+<LstmProjectedStreams> <InputDim> 4 <OutputDim> 6 <CellDim> 8 <ParamScale> 0.1 <NumStream> 6
+<AffineTransform> <InputDim> 6 <OutputDim> 16 <ParamStddev> 0.2
+<Softmax> <InputDim> 16 <OutputDim> 16
+</NnetProto>
+"""
+    nnet, params = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(1))
+    mesh = make_mesh(data=4, model=2)
+    plan = MeshPlan(mesh, nnet)
+    states = nnet.init_states(6)  # S=6, data=4
+    with pytest.raises(ValueError, match="not divisible by the mesh"):
+        make_sharded_train_step(
+            nnet, TrainOptions(learn_rate=0.05, momentum=0.9), plan,
+            params_example=params, states_example=states)
+
+
+def test_mpe_forward_backward_unconnected_state():
+    """States co-reachable to a final but unreachable from the start
+    (untrimmed lattices) must not crash the expectation pass."""
+    from kaldi_lstm_tpu.io.lattice import Lattice, LatticeArc
+    from kaldi_lstm_tpu.train.sequence_lattice import (
+        mpe_forward_backward, state_frames)
+    lat = Lattice()
+    for _ in range(4):
+        lat.add_state()
+    lat.arcs[0].append(LatticeArc(1, 0, 0.0, -1.0, 1))
+    lat.final[1] = (0.0, 0.0)
+    # state 2 reaches final state 1 but nothing reaches state 2
+    lat.arcs[2].append(LatticeArc(2, 0, 0.0, -1.0, 1))
+    frames = state_frames(lat)
+    assert frames[2] is None
+
+    def acc(t, tid):
+        return 1.0
+
+    EA, post = mpe_forward_backward(lat, acc, frames)
+    assert EA == pytest.approx(1.0)

@@ -37,6 +37,7 @@ from kaldi_lstm_tpu.decode.faster import (
     CompiledGraph,
     _eps_closure,
     _out_arcs,
+    compile_graph,
 )
 from kaldi_lstm_tpu.decode.graph import DecodingGraph
 from kaldi_lstm_tpu.io.lattice import Lattice, LatticeArc
@@ -98,10 +99,7 @@ def decode_lattice_faster(graph: DecodingGraph, loglik: np.ndarray,
     Memory is O(T * num_states) for the per-level score snapshots plus
     the recorded arc lists — the same order as decode_faster's
     backpointer table."""
-    cg = getattr(graph, "_compiled", None)
-    if cg is None:
-        cg = CompiledGraph(graph)
-        graph._compiled = cg
+    cg = compile_graph(graph)
     em = acoustic_scale * np.asarray(loglik, np.float64)
     T = em.shape[0]
     ns = cg.ns

@@ -113,25 +113,27 @@ class _ShiftBuffer:
             raise ValueError("negative target delay is not supported "
                              "for online decoding")
         self.k = k
-        self._buf: Optional[np.ndarray] = None
-        self._emitted = 0
+        # O(1) state: out[t] = in[t+k] means each push's emittable slice
+        # lies entirely within the NEW chunk (invariant: emitted =
+        # max(0, seen - k)); only the input count and the last frame
+        # (for the clamped tail) need keeping — buffering the whole
+        # stream would be unbounded memory on long sessions
+        self._seen = 0
+        self._last: Optional[np.ndarray] = None
 
     def push(self, frames: np.ndarray) -> np.ndarray:
         frames = np.asarray(frames, np.float32)
-        self._buf = (frames if self._buf is None
-                     else np.concatenate([self._buf, frames]))
-        out = self._buf[self.k + self._emitted:]
-        self._emitted += len(out)
-        return out
+        if len(frames):
+            self._last = frames[-1:].copy()
+        start = min(max(self.k - self._seen, 0), len(frames))
+        self._seen += len(frames)
+        return frames[start:]
 
     def flush(self) -> np.ndarray:
-        if self._buf is None or len(self._buf) == 0:
+        if self._last is None:
             return np.zeros((0, 0), np.float32)
-        tail = len(self._buf) - self._emitted
-        self._emitted = len(self._buf)
-        if tail <= 0:
-            return np.zeros((0, self._buf.shape[1]), np.float32)
-        return np.repeat(self._buf[-1:], tail, axis=0)
+        tail = min(self.k, self._seen)
+        return np.repeat(self._last, tail, axis=0)
 
 
 class OnlineRecognizer:

@@ -53,6 +53,16 @@ class PhoneLoopGraph:
                               phone_insertion_penalty: float = 0.0
                               ) -> "PhoneLoopGraph":
         ns = len(tm.tuples)
+        # this graph scores every frame of a state with ONE pdf; that is
+        # exact for <Triples>-era models (self_loop_pdf == forward_pdf)
+        # but not for chain-style <Tuples> models with split pdfs — use
+        # decode_faster/latgen/align (per-arc transition-id graphs) there
+        for p, s, fwd, slf in tm.tuples:
+            if slf != fwd:
+                raise ValueError(
+                    "phone-loop Viterbi needs self_loop_pdf == "
+                    f"forward_pdf; phone {p} state {s} has {fwd} vs "
+                    f"{slf} — decode with decode_faster/latgen instead")
         index = {(p, s): i for i, (p, s, _f, _l) in enumerate(tm.tuples)}
         logA = np.full((ns, ns), NEG, np.float64)
         final_logp = np.full(ns, NEG, np.float64)

@@ -216,8 +216,9 @@ class ArpaLM:
 
 
 def bigram_as_arpalm(bg: ArpaBigram) -> ArpaLM:
-    """View an ArpaBigram through the general interface."""
+    """View an ArpaBigram through the general interface (ArpaLM keys
+    are WORD TUPLES at every order, including unigrams)."""
     lm = ArpaLM(order=2)
-    lm.ngrams[1] = dict(bg.unigram)
+    lm.ngrams[1] = {(w,): v for w, v in bg.unigram.items()}
     lm.ngrams[2] = {k: (v, 0.0) for k, v in bg.bigram.items()}
     return lm

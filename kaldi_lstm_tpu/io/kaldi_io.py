@@ -37,26 +37,42 @@ Posterior = List[List[Tuple[int, float]]]
 BINARY_HEADER = b"\0B"
 
 
+def _probe_binary_header(stream) -> tuple[bool, object]:
+    """Detect the \\0B binary marker at the stream position, consuming it
+    when present. Returns (is_binary, stream-to-continue-reading-from).
+    BufferedReader.peek returns only the CURRENT buffer contents when
+    non-empty, so a 1-byte buffer tail must be handled by consuming the
+    byte (which refills the buffer) and splicing it back logically —
+    otherwise a binary record whose marker straddles the 8 KB buffer
+    boundary is misdetected as text (~once per 4K records)."""
+    if not hasattr(stream, "peek"):
+        head = stream.read(2)
+        if head == BINARY_HEADER:
+            return True, stream
+        return False, _ChainedStream(head, stream)
+    head = stream.peek(2)[:2]
+    if len(head) == 1:
+        b0 = stream.read(1)
+        if b0 == BINARY_HEADER[:1] and stream.peek(1)[:1] == \
+                BINARY_HEADER[1:2]:
+            stream.read(1)
+            return True, stream
+        # raw chained pushback (NOT a fresh BufferedReader: its
+        # read-ahead would swallow bytes of the following records)
+        return False, _ChainedStream(b0, stream)
+    if head == BINARY_HEADER:
+        stream.read(2)
+        return True, stream
+    return False, stream
+
+
 class KaldiInput:
     """Wraps a readable binary stream; detects binary vs text mode."""
 
     def __init__(self, stream, binary: bool | None = None):
         self.stream = stream
         if binary is None:
-            head = stream.peek(2)[:2] if hasattr(stream, "peek") else None
-            if head is None:
-                head = stream.read(2)
-                if head == BINARY_HEADER:
-                    self.binary = True
-                else:
-                    # No pushback available: wrap remainder
-                    self.stream = io.BufferedReader(
-                        _ChainedStream(head, stream))
-                    self.binary = False
-                return
-            self.binary = head == BINARY_HEADER
-            if self.binary:
-                stream.read(2)
+            self.binary, self.stream = _probe_binary_header(stream)
         else:
             self.binary = binary
 
@@ -387,12 +403,13 @@ def read_vector(inp: KaldiInput) -> np.ndarray:
 
 
 def write_int_vector(out: KaldiOutput, vec) -> None:
-    """Kaldi integer vector (alignments): size then per-element int32s."""
+    """Kaldi integer vector (alignments) — upstream WriteIntegerVector
+    (base/io-funcs-inl.h): ONE element-size byte (\\x04), the int32
+    count, then the RAW int32 payload (no per-element size markers)."""
     vec = np.asarray(vec, np.int32).reshape(-1)
     if out.binary:
-        write_int32(out, len(vec))
-        for v in vec:
-            write_int32(out, int(v))
+        out.stream.write(b"\x04" + struct.pack("<i", len(vec))
+                         + vec.astype("<i4").tobytes())
     else:
         out.stream.write(" ".join(str(int(v)) for v in vec).encode()
                          + b"\n")
@@ -400,8 +417,17 @@ def write_int_vector(out: KaldiOutput, vec) -> None:
 
 def read_int_vector(inp: KaldiInput) -> np.ndarray:
     if inp.binary:
-        n = read_int32(inp)
-        return np.array([read_int32(inp) for _ in range(n)], np.int32)
+        sz = inp.read(1)
+        if sz != b"\x04":
+            raise ValueError(f"read_int_vector: bad element-size byte "
+                             f"{sz!r}")
+        (n,) = struct.unpack("<i", inp.read(4))
+        if n < 0:
+            raise ValueError(f"read_int_vector: negative size {n}")
+        data = inp.read(4 * n)
+        if len(data) != 4 * n:
+            raise EOFError("read_int_vector: truncated payload")
+        return np.frombuffer(data, "<i4").astype(np.int32)
     # text: rest of line
     chars = []
     while True:
@@ -461,20 +487,62 @@ def read_posterior(inp: KaldiInput) -> Posterior:
             weight = float(read_token(inp))
             frame.append((pdf, weight))
         post.append(frame)
-        # peek for newline / next frame
-        c = inp.read(1)
-        while c and c in b" \t":
+        # PEEK for newline / next frame — never wrap the shared table
+        # stream in a fresh BufferedReader (its read-ahead would swallow
+        # bytes belonging to the NEXT records when this one ends)
+        peek = getattr(inp.stream, "peek", None)
+        if peek is None:  # unbuffered source: safe pushback wrapper
             c = inp.read(1)
+            while c and c in b" \t":
+                c = inp.read(1)
+            if not c or c == b"\n":
+                return post
+            if c != b"[":
+                raise ValueError("read_posterior(text): malformed")
+            inp.stream = _ChainedStream(b"[", inp.stream)
+            continue
+        while True:
+            c = peek(1)[:1]
+            if c in (b" ", b"\t"):
+                inp.read(1)
+                continue
+            break
         if not c or c == b"\n":
+            if c:
+                inp.read(1)  # consume the record's newline
             return post
         if c != b"[":
             raise ValueError("read_posterior(text): malformed")
-        inp.stream = io.BufferedReader(_ChainedStream(b"[", inp.stream))
+        # leave the '[' unconsumed; the loop's read_token picks it up
 
 
 # ---------------------------------------------------------------------------
 # rspecifiers / wspecifiers and table readers/writers
 # ---------------------------------------------------------------------------
+
+class _PipeRaw(io.RawIOBase):
+    """Raw stream over a pipe command that verifies the exit status at
+    EOF — upstream Kaldi aborts on nonzero pipe status; silently reading
+    a failed `cmd |` as an empty table would truncate training data."""
+
+    def __init__(self, proc, cmd: str):
+        self.proc = proc
+        self.cmd = cmd
+        self._checked = False
+
+    def readable(self):
+        return True
+
+    def readinto(self, b):
+        n = self.proc.stdout.readinto(b)
+        if not n and not self._checked:
+            self._checked = True
+            rc = self.proc.wait()
+            if rc != 0:
+                raise IOError(f"pipe command failed with status {rc}: "
+                              f"{self.cmd!r}")
+        return n or 0
+
 
 def _open_rspecifier(spec: str):
     """Open the data source of an rspecifier. Returns (kind, stream)."""
@@ -486,9 +554,9 @@ def _open_rspecifier(spec: str):
     if kind not in ("ark", "scp"):
         raise ValueError(f"unsupported rspecifier kind {kind!r}")
     if rest.endswith("|"):
-        proc = subprocess.Popen(rest[:-1], shell=True,
-                                stdout=subprocess.PIPE)
-        return kind, io.BufferedReader(proc.stdout.raw)
+        cmd = rest[:-1]
+        proc = subprocess.Popen(cmd, shell=True, stdout=subprocess.PIPE)
+        return kind, io.BufferedReader(_PipeRaw(proc, cmd))
     if rest == "-":
         return kind, sys.stdin.buffer
     return kind, open(rest, "rb")
@@ -510,11 +578,8 @@ def _read_key(stream) -> str | None:
 
 def _read_value_header(stream) -> KaldiInput:
     """After the key comes one space then \\0B (binary) or text data."""
-    head = stream.peek(2)[:2]
-    if head == BINARY_HEADER:
-        stream.read(2)
-        return KaldiInput(stream, binary=True)
-    return KaldiInput(stream, binary=False)
+    is_binary, stream = _probe_binary_header(stream)
+    return KaldiInput(stream, binary=is_binary)
 
 
 class SequentialMatrixReader:

@@ -495,8 +495,20 @@ class SequentialLatticeReader:
                     break
                 # peek, don't read: a text record's first line may be
                 # shorter than 2 bytes ('0\n'), and consuming it here
-                # would swallow the record separator (framing bug)
+                # would swallow the record separator (framing bug).
+                # BufferedReader.peek can return ONE byte at a buffer
+                # boundary — re-peek after a readahead-forcing peek of
+                # the next byte (kaldi_io._probe_binary_header rationale)
                 head = self.stream.peek(2)[:2]
+                if len(head) == 1 and head == b"\0":
+                    self.stream.read(1)
+                    rest = self.stream.peek(1)[:1]
+                    if rest == b"B":
+                        self.stream.read(1)
+                        yield key, read_lattice_binary(self.stream)
+                        continue
+                    raise ValueError(
+                        f"lattice record for {key}: stray NUL byte")
                 if head == b"\0B":
                     self.stream.read(2)
                     yield key, read_lattice_binary(self.stream)
@@ -621,16 +633,14 @@ def lattice_nbest(lat, n: int, max_pops: int = 1_000_000) -> list:
     beta = [INF] * ns
     for s, fin in lat.final.items():
         beta[s] = fin[0] + fin[1]
-    for _ in range(ns):
-        changed = False
-        for s in range(ns):
-            for a in lat.arcs[s]:
-                nd = a.graph_cost + a.acoustic_cost + beta[a.dst]
-                if nd < beta[s] - 1e-12:
-                    beta[s] = nd
-                    changed = True
-        if not changed:
-            break
+    # one exact pass in reverse topological order (lattices are DAGs);
+    # sweeping in state-id order needs ~path-length sweeps on
+    # time-ordered decoder lattices
+    for s in reversed(_topo_order_lat(lat)):
+        for a in lat.arcs[s]:
+            nd = a.graph_cost + a.acoustic_cost + beta[a.dst]
+            if nd < beta[s]:
+                beta[s] = nd
     if beta[lat.start] == INF:
         raise ValueError("lattice has no reachable final state")
 

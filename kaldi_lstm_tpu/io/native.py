@@ -121,19 +121,24 @@ def scan_posterior_ark(path: str, max_entries: int = 1):
     if size == 0:
         return {}
     cap_rec = max(16, size // 32)
-    cap_frames = max(64, size // 10)
-    key_off = np.zeros(cap_rec, np.int64)
-    key_len = np.zeros(cap_rec, np.int32)
-    frame_off = np.zeros(cap_rec, np.int64)
-    num_frames = np.zeros(cap_rec, np.int32)
-    # phase 1: count
-    n = lib.klt_scan_posterior_ark(
-        data, size, max_entries, cap_rec, 1 << 62,
-        _ptr(key_off, ctypes.c_long), _ptr(key_len, ctypes.c_int),
-        _ptr(frame_off, ctypes.c_long), _ptr(num_frames, ctypes.c_int),
-        None, None)
-    if n < 0:
-        raise ValueError(f"malformed posterior ark: {path}")
+    # phase 1: count (retry with larger record capacity on -2, like
+    # scan_matrix_ark — short-key/few-frame arks exceed the heuristic)
+    while True:
+        key_off = np.zeros(cap_rec, np.int64)
+        key_len = np.zeros(cap_rec, np.int32)
+        frame_off = np.zeros(cap_rec, np.int64)
+        num_frames = np.zeros(cap_rec, np.int32)
+        n = lib.klt_scan_posterior_ark(
+            data, size, max_entries, cap_rec, 1 << 62,
+            _ptr(key_off, ctypes.c_long), _ptr(key_len, ctypes.c_int),
+            _ptr(frame_off, ctypes.c_long), _ptr(num_frames, ctypes.c_int),
+            None, None)
+        if n == -2:
+            cap_rec *= 4
+            continue
+        if n < 0:
+            raise ValueError(f"malformed posterior ark: {path}")
+        break
     total = int(frame_off[n - 1] + num_frames[n - 1]) if n > 0 else 0
     ids = np.zeros((total, max_entries), np.int32)
     weights = np.zeros((total, max_entries), np.float32)

@@ -165,3 +165,81 @@ def test_mpe_forward_backward_unconnected_state():
 
     EA, post = mpe_forward_backward(lat, acc, frames)
     assert EA == pytest.approx(1.0)
+
+
+def test_pipe_failure_raises():
+    """A failed `cmd |` rspecifier must raise, not read as an empty
+    table (upstream aborts on nonzero pipe status)."""
+    from kaldi_lstm_tpu.io.kaldi_io import SequentialMatrixReader
+    r = SequentialMatrixReader("ark:false |")
+    with pytest.raises(IOError, match="pipe command failed"):
+        list(r)
+    # a successful pipe still works
+    from kaldi_lstm_tpu.io.kaldi_io import MatrixWriter
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        with MatrixWriter(f"ark:{d}/m.ark") as w:
+            w.write("u0", np.ones((2, 3), np.float32))
+        got = dict(SequentialMatrixReader(f"ark:cat {d}/m.ark |"))
+        assert list(got) == ["u0"]
+
+
+def test_bigram_as_arpalm_consistent():
+    from kaldi_lstm_tpu.io.arpa import ArpaBigram, bigram_as_arpalm
+    bg = ArpaBigram(unigram={"a": (-1.0, -0.5), "b": (-2.0, 0.0)},
+                    bigram={("a", "b"): -0.3})
+    lm = bigram_as_arpalm(bg)
+    assert sorted(lm.vocab) == ["a", "b"]
+    assert lm.cond_logp(("a",), "b") == pytest.approx(bg.logp("a", "b"))
+    # backoff path: P(a|b) = backoff(b) + P(a)
+    assert lm.cond_logp(("b",), "a") == pytest.approx(bg.logp("b", "a"))
+
+
+def test_text_posterior_table_large_records(tmp_path):
+    """Multi-record TEXT posterior arks larger than one 8KB buffer must
+    not lose framing between records (stream rewrap regression)."""
+    from kaldi_lstm_tpu.io.kaldi_io import (SequentialPosteriorReader,
+                                            TableWriter, write_posterior)
+    rng = np.random.RandomState(0)
+    table = {f"u{i:03d}": [[(int(rng.randint(0, 5000)), 1.0)]
+                           for _ in range(400)]  # ~3-4 KB per record
+             for i in range(40)}
+    w = TableWriter(f"ark,t:{tmp_path}/p.ark", write_posterior,
+                    binary=False)
+    with w:
+        for k, post in table.items():
+            w.write(k, post)
+    got = dict(SequentialPosteriorReader(f"ark:{tmp_path}/p.ark"))
+    assert sorted(got) == sorted(table)
+    for k in table:
+        assert got[k] == table[k]
+
+
+def test_viterbi_rejects_split_pdf_tuples():
+    from kaldi_lstm_tpu.decode.viterbi import PhoneLoopGraph
+    from kaldi_lstm_tpu.io.transition_model import TransitionModel
+
+    class FakeTM:
+        tuples = [(1, 0, 0, 1)]  # forward_pdf 0 != self_loop_pdf 1
+
+    with pytest.raises(ValueError, match="self_loop_pdf"):
+        PhoneLoopGraph.from_transition_model(FakeTM())
+
+
+def test_shift_buffer_constant_memory():
+    from kaldi_lstm_tpu.decode.online import _ShiftBuffer
+    k = 5
+    sb = _ShiftBuffer(k)
+    D = 3
+    rng = np.random.RandomState(0)
+    x = rng.randn(47, D).astype(np.float32)
+    outs = []
+    for lo in range(0, 47, 4):  # uneven chunks
+        outs.append(sb.push(x[lo:lo + 4]))
+    outs.append(sb.flush())
+    y = np.concatenate([o for o in outs if o.size])
+    # TimeShift semantics: out[t] = x[min(t+k, T-1)]
+    idx = np.minimum(np.arange(47) + k, 46)
+    np.testing.assert_array_equal(y, x[idx])
+    # no history kept beyond the last frame
+    assert not hasattr(sb, "_buf")

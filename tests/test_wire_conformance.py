@@ -106,3 +106,22 @@ def test_binary_model_parses_from_spec(tmp_path):
     assert p.token() == "<Softmax>"
     assert p.int32() == 6 and p.int32() == 6
     assert p.token() == "</Nnet>"
+
+
+def test_int_vector_exact_upstream_bytes(tmp_path):
+    """WriteIntegerVector wire bytes (base/io-funcs-inl.h): one
+    element-size byte, int32 count, raw int32 payload — NO per-element
+    markers."""
+    import struct
+    from kaldi_lstm_tpu.io.kaldi_io import (KaldiInput, KaldiOutput,
+                                            read_int_vector,
+                                            write_int_vector)
+    import io as _io
+    buf = _io.BytesIO()
+    out = KaldiOutput(buf, binary=True, write_header=False)
+    write_int_vector(out, [3, 1, 4])
+    expect = b"\x04" + struct.pack("<i", 3) + struct.pack("<3i", 3, 1, 4)
+    assert buf.getvalue() == expect
+    buf.seek(0)
+    got = read_int_vector(KaldiInput(buf, binary=True))
+    assert list(got) == [3, 1, 4]

@@ -151,14 +151,19 @@ def _extract_frames(wave: np.ndarray, opts: FrameOptions) -> np.ndarray:
     return wave[idx]
 
 
+# default dither stream: module-level so successive utterances get
+# DIFFERENT noise (upstream's RNG advances across calls); a per-call
+# RandomState(0) would correlate the dither of every utterance
+_DITHER_RNG = np.random.RandomState(0)
+
+
 def _process_frames(frames: np.ndarray, opts: FrameOptions,
                     dither_rng=None):
     """dither -> DC removal -> raw energy -> preemphasis -> window.
     Returns (processed [nf, window], raw log-energy [nf])."""
     x = frames.copy()
     if opts.dither != 0.0:
-        rng = dither_rng if dither_rng is not None \
-            else np.random.RandomState(0)
+        rng = dither_rng if dither_rng is not None else _DITHER_RNG
         x += opts.dither * rng.standard_normal(x.shape)
     if opts.remove_dc_offset:
         x -= x.mean(axis=1, keepdims=True)

@@ -252,11 +252,11 @@ class Rescale(Component):
 
 @register
 class Splice(Component):
-    axis_invariant = False
     """Frame splicing over a context window (upstream nnet-various.h):
     out[t] = concat(in[clamp(t + off)] for off in build_vector). The DNN
     feature-transform counterpart of the LSTM's TimeShift."""
 
+    axis_invariant = False
     token = "<Splice>"
 
     def __init__(self, input_dim, output_dim, offsets=None):
@@ -560,7 +560,11 @@ class _LstmBase(Component):
                                     need_input_grad=input_grad)
         gate_mult = None if dropout_mask is None else \
             dropout_mask.astype(x.dtype) / keep
+        # honor the global matmul dtype in the scan fallback too (the
+        # input projection; the scan's recurrent dot stays f32 — the
+        # Pallas kernels cast it, see lstm_pallas)
         return lstm_scan(params, x, state, self.cell_clip,
+                         compute_dtype=get_matmul_dtype(),
                          gate_dropout_mask=gate_mult,
                          time_major=time_major)
 

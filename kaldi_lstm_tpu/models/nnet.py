@@ -266,6 +266,7 @@ class Nnet:
                 lp = comp.LstmProjected(c.input_dim, c.output_dim,
                                         cell_dim=c.cell_dim,
                                         param_scale=c.param_scale)
+                lp.dropout_rate = c.dropout_rate
                 out.append(lp)
             else:
                 out.append(c)
@@ -285,6 +286,7 @@ class Nnet:
                 ls = comp.LstmProjectedStreams(
                     c.input_dim, c.output_dim, cell_dim=c.cell_dim,
                     param_scale=c.param_scale)
+                ls.dropout_rate = c.dropout_rate
                 out.append(ls)
             else:
                 out.append(c)

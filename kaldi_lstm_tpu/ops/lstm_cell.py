@@ -163,8 +163,10 @@ def lstm_scan(params: LstmParams, x: jax.Array, state: LstmState,
         reset rows to zero *before* calling for streams starting a new
         utterance (the reference's Nnet::Reset ordering,
         bd-nnet-train-lstm-streams.cc:209).
-      compute_dtype: optional dtype for the matmul inputs (e.g. bfloat16);
-        the carry and outputs stay float32.
+      compute_dtype: optional dtype for the INPUT-PROJECTION matmul
+        inputs (e.g. bfloat16); the per-step recurrent dot, the carry
+        and the outputs stay float32 in this scan implementation (the
+        Pallas kernels additionally cast the recurrent weights).
       gate_dropout_mask: optional [S, T, 4C] ([T, S, 4C] if time_major)
         multiplier applied to the input-projection pre-activations before
         the bias — forward-connection dropout per Zaremba et al. 2014,

@@ -739,6 +739,11 @@ def _lstm_pallas_bwd(cell_clip, interpret, time_major, inv_keep,
         wxp = wxp.astype(mm_dt)
 
     st_bwd = min(d.st, 128)
+    while d.sp % st_bwd:
+        # st_bwd must DIVIDE sp or the backward grid under-covers the
+        # streams (silent gradient loss with KLT_LSTM_STREAM_TILE > 128);
+        # sp is a multiple of 8, so this terminates at worst at 8
+        st_bwd -= 8
     gifo_bytes = jnp.dtype(gifo.dtype).itemsize
     tb_bwd = _fit_time_block(
         T, d.tb, lambda t: _bwd_vmem_bytes(t, st_bwd, d.cp, d.rp, ip,
@@ -805,7 +810,11 @@ def lstm_scan_pallas(params: LstmParams, x, state: LstmState,
     and bias paths see the undropped gradient, matching lstm_scan's
     autodiff)."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        # _on_tpu handles bridged platforms whose backend name may not
+        # be 'tpu' (same detector as the component dispatch and the
+        # fused-xent kernel)
+        from kaldi_lstm_tpu.models.components import _on_tpu
+        interpret = not _on_tpu()
     inv_keep = 1.0 if keep_prob >= 1.0 else 1.0 / keep_prob
     return _lstm_pallas(params, x, state, gate_keep_mask, cell_clip,
                         interpret, time_major, inv_keep,

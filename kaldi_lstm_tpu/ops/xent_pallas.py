@@ -327,7 +327,11 @@ def _fused_bwd(interpret, residuals, cotangents):
     K = w.shape[0]
     r_p, w_p, b_p, ids_p, tw_p, mask_p, npad, rp, kp = _pad_inputs(
         r, w, b, ids, tw, mask)
-    lse_p = jnp.zeros((npad, 128), jnp.float32).at[:n, 0].set(lse)
+    # padded frame rows get a LARGE lse so the kernel's exp(z - lse)
+    # underflows to 0 there — with lse 0 and z = bias a padded row would
+    # compute exp(bias), which overflows to inf for bias >= ~88.7 and
+    # then inf * (scale = 0) = NaN poisons the dW/db accumulators
+    lse_p = jnp.full((npad, 128), 1e30, jnp.float32).at[:n, 0].set(lse)
     scale = jnp.zeros((npad, 128), jnp.float32)
     scale = scale.at[:n, 0].set(g_loss * mask.astype(jnp.float32))
     scale = scale.at[:n, 1].set(jnp.sum(tw, axis=-1))

@@ -243,3 +243,49 @@ def test_shift_buffer_constant_memory():
     np.testing.assert_array_equal(y, x[idx])
     # no history kept beyond the last frame
     assert not hasattr(sb, "_buf")
+
+
+def test_conversions_preserve_dropout_rate():
+    from kaldi_lstm_tpu.models.components import (LstmProjected,
+                                                  LstmProjectedStreams)
+    proto = """<NnetProto>
+<LstmProjectedStreams> <InputDim> 4 <OutputDim> 6 <CellDim> 8 <ParamScale> 0.1 <NumStream> 4 <DropoutRate> 0.3
+<AffineTransform> <InputDim> 6 <OutputDim> 5 <ParamStddev> 0.1
+<Softmax> <InputDim> 5 <OutputDim> 5
+</NnetProto>
+"""
+    nnet, _ = Nnet.init_from_proto(proto, jax.random.PRNGKey(0))
+    std = nnet.to_standard()
+    assert isinstance(std.components[0], LstmProjected)
+    assert std.components[0].dropout_rate == pytest.approx(0.3)
+    back = std.to_streams()
+    assert isinstance(back.components[0], LstmProjectedStreams)
+    assert back.components[0].dropout_rate == pytest.approx(0.3)
+
+
+def test_scan_fallback_honors_matmul_dtype():
+    """set_matmul_dtype(bf16) must affect the lax.scan path too (the
+    KLT_LSTM_IMPL A/B switch compares like against like)."""
+    import jax.numpy as jnp2
+    from kaldi_lstm_tpu.models.components import (LstmProjectedStreams,
+                                                  set_matmul_dtype)
+    c = LstmProjectedStreams(6, 4, cell_dim=8)
+    params = c.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 6), np.float32)
+    y32, _ = c.apply(params, x, c.init_state(2))
+    set_matmul_dtype(jnp2.bfloat16)
+    try:
+        y16, _ = c.apply(params, x, c.init_state(2))
+    finally:
+        set_matmul_dtype(None)
+    d = float(np.max(np.abs(np.asarray(y32) - np.asarray(y16))))
+    assert 0 < d < 0.05  # changed numerics (bf16 engaged), still close
+
+
+def test_fbank_dither_differs_across_utterances():
+    from kaldi_lstm_tpu.feats.fbank import FbankOptions, compute_fbank
+    wav = (np.random.RandomState(3).randn(4000) * 500).astype(np.float32)
+    opts = FbankOptions()
+    f1 = compute_fbank(wav, opts)
+    f2 = compute_fbank(wav, opts)
+    assert not np.allclose(f1, f2)  # dither stream advances

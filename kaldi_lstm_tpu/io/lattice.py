@@ -28,6 +28,7 @@ final lines — absence of a final entry means non-final).
 
 from __future__ import annotations
 
+import io
 import math
 import struct
 import sys
@@ -493,39 +494,91 @@ class SequentialLatticeReader:
                 key = _read_key(self.stream)
                 if key is None:
                     break
-                # peek, don't read: a text record's first line may be
-                # shorter than 2 bytes ('0\n'), and consuming it here
-                # would swallow the record separator (framing bug).
-                # BufferedReader.peek can return ONE byte at a buffer
-                # boundary — re-peek after a readahead-forcing peek of
-                # the next byte (kaldi_io._probe_binary_header rationale)
-                head = self.stream.peek(2)[:2]
-                if len(head) == 1 and head == b"\0":
-                    self.stream.read(1)
-                    rest = self.stream.peek(1)[:1]
-                    if rest == b"B":
-                        self.stream.read(1)
-                        yield key, read_lattice_binary(self.stream)
-                        continue
-                    raise ValueError(
-                        f"lattice record for {key}: stray NUL byte")
-                if head == b"\0B":
-                    self.stream.read(2)
-                    yield key, read_lattice_binary(self.stream)
-                else:
-                    lines = []
-                    while True:
-                        ln = self.stream.readline()
-                        line = ln.decode()
-                        if not line.strip():
-                            break
-                        lines.append(line)
-                        if not ln:
-                            break
-                    yield key, lattice_from_text(lines)
+                yield key, _read_lattice_value(self.stream, key)
         finally:
             if self._close:
                 self.stream.close()
+
+
+def _read_lattice_value(stream, key: str):
+    """Parse ONE lattice record body (binary \\0B or text) at the stream
+    position just past the key — the framing shared by the sequential
+    and random-access readers."""
+    # peek, don't read: a text record's first line may be shorter than
+    # 2 bytes ('0\n'), and consuming it here would swallow the record
+    # separator (framing bug). BufferedReader.peek can return ONE byte
+    # at a buffer boundary — re-peek after a readahead-forcing read
+    # (kaldi_io._probe_binary_header rationale)
+    head = stream.peek(2)[:2]
+    if len(head) == 1 and head == b"\0":
+        stream.read(1)
+        rest = stream.peek(1)[:1]
+        if rest == b"B":
+            stream.read(1)
+            return read_lattice_binary(stream)
+        raise ValueError(f"lattice record for {key}: stray NUL byte")
+    if head == b"\0B":
+        stream.read(2)
+        return read_lattice_binary(stream)
+    lines = []
+    while True:
+        ln = stream.readline()
+        line = ln.decode()
+        if not line.strip():
+            break
+        lines.append(line)
+        if not ln:
+            break
+    return lattice_from_text(lines)
+
+
+class RandomAccessLatticeReader:
+    """Lazy random access over a plain-file `ark:` lattice table: one
+    framing scan records each record's byte offset (lattices are parsed
+    and DISCARDED during indexing), and `value(key)` seeks and re-parses
+    on demand — O(1) resident memory where loading the whole denominator
+    ark of a sequence-training corpus would be many GB. Pipes/stdin fall
+    back to a full in-memory load (they cannot seek)."""
+
+    def __init__(self, rspecifier: str):
+        kind, _, rest = rspecifier.partition(":")
+        plain = (kind.split(",")[0] == "ark" and rest not in ("-", "")
+                 and not rest.endswith("|"))
+        if not plain:
+            self._table = dict(SequentialLatticeReader(rspecifier))
+            self._path = None
+            self._index = None
+            return
+        self._table = None
+        self._path = rest
+        self._index: dict = {}
+        with open(rest, "rb") as f:
+            stream = io.BufferedReader(f)
+            while True:
+                off = stream.tell()
+                key = _read_key(stream)
+                if key is None:
+                    break
+                self._index[key] = off
+                _read_lattice_value(stream, key)  # framing only
+
+    def __contains__(self, key: str) -> bool:
+        return key in (self._table if self._index is None else self._index)
+
+    def has_key(self, key: str) -> bool:
+        return key in self
+
+    def __getitem__(self, key: str):
+        return self.value(key)
+
+    def value(self, key: str):
+        if self._index is None:
+            return self._table[key]
+        with open(self._path, "rb") as f:
+            stream = io.BufferedReader(f)
+            stream.seek(self._index[key])
+            k = _read_key(stream)
+            return _read_lattice_value(stream, k)
 
 
 # ---------------------------------------------------------------------------

@@ -15,11 +15,37 @@ import sys
 import numpy as np
 
 from kaldi_lstm_tpu.io.kaldi_io import (
+    KaldiInput,
     KaldiOutput,
-    RandomAccessPosteriorReader,
+    SequentialPosteriorReader,
+    read_posterior,
     write_vector,
 )
 from kaldi_lstm_tpu.utils import LOG
+
+
+def _iter_posteriors(rspecifier: str):
+    """Full-fidelity sequential iteration over ark:/scp: posterior
+    tables (no top-K truncation — priors must sum every entry)."""
+    kind = rspecifier.split(",")[0].split(":")[0]
+    if kind == "ark":
+        yield from SequentialPosteriorReader(rspecifier)
+        return
+    _, _, scp = rspecifier.partition(":")
+    with open(scp, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            key, rxf = line.split(None, 1)
+            path, _, off = rxf.rpartition(":")
+            with open(path if off.isdigit() else rxf, "rb") as g:
+                if off.isdigit():
+                    g.seek(int(off))
+                import io as _io
+                yield key, read_posterior(
+                    KaldiInput(_io.BufferedReader(
+                        _io.FileIO(g.fileno(), closefd=False))))
 
 
 def main(argv=None) -> int:
@@ -34,14 +60,11 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     counts = np.zeros(args.num_classes, np.float64)
-    reader = RandomAccessPosteriorReader(args.post_rspecifier,
-                                         max_entries=8)
     n_utt = 0
-    keys = (list(reader._dense) or list(reader._table) or
-            list(reader._scp))
-    for key in keys:
-        ids, w = reader.value_dense(key, 8)
-        np.add.at(counts, ids.reshape(-1), w.reshape(-1))
+    for key, post in _iter_posteriors(args.post_rspecifier):
+        for frame in post:
+            for pdf, w in frame:
+                counts[pdf] += w
         n_utt += 1
 
     counts += args.counts_offset

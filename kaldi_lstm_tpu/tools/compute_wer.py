@@ -10,16 +10,7 @@ import argparse
 import sys
 
 from kaldi_lstm_tpu.decode.wer import EditStats, edit_distance, wer_report
-
-
-def read_text_table(path: str) -> dict[str, list[str]]:
-    out: dict[str, list[str]] = {}
-    with open(path) as f:
-        for line in f:
-            parts = line.split()
-            if parts:
-                out[parts[0]] = parts[1:]
-    return out
+from kaldi_lstm_tpu.io.lang import read_text_table
 
 
 def main(argv=None) -> int:
@@ -50,8 +41,15 @@ def main(argv=None) -> int:
         print(f"compute_wer: {missing} utterances missing from "
               f"hypothesis ({args.mode} mode)", file=sys.stderr)
     print(wer_report(total))
-    print(f"%SER {100.0 * sum(1 for k in ref if hyp.get(k) != ref[k]) / max(len(ref), 1):.2f} "
-          f"[ {sum(1 for k in ref if hyp.get(k) != ref[k])} / {len(ref)} ]")
+    # %SER over the same utterance set the WER used: strict counts
+    # missing hypotheses as errors, present scores only scored utts
+    if args.mode == "strict":
+        scored = list(ref)
+    else:
+        scored = [k for k in ref if k in hyp]
+    err = sum(1 for k in scored if hyp.get(k) != ref[k])
+    print(f"%SER {100.0 * err / max(len(scored), 1):.2f} "
+          f"[ {err} / {len(scored)} ]")
     return 0
 
 

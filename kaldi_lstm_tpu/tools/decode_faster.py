@@ -21,13 +21,11 @@ from kaldi_lstm_tpu.decode.faster import decode_faster
 from kaldi_lstm_tpu.decode.graph import build_decoding_graph
 from kaldi_lstm_tpu.io.arpa import ArpaBigram, uniform_unigram
 from kaldi_lstm_tpu.io.kaldi_io import SequentialMatrixReader, TableWriter
-from kaldi_lstm_tpu.io.lang import SymbolTable, read_lexicon
+from kaldi_lstm_tpu.io.lang import write_text_line, SymbolTable, read_lexicon
 from kaldi_lstm_tpu.io.transition_model import TransitionModel
 from kaldi_lstm_tpu.utils import LOG
 
 
-def _write_text_line(out, words) -> None:
-    out.stream.write((" ".join(str(w) for w in words) + "\n").encode())
 
 
 def main(argv=None) -> int:
@@ -65,7 +63,7 @@ def main(argv=None) -> int:
 
     n, total_frames, total_logp, no_final = 0, 0, 0.0, 0
     id2sym = graph.words.id2sym
-    with TableWriter(args.trans_wspecifier, _write_text_line,
+    with TableWriter(args.trans_wspecifier, write_text_line,
                      binary=False) as w:
         for key, mat in SequentialMatrixReader(args.loglik_rspecifier):
             if mat.shape[1] < tm.num_pdfs:

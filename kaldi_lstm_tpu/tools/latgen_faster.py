@@ -24,14 +24,12 @@ from kaldi_lstm_tpu.decode.graph import build_decoding_graph
 from kaldi_lstm_tpu.decode.lattice_faster import decode_lattice_faster
 from kaldi_lstm_tpu.io.arpa import ArpaBigram, uniform_unigram
 from kaldi_lstm_tpu.io.kaldi_io import SequentialMatrixReader, TableWriter
-from kaldi_lstm_tpu.io.lang import SymbolTable, read_lexicon
+from kaldi_lstm_tpu.io.lang import write_text_line, SymbolTable, read_lexicon
 from kaldi_lstm_tpu.io.lattice import LatticeWriter, lattice_best_path
 from kaldi_lstm_tpu.io.transition_model import TransitionModel
 from kaldi_lstm_tpu.utils import LOG
 
 
-def _write_text_line(out, words) -> None:
-    out.stream.write((" ".join(str(w) for w in words) + "\n").encode())
 
 
 def main(argv=None) -> int:
@@ -82,7 +80,7 @@ def main(argv=None) -> int:
 
     tw = None
     if args.transcript_wspecifier:
-        tw = TableWriter(args.transcript_wspecifier, _write_text_line,
+        tw = TableWriter(args.transcript_wspecifier, write_text_line,
                          binary=False)
     n, total_frames, total_cost, no_final = 0, 0, 0.0, 0
     id2sym = graph.words.id2sym

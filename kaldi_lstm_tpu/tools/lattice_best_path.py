@@ -13,7 +13,7 @@ import argparse
 import sys
 
 from kaldi_lstm_tpu.io.kaldi_io import TableWriter
-from kaldi_lstm_tpu.io.lang import SymbolTable
+from kaldi_lstm_tpu.io.lang import write_text_line, SymbolTable
 from kaldi_lstm_tpu.io.lattice import (
     SequentialLatticeReader,
     lattice_best_path,
@@ -23,8 +23,6 @@ from kaldi_lstm_tpu.io.lattice import (
 from kaldi_lstm_tpu.utils import LOG
 
 
-def _write_text_line(out, items) -> None:
-    out.stream.write((" ".join(str(w) for w in items) + "\n").encode())
 
 
 def main(argv=None) -> int:
@@ -46,10 +44,10 @@ def main(argv=None) -> int:
             if args.word_symbol_table else None)
     aw = None
     if args.alignment_wspecifier:
-        aw = TableWriter(args.alignment_wspecifier, _write_text_line,
+        aw = TableWriter(args.alignment_wspecifier, write_text_line,
                          binary=False)
     n, failed, total_cost = 0, 0, 0.0
-    with TableWriter(args.transcript_wspecifier, _write_text_line,
+    with TableWriter(args.transcript_wspecifier, write_text_line,
                      binary=False) as tw:
         try:
             for key, lat in SequentialLatticeReader(

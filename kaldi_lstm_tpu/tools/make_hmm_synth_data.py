@@ -25,11 +25,10 @@ from kaldi_lstm_tpu.io.kaldi_io import MatrixWriter, TableWriter, \
     write_int_vector
 from kaldi_lstm_tpu.io.transition_model import \
     make_monophone_transition_model
+from kaldi_lstm_tpu.io.lang import write_text_line
 from kaldi_lstm_tpu.utils import LOG
 
 
-def _write_text_line(out, words) -> None:
-    out.stream.write((" ".join(str(w) for w in words) + "\n").encode())
 
 
 def main(argv=None) -> int:
@@ -65,7 +64,7 @@ def main(argv=None) -> int:
     frames = 0
     with MatrixWriter(f"ark,scp:{d}/feats.ark,{d}/feats.scp") as fw, \
             TableWriter(f"ark:{d}/ali.ark", write_int_vector) as aw, \
-            TableWriter(f"ark,t:{d}/text", _write_text_line,
+            TableWriter(f"ark,t:{d}/text", write_text_line,
                         binary=False) as tw:
         for i in range(args.num_utts):
             nph = rng.randint(args.min_phones, args.max_phones + 1)

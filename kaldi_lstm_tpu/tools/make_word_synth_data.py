@@ -24,7 +24,7 @@ import numpy as np
 from kaldi_lstm_tpu.io.arpa import ArpaBigram
 from kaldi_lstm_tpu.io.kaldi_io import MatrixWriter, TableWriter, \
     write_int_vector
-from kaldi_lstm_tpu.io.lang import SymbolTable, write_lexicon
+from kaldi_lstm_tpu.io.lang import write_text_line, SymbolTable, write_lexicon
 from kaldi_lstm_tpu.io.transition_model import \
     make_monophone_transition_model
 from kaldi_lstm_tpu.utils import LOG
@@ -32,8 +32,6 @@ from kaldi_lstm_tpu.utils import LOG
 BOS, EOS, SIL = "<s>", "</s>", "<sil>"
 
 
-def _write_text_line(out, words) -> None:
-    out.stream.write((" ".join(str(w) for w in words) + "\n").encode())
 
 
 def make_language(rng, num_words: int, num_phones: int,
@@ -145,7 +143,7 @@ def main(argv=None) -> int:
     frames = 0
     with MatrixWriter(f"ark,scp:{d}/feats.ark,{d}/feats.scp") as fw, \
             TableWriter(f"ark:{d}/ali.ark", write_int_vector) as aw, \
-            TableWriter(f"ark,t:{d}/text", _write_text_line,
+            TableWriter(f"ark,t:{d}/text", write_text_line,
                         binary=False) as tw:
         for i in range(args.num_utts):
             sent = sample_sentence(rng, lm, vocab, args.max_words)

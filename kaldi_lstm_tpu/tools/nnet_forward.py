@@ -67,6 +67,12 @@ def main(argv=None) -> int:
 
     apply_log = str(args.apply_log).lower() in ("true", "1", "yes")
     no_softmax = str(args.no_softmax).lower() in ("true", "1", "yes")
+    if apply_log and no_softmax:
+        # upstream nnet-forward KALDI_ERRs here: log of unnormalized
+        # logits is not a log-posterior
+        print("nnet-forward: --apply-log=true and --no-softmax=true "
+              "cannot be used together", file=sys.stderr)
+        return 1
 
     nnet, params = Nnet.read(args.model_in)
     # decode is pure forward: the fused Pallas inference kernel wins ~1.5x
@@ -130,7 +136,8 @@ def main(argv=None) -> int:
         x = np.zeros((B, T, D), np.float32)
         for i, (_, f) in enumerate(group):
             x[i, :f.shape[0]] = f
-            x[i, f.shape[0]:] = f[-1]  # repeat last frame into padding
+            if f.shape[0]:
+                x[i, f.shape[0]:] = f[-1]  # repeat last frame into padding
         out = np.asarray(forward(params, transf_params, jnp.asarray(x)))
         for i, (key, f) in enumerate(group):
             y = postprocess(out[i, :f.shape[0]])

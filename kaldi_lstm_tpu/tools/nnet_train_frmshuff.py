@@ -122,7 +122,8 @@ def main(argv=None) -> int:
             T = -(-L // bucket) * bucket
             f = np.zeros((1, T, feats.shape[1]), np.float32)
             f[0, :L] = feats
-            f[0, L:] = feats[-1]
+            if L:
+                f[0, L:] = feats[-1]
             import jax.numpy as jnp
             return np.asarray(apply_transf(transf_params,
                                            jnp.asarray(f))[0, :L])

@@ -160,6 +160,10 @@ def main(argv=None) -> int:
         T = -(-L // bucket) * bucket
         f = np.zeros((1, T, feats.shape[1]), np.float32)
         f[0, :L] = feats
+        if L == 0:
+            WARN(f"{key}, zero-length utterance, skip")
+            num_err += 1
+            continue
         f[0, L:] = feats[-1]
         st = np.zeros((1, T), np.int32)
         st[0, :L] = spath

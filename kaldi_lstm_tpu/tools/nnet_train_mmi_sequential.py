@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from kaldi_lstm_tpu.io.kaldi_io import SequentialMatrixReader
-from kaldi_lstm_tpu.io.lattice import SequentialLatticeReader
+from kaldi_lstm_tpu.io.lattice import RandomAccessLatticeReader
 from kaldi_lstm_tpu.io.transition_model import TransitionModel
 from kaldi_lstm_tpu.models import Nnet
 from kaldi_lstm_tpu.train.optim import init_momentum, momentum_update
@@ -100,7 +100,10 @@ class SequentialRunner:
         self.opt_state = init_momentum(self.params)
         self.lr = jnp.float32(args.learn_rate)
         self.alis = _read_alignments(args.ali_rspecifier)
-        self.lats = dict(SequentialLatticeReader(args.den_lat_rspecifier))
+        # offset-indexed lazy reads: the denominator ark of a real
+        # corpus is many GB; only the current utterance's lattice
+        # is resident (io/lattice.py RandomAccessLatticeReader)
+        self.lats = RandomAccessLatticeReader(args.den_lat_rspecifier)
         self.bucket = max(args.length_bucket, 1)
 
         nnet, transf, transf_params = \
@@ -142,7 +145,8 @@ class SequentialRunner:
         T = -(-L // self.bucket) * self.bucket
         f = np.zeros((1, T, feats.shape[1]), np.float32)
         f[0, :L] = feats
-        f[0, L:] = feats[-1]
+        if L:
+            f[0, L:] = feats[-1]
         return jnp.asarray(f)
 
     def loglik(self, padded, L: int) -> np.ndarray:
@@ -170,9 +174,9 @@ class SequentialRunner:
                 self.num_no_lat += 1
                 continue
             tids = self.alis[key]
-            if feats.shape[0] != len(tids):
-                WARN(f"{key}, length miss-match between feats and "
-                     f"alignment")
+            if feats.shape[0] != len(tids) or feats.shape[0] == 0:
+                WARN(f"{key}, zero-length or length miss-match between "
+                     f"feats and alignment")
                 self.num_other_error += 1
                 continue
             if feats.shape[0] > self.args.max_frames:

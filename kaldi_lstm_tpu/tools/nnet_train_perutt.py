@@ -52,6 +52,9 @@ def main(argv=None) -> int:
     p.add_argument("--feature-transform", default="")
     p.add_argument("--learn-rate", type=float, default=8e-5)
     p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--max-post-entries", type=int, default=1,
+                   help="Sparse-target width Kmax per frame (raise for "
+                        "soft posteriors)")
     p.add_argument("--l1-penalty", type=float, default=0.0,
                    help="L1 penalty (lassoo) scaled by num-frames")
     p.add_argument("--l2-penalty", type=float, default=0.0,
@@ -86,7 +89,8 @@ def main(argv=None) -> int:
     opt_state = init_momentum(params)
     lr = jnp.float32(args.learn_rate)
 
-    targets = RandomAccessPosteriorReader(args.targets_rspecifier)
+    targets = RandomAccessPosteriorReader(args.targets_rspecifier,
+                                          max_entries=args.max_post_entries)
     stats = LossStats("Xent")
     timer = Timer()
     num_done = num_no_tgt = num_err = 0
@@ -98,19 +102,24 @@ def main(argv=None) -> int:
             WARN(f"{key}, missing targets")
             num_no_tgt += 1
             continue
-        ids, w = targets.value_dense(key, 1)
+        K = args.max_post_entries
+        ids, w = targets.value_dense(key, K)
         L = feats.shape[0]
         if L != ids.shape[0]:
             WARN(f"{key}, length miss-match between feats and targets")
+            num_err += 1
+            continue
+        if L == 0:
+            WARN(f"{key}, zero-length utterance, skip")
             num_err += 1
             continue
         T = -(-L // bucket) * bucket
         f = np.zeros((1, T, feats.shape[1]), np.float32)
         f[0, :L] = feats
         f[0, L:] = feats[-1]
-        bi = np.zeros((1, T, 1), np.int32)
+        bi = np.zeros((1, T, K), np.int32)
         bi[0, :L] = ids
-        bw = np.zeros((1, T, 1), np.float32)
+        bw = np.zeros((1, T, K), np.float32)
         bw[0, :L] = w
         mask = np.zeros((1, T), np.float32)
         mask[0, :L] = 1.0

@@ -36,12 +36,6 @@ from kaldi_lstm_tpu.tools.nnet_train_mmi import _bool, _read_alignments
 from kaldi_lstm_tpu.utils import LOG, WARN, Timer, set_verbose_level
 
 
-def tids_to_phones(tm: TransitionModel, tids: np.ndarray) -> np.ndarray:
-    tstates = np.asarray(tm.id2tstate)[np.asarray(tids, np.int64)]
-    phones = np.asarray([t[0] for t in tm.tuples], np.int32)
-    return phones[tstates - 1]
-
-
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         description="One iteration of lattice-free sMBR/MPE sequence "
@@ -150,10 +144,14 @@ def main(argv=None) -> int:
             num_err += 1
             continue
         refs = (tm.transition_ids_to_pdfs(tids) if criterion == "smbr"
-                else tids_to_phones(tm, tids))
+                else tm.transition_ids_to_phones(tids))
         T = -(-L // bucket) * bucket
         f = np.zeros((1, T, feats.shape[1]), np.float32)
         f[0, :L] = feats
+        if L == 0:
+            WARN(f"{key}, zero-length utterance, skip")
+            num_err += 1
+            continue
         f[0, L:] = feats[-1]
         r = np.zeros((1, T), np.int32)
         r[0, :L] = refs

@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="---LSTM--- BPTT batch size (Tbptt)")
     p.add_argument("--num-stream", type=int, default=4,
                    help="---LSTM--- BPTT multi-stream training")
+    p.add_argument("--max-post-entries", type=int, default=1,
+                   help="Sparse-target width Kmax per frame (1 covers "
+                        "ali-to-post 1-best targets; raise for soft "
+                        "posteriors from lattice-to-post / sum-post)")
     p.add_argument("--dump-interval", type=int, default=50000,
                    help="---LSTM--- num utts between model dumping")
     p.add_argument("--step-group", type=int, default=1,
@@ -138,7 +142,8 @@ def main(argv=None, _stats_out=None) -> int:
     LOG(("CROSS-VALIDATION" if crossvalidate else "TRAINING") + " STARTED")
 
     feats = SequentialMatrixReader(args.feature_rspecifier)
-    targets = RandomAccessPosteriorReader(args.targets_rspecifier)
+    targets = RandomAccessPosteriorReader(args.targets_rspecifier,
+                                          max_entries=args.max_post_entries)
     frame_weights = None
     if args.frame_weights:
         from kaldi_lstm_tpu.io.kaldi_io import read_float_vectors
@@ -147,6 +152,7 @@ def main(argv=None, _stats_out=None) -> int:
         iter(feats), targets, feat_dim=nnet.input_dim,
         num_stream=args.num_stream, batch_size=args.batch_size,
         targets_delay=args.targets_delay, warn=WARN,
+        max_entries=args.max_post_entries,
         frame_weights=frame_weights)
 
     def dump(p, num_done):

@@ -96,6 +96,7 @@ long klt_scan_matrix_ark(const char* buf, long n, long max_records,
     if (!c.expect_token("FM")) return -1;
     int32_t r, cl;
     if (!c.read_i32(&r) || !c.read_i32(&cl)) return -1;
+    if (r < 0 || cl < 0) return -1;  // corrupt dims: cursor must not rewind
     long bytes = (long)r * cl * 4;
     if (!c.need(bytes)) return -1;
     key_off[i] = key - buf;
@@ -130,6 +131,7 @@ long klt_scan_posterior_ark(const char* buf, long n, int K,
     if (!c.expect_binary_header()) return -1;
     int32_t T;
     if (!c.read_i32(&T)) return -1;
+    if (T < 0) return -1;  // corrupt frame count
     if (frames + T > max_frames) return -2;
     key_off[rec] = key - buf;
     key_len[rec] = (int)klen;
@@ -138,6 +140,7 @@ long klt_scan_posterior_ark(const char* buf, long n, int K,
     for (int32_t t = 0; t < T; t++) {
       int32_t cnt;
       if (!c.read_i32(&cnt)) return -1;
+      if (cnt < 0) return -1;  // negative count would underflow padding
       for (int32_t k = 0; k < cnt; k++) {
         int32_t id;
         float w;

@@ -289,3 +289,43 @@ def test_fbank_dither_differs_across_utterances():
     f1 = compute_fbank(wav, opts)
     f2 = compute_fbank(wav, opts)
     assert not np.allclose(f1, f2)  # dither stream advances
+
+
+def test_random_access_lattice_reader(tmp_path):
+    from kaldi_lstm_tpu.io.lattice import (CompactLattice,
+                                           CompactLatticeArc,
+                                           LatticeWriter,
+                                           RandomAccessLatticeReader,
+                                           SequentialLatticeReader)
+
+    def make(n):
+        c = CompactLattice()
+        c.add_state()
+        c.add_state()
+        c.arcs[0].append(CompactLatticeArc(n, 0.5, 1.0, (n, n + 1), 1))
+        c.final[1] = (0.0, 0.0, ())
+        return c
+
+    with LatticeWriter(f"ark:{tmp_path}/l.ark") as w:
+        for i in range(5):
+            w.write(f"u{i}", make(i + 1))
+    r = RandomAccessLatticeReader(f"ark:{tmp_path}/l.ark")
+    assert r.has_key("u3") and not r.has_key("zz")
+    ref = dict(SequentialLatticeReader(f"ark:{tmp_path}/l.ark"))
+    for k in ("u4", "u0", "u2"):  # out of order
+        assert r[k].arcs[0][0].label == ref[k].arcs[0][0].label
+        assert r[k].arcs[0][0].tids == ref[k].arcs[0][0].tids
+
+
+def test_compute_wer_present_mode_ser(tmp_path):
+    from kaldi_lstm_tpu.tools.compute_wer import main as wer_main
+    (tmp_path / "ref").write_text("a x y\nb x\nc z\n")
+    (tmp_path / "hyp").write_text("a x y\nb q\n")  # c missing
+    import contextlib, io as _io
+    out = _io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert wer_main([str(tmp_path / "ref"), str(tmp_path / "hyp"),
+                         "--mode", "present"]) == 0
+    text = out.getvalue()
+    # present mode: 2 scored utts, 1 sentence error (b) — c excluded
+    assert "[ 1 / 2 ]" in text, text

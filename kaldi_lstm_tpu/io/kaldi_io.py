@@ -421,7 +421,10 @@ def read_int_vector(inp: KaldiInput) -> np.ndarray:
         if sz != b"\x04":
             raise ValueError(f"read_int_vector: bad element-size byte "
                              f"{sz!r}")
-        (n,) = struct.unpack("<i", inp.read(4))
+        hdr = inp.read(4)
+        if len(hdr) != 4:
+            raise EOFError("read_int_vector: truncated size")
+        (n,) = struct.unpack("<i", hdr)
         if n < 0:
             raise ValueError(f"read_int_vector: negative size {n}")
         data = inp.read(4 * n)

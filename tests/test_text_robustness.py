@@ -138,3 +138,51 @@ def test_truncated_and_garbage_models_raise():
     for text in cases:
         with pytest.raises(Exception):
             parse(text)
+
+
+def test_truncated_int_vector_raises_cleanly(tmp_path):
+    """Binary alignment records cut mid-payload raise, never return
+    short garbage."""
+    import io as _io
+    import struct
+    import pytest
+    from kaldi_lstm_tpu.io.kaldi_io import (KaldiInput, KaldiOutput,
+                                            read_int_vector,
+                                            write_int_vector)
+    buf = _io.BytesIO()
+    write_int_vector(KaldiOutput(buf, binary=True, write_header=False),
+                     list(range(100)))
+    raw = buf.getvalue()
+    for cut in (3, 20, len(raw) - 1):
+        with pytest.raises((EOFError, ValueError)):
+            read_int_vector(KaldiInput(_io.BytesIO(raw[:cut]),
+                                       binary=True))
+
+
+def test_malformed_posterior_ark_clean_error(tmp_path):
+    """A corrupt binary posterior ark (negative counts) must raise a
+    clean Python error through both the native and fallback parsers,
+    never crash or loop."""
+    import struct
+    import pytest
+    from kaldi_lstm_tpu.io.kaldi_io import RandomAccessPosteriorReader
+    # key + \0B + T=2 then a NEGATIVE per-frame count
+    rec = (b"u0 \0B" + b"\x04" + struct.pack("<i", 2)
+           + b"\x04" + struct.pack("<i", -5))
+    p = tmp_path / "bad.ark"
+    p.write_bytes(rec)
+    with pytest.raises((ValueError, EOFError, struct.error)):
+        r = RandomAccessPosteriorReader(f"ark:{p}")
+        if r.has_key("u0"):
+            r.value("u0")
+
+
+def test_truncated_wav_ark_record(tmp_path):
+    import pytest
+    from kaldi_lstm_tpu.io.wav import (SequentialWaveReader, WaveWriter,
+                                       wav_bytes)
+    import numpy as np
+    full = wav_bytes(8000.0, np.zeros(1000, np.float32))
+    (tmp_path / "w.ark").write_bytes(b"u0 " + full[:len(full) // 2])
+    with pytest.raises(EOFError):
+        list(SequentialWaveReader(f"ark:{tmp_path}/w.ark"))

@@ -117,3 +117,30 @@ def test_nnet_copy_to_streams_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # exclusive flags
     assert copy_main([g0, std, "--to-standard", "--to-streams"]) == 1
+
+
+def test_copy_int_vector_roundtrip(tmp_path):
+    import numpy as np
+    from kaldi_lstm_tpu.io.kaldi_io import (TableWriter, write_int_vector,
+                                            _open_rspecifier, _read_key,
+                                            _read_value_header,
+                                            read_int_vector)
+    from kaldi_lstm_tpu.tools.copy_int_vector import main as civ
+    import io as _io
+    table = {"a": [1, 2, 3], "b": [9], "c": []}
+    with TableWriter(f"ark:{tmp_path}/i.ark", write_int_vector) as w:
+        for k, v in table.items():
+            w.write(k, v)
+    # binary -> text -> binary
+    assert civ([f"ark:{tmp_path}/i.ark", f"ark,t:{tmp_path}/t.ark"]) == 0
+    assert "a 1 2 3" in (tmp_path / "t.ark").read_text()
+    assert civ([f"ark:{tmp_path}/t.ark", f"ark:{tmp_path}/b.ark"]) == 0
+    _, s = _open_rspecifier(f"ark:{tmp_path}/b.ark")
+    b = _io.BufferedReader(s)
+    got = {}
+    while True:
+        k = _read_key(b)
+        if k is None:
+            break
+        got[k] = list(read_int_vector(_read_value_header(b)))
+    assert got == {k: list(v) for k, v in table.items()}

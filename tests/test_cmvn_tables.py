@@ -113,3 +113,32 @@ def test_matches_cmvn_transform_net(tmp_path):
         want = np.asarray(transf.feedforward(
             tp, jnp.asarray(utts[k][None]))[0])
         np.testing.assert_allclose(m, want, atol=2e-4)
+
+
+def test_cmvn_to_nnet_matches_direct_transform(tmp_path):
+    """compute-cmvn-stats | cmvn-to-nnet produces the same transform as
+    compute_cmvn_transform estimated directly from the features."""
+    import numpy as np
+    from kaldi_lstm_tpu.io.kaldi_io import MatrixWriter
+    from kaldi_lstm_tpu.models import Nnet
+    from kaldi_lstm_tpu.tools.cmvn_to_nnet import main as c2n
+    from kaldi_lstm_tpu.tools.compute_cmvn_stats import main as stats_main
+    from kaldi_lstm_tpu.tools.compute_cmvn_transform import (
+        main as transf_main)
+    rng = np.random.RandomState(0)
+    with MatrixWriter(f"ark,scp:{tmp_path}/f.ark,{tmp_path}/f.scp") as w:
+        for i in range(5):
+            w.write(f"u{i}", (rng.randn(30 + i, 6) * (i + 1)
+                              + i).astype(np.float32))
+    assert stats_main([f"scp:{tmp_path}/f.scp",
+                       f"ark:{tmp_path}/cmvn.ark"]) == 0
+    assert c2n([f"ark:{tmp_path}/cmvn.ark",
+                f"{tmp_path}/tr_from_stats.nnet"]) == 0
+    assert transf_main([f"scp:{tmp_path}/f.scp",
+                        f"{tmp_path}/tr_direct.nnet"]) == 0
+    n1, p1 = Nnet.read(f"{tmp_path}/tr_from_stats.nnet")
+    n2, p2 = Nnet.read(f"{tmp_path}/tr_direct.nnet")
+    np.testing.assert_allclose(np.asarray(p1[0]["shift"]),
+                               np.asarray(p2[0]["shift"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1[1]["scale"]),
+                               np.asarray(p2[1]["scale"]), rtol=1e-4)

@@ -542,18 +542,26 @@ class RandomAccessLatticeReader:
 
     def __init__(self, rspecifier: str):
         kind, _, rest = rspecifier.partition(":")
-        plain = (kind.split(",")[0] == "ark" and rest not in ("-", "")
-                 and not rest.endswith("|"))
-        if not plain:
-            self._table = dict(SequentialLatticeReader(rspecifier))
-            self._path = None
-            self._index = None
-            return
+        kind = kind.split(",")[0]
         self._table = None
-        self._path = rest
+        self._scp: dict = {}
         self._index: dict = {}
-        with open(rest, "rb") as f:
-            stream = io.BufferedReader(f)
+        self._path = None
+        if kind == "scp":
+            # upstream lattice scp: "key path:offset" — fully lazy
+            with open(rest, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        k, rxf = line.split(None, 1)
+                        self._scp[k] = rxf
+            return
+        if kind != "ark" or rest in ("-", "") or rest.endswith("|"):
+            # pipes/stdin cannot seek: full in-memory load
+            self._table = dict(SequentialLatticeReader(rspecifier))
+            return
+        self._path = rest
+        with open(rest, "rb") as stream:  # open() is already buffered
             while True:
                 off = stream.tell()
                 key = _read_key(stream)
@@ -563,7 +571,9 @@ class RandomAccessLatticeReader:
                 _read_lattice_value(stream, key)  # framing only
 
     def __contains__(self, key: str) -> bool:
-        return key in (self._table if self._index is None else self._index)
+        if self._table is not None:
+            return key in self._table
+        return key in self._index or key in self._scp
 
     def has_key(self, key: str) -> bool:
         return key in self
@@ -572,10 +582,16 @@ class RandomAccessLatticeReader:
         return self.value(key)
 
     def value(self, key: str):
-        if self._index is None:
+        if self._table is not None:
             return self._table[key]
-        with open(self._path, "rb") as f:
-            stream = io.BufferedReader(f)
+        if key in self._scp:
+            from kaldi_lstm_tpu.io.kaldi_io import _split_offset
+            path, offset = _split_offset(self._scp[key])
+            with open(path, "rb") as stream:
+                if offset is not None:
+                    stream.seek(offset)
+                return _read_lattice_value(stream, key)
+        with open(self._path, "rb") as stream:
             stream.seek(self._index[key])
             k = _read_key(stream)
             return _read_lattice_value(stream, k)

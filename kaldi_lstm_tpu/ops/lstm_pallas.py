@@ -570,6 +570,9 @@ def _plan_dims(S, T, I, C, R, max_stream_tile=None,
                max_time_block=None, has_mask: bool = False) -> _Dims:
     if max_stream_tile is None:
         max_stream_tile = _DEFAULT_STREAM_TILE
+    # sublane tiles must be multiples of 8; a ragged KLT_LSTM_STREAM_TILE
+    # would otherwise make sp indivisible by every 8-multiple tile
+    max_stream_tile = max(8, (max_stream_tile // 8) * 8)
     if max_time_block is None:
         max_time_block = _DEFAULT_TIME_BLOCK
     cp = _round_up(C, 128)
@@ -739,10 +742,10 @@ def _lstm_pallas_bwd(cell_clip, interpret, time_major, inv_keep,
         wxp = wxp.astype(mm_dt)
 
     st_bwd = min(d.st, 128)
-    while d.sp % st_bwd:
+    while st_bwd > 8 and d.sp % st_bwd:
         # st_bwd must DIVIDE sp or the backward grid under-covers the
         # streams (silent gradient loss with KLT_LSTM_STREAM_TILE > 128);
-        # sp is a multiple of 8, so this terminates at worst at 8
+        # _plan_dims rounds the tile to a multiple of 8, so 8 divides sp
         st_bwd -= 8
     gifo_bytes = jnp.dtype(gifo.dtype).itemsize
     tb_bwd = _fit_time_block(

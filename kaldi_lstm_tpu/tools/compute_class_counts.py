@@ -18,6 +18,7 @@ from kaldi_lstm_tpu.io.kaldi_io import (
     KaldiInput,
     KaldiOutput,
     SequentialPosteriorReader,
+    _split_offset,
     read_posterior,
     write_vector,
 )
@@ -38,10 +39,10 @@ def _iter_posteriors(rspecifier: str):
             if not line:
                 continue
             key, rxf = line.split(None, 1)
-            path, _, off = rxf.rpartition(":")
-            with open(path if off.isdigit() else rxf, "rb") as g:
-                if off.isdigit():
-                    g.seek(int(off))
+            path, offset = _split_offset(rxf)
+            with open(path, "rb") as g:
+                if offset is not None:
+                    g.seek(offset)
                 import io as _io
                 yield key, read_posterior(
                     KaldiInput(_io.BufferedReader(
@@ -62,9 +63,12 @@ def main(argv=None) -> int:
     counts = np.zeros(args.num_classes, np.float64)
     n_utt = 0
     for key, post in _iter_posteriors(args.post_rspecifier):
-        for frame in post:
-            for pdf, w in frame:
-                counts[pdf] += w
+        # vectorized full-fidelity accumulation (every entry counted)
+        flat = [e for frame in post for e in frame]
+        if flat:
+            ids = np.fromiter((e[0] for e in flat), np.int64, len(flat))
+            ws = np.fromiter((e[1] for e in flat), np.float64, len(flat))
+            np.add.at(counts, ids, ws)
         n_utt += 1
 
     counts += args.counts_offset

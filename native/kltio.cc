@@ -97,6 +97,10 @@ long klt_scan_matrix_ark(const char* buf, long n, long max_records,
     int32_t r, cl;
     if (!c.read_i32(&r) || !c.read_i32(&cl)) return -1;
     if (r < 0 || cl < 0) return -1;  // corrupt dims: cursor must not rewind
+    // overflow-safe size check: r*cl*4 can wrap signed long for crafted
+    // dims; compare against the remaining bytes with division instead
+    long remain = (long)(c.end - c.p);
+    if (cl > 0 && (long)r > remain / 4 / cl) return -1;
     long bytes = (long)r * cl * 4;
     if (!c.need(bytes)) return -1;
     key_off[i] = key - buf;

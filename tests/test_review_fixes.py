@@ -329,3 +329,46 @@ def test_compute_wer_present_mode_ser(tmp_path):
     text = out.getvalue()
     # present mode: 2 scored utts, 1 sentence error (b) — c excluded
     assert "[ 1 / 2 ]" in text, text
+
+
+def test_random_access_lattice_reader_scp(tmp_path):
+    """scp: form with path:offset entries — lazy by offset."""
+    from kaldi_lstm_tpu.io.lattice import (CompactLattice,
+                                           CompactLatticeArc,
+                                           LatticeWriter,
+                                           RandomAccessLatticeReader,
+                                           SequentialLatticeReader)
+
+    def make(n):
+        c = CompactLattice()
+        c.add_state()
+        c.add_state()
+        c.arcs[0].append(CompactLatticeArc(n, 0.5, 1.0, (n,), 1))
+        c.final[1] = (0.0, 0.0, ())
+        return c
+
+    import io as _io
+    from kaldi_lstm_tpu.io.kaldi_io import _read_key
+    with LatticeWriter(f"ark:{tmp_path}/l.ark") as w:
+        for i in range(4):
+            w.write(f"u{i}", make(i + 1))
+    # build the scp by scanning the framing (offset = key start, like
+    # the indexed reader; value() for scp seeks past no key, so point
+    # at the record body = offset after "key ")
+    scp_lines = []
+    with open(f"{tmp_path}/l.ark", "rb") as f:
+        while True:
+            off = f.tell()
+            key = _read_key(f)
+            if key is None:
+                break
+            body = f.tell()
+            scp_lines.append(f"{key} {tmp_path}/l.ark:{body}")
+            from kaldi_lstm_tpu.io.lattice import _read_lattice_value
+            _read_lattice_value(f, key)
+    (tmp_path / "l.scp").write_text("\n".join(scp_lines) + "\n")
+    r = RandomAccessLatticeReader(f"scp:{tmp_path}/l.scp")
+    ref = dict(SequentialLatticeReader(f"ark:{tmp_path}/l.ark"))
+    for k in ("u3", "u0"):
+        assert r.has_key(k)
+        assert r[k].arcs[0][0].label == ref[k].arcs[0][0].label

@@ -9,11 +9,17 @@ multi-host TPU pod run needs:
   process-local stream rows via `jax.make_array_from_process_local_data`;
 * the **cross-host termination rule** the reference never needed
   (SURVEY.md §7 hard parts): pjit steps are collective, so every host
-  must execute the same step count. `SyncedScheduler` counts its natural
-  batches, all-reduces the max across hosts, and pads its tail with
-  empty (fully masked, no-reset) batches — masked frames contribute zero
-  gradient and zero stats, so trailing empty batches only spin the
-  allreduce.
+  must execute the same step count. `SyncedScheduler` keeps hosts in
+  lock-step with a periodically all-reduced continue flag and pads
+  locally-exhausted hosts with empty (fully masked, no-reset) batches —
+  masked frames contribute zero gradient and zero stats, so trailing
+  empty batches only spin the allreduce. The flag protocol is robust to
+  RUNTIME utterance skips (missing targets / length mismatch,
+  train/streams.py:139-181): a host whose scheduler rejects data
+  mid-epoch simply reaches its local end earlier and fills, while a
+  host with more real batches than anyone predicted keeps every other
+  host stepping — no step-count agreement is ever computed from a
+  pre-skip view of the data.
 """
 
 from __future__ import annotations
@@ -79,35 +85,113 @@ def count_batches(lengths, num_stream: int, batch_size: int) -> int:
 class SyncedScheduler:
     """Wraps a StreamScheduler so all hosts yield the same batch count.
 
-    Provide `lengths` (this host's usable utterance lengths, in reader
-    order — e.g. from the posterior reader's num_frames) for a zero-copy
-    count; otherwise the local batches are buffered. `agree_fn` reduces
-    the local count to the global max (defaults to multihost allreduce;
-    injectable for tests)."""
+    Protocol (default, `lengths=None`): batches stream lazily from the
+    local scheduler; every `agree_every` steps all hosts agree (max
+    allreduce) on whether ANY host still has real data. While any does,
+    every host yields exactly `agree_every` batches — real ones where it
+    has them, fully-masked fillers where it doesn't — so the collective
+    step count is identical on all hosts *by construction*, including
+    when a host's scheduler skips utterances at runtime (missing
+    targets / length mismatch, train/streams.py:139-181). Cost: one tiny
+    host allgather per `agree_every` training steps, plus at most
+    `agree_every - 1` trailing filler steps per host.
+
+    `lengths` mode (optional fast path): provide this host's usable
+    utterance lengths for a one-shot exact count with NO per-step
+    collectives. Only safe when the lengths describe exactly what the
+    scheduler will accept (pre-validated manifests); if the live
+    scheduler nevertheless emits more batches than the agreed target —
+    the silent-desync case — this raises instead of hanging a
+    collective.
+
+    `agree_fn` reduces a local int to the global max (defaults to a
+    multihost allreduce; injectable for tests)."""
 
     def __init__(self, scheduler: StreamScheduler, agree_fn=None,
-                 lengths=None):
+                 lengths=None, agree_every: int = 1):
         self.scheduler = scheduler
+        self.agree_every = max(1, int(agree_every))
+        self._agree = agree_fn if agree_fn is not None else _allreduce_max
         if lengths is not None:
-            self._batches = None
             local = count_batches(lengths, scheduler.S, scheduler.T)
+            self.target_steps = int(self._agree(local))
         else:
-            self._batches = list(scheduler)
-            local = len(self._batches)
-        if agree_fn is None:
-            agree_fn = _allreduce_max
-        self.target_steps = int(agree_fn(local))
+            self.target_steps = None  # discovered while iterating
 
-    def __iter__(self) -> Iterator[StreamBatch]:
-        S, T = self.scheduler.S, self.scheduler.T
-        D, K = self.scheduler.feat_dim, self.scheduler.K
+    # StreamScheduler-compatible surface so run_epoch (train/trainer.py)
+    # can consume a SyncedScheduler directly
+    @property
+    def S(self):
+        return self.scheduler.S
+
+    @property
+    def T(self):
+        return self.scheduler.T
+
+    @property
+    def feat_dim(self):
+        return self.scheduler.feat_dim
+
+    @property
+    def K(self):
+        return self.scheduler.K
+
+    @property
+    def num_done(self):
+        return self.scheduler.num_done
+
+    @property
+    def num_no_tgt_mat(self):
+        return self.scheduler.num_no_tgt_mat
+
+    @property
+    def num_other_error(self):
+        return self.scheduler.num_other_error
+
+    @property
+    def total_valid_frames(self):
+        return self.scheduler.total_valid_frames
+
+    def _filler(self) -> StreamBatch:
+        return empty_batch(self.scheduler.S, self.scheduler.T,
+                           self.scheduler.feat_dim, self.scheduler.K)
+
+    def _iter_counted(self) -> Iterator[StreamBatch]:
         n = 0
-        for b in (self._batches if self._batches is not None
-                  else self.scheduler):
+        for b in self.scheduler:
+            if n >= self.target_steps:
+                raise RuntimeError(
+                    f"SyncedScheduler lengths-mode desync: local scheduler "
+                    f"produced more than the agreed {self.target_steps} "
+                    f"batches — the provided lengths disagree with what "
+                    f"the scheduler accepted at runtime (skipped/extra "
+                    f"utterances?). Use the default live mode "
+                    f"(lengths=None), which is skip-robust.")
             yield b
             n += 1
         for _ in range(self.target_steps - n):
-            yield empty_batch(S, T, D, K)
+            yield self._filler()
+
+    def _iter_live(self) -> Iterator[StreamBatch]:
+        it = iter(self.scheduler)
+        nxt = next(it, None)
+        steps = 0
+        while True:
+            if not int(self._agree(int(nxt is not None))):
+                self.target_steps = steps
+                return
+            for _ in range(self.agree_every):
+                if nxt is not None:
+                    yield nxt
+                    nxt = next(it, None)
+                else:
+                    yield self._filler()
+                steps += 1
+
+    def __iter__(self) -> Iterator[StreamBatch]:
+        if self.target_steps is not None:
+            return self._iter_counted()
+        return self._iter_live()
 
 
 def _allreduce_max(local_count: int) -> int:

@@ -38,17 +38,102 @@ def test_count_batches_matches_real_scheduler(lengths, S, T):
     assert count_batches(lengths, S, T) == real
 
 
-def test_synced_scheduler_pads_to_target():
-    sched = make_sched([5, 9, 3])
-    synced = SyncedScheduler(sched, agree_fn=lambda local: local + 3)
-    batches = list(synced)
-    assert len(batches) == synced.target_steps
-    for b in batches[-3:]:
+class BarrierAgree:
+    """Thread-synchronized max-allreduce across simulated hosts — the
+    same contract as multihost.py's process allgather+max, executed by
+    one thread per host (exactly the shape of a pod run)."""
+
+    def __init__(self, n_hosts):
+        import threading
+        self.n = n_hosts
+        self.vals = [0] * n_hosts
+        self._write = threading.Barrier(n_hosts)
+        self._read = threading.Barrier(n_hosts)
+
+    def fn(self, host):
+        def agree(v):
+            self.vals[host] = int(v)
+            self._write.wait()
+            m = max(self.vals)
+            self._read.wait()  # all read before anyone writes next round
+            return m
+        return agree
+
+
+def _run_hosts(synceds):
+    """Iterate each host's SyncedScheduler on its own thread; return the
+    per-host batch lists (raises if any thread died, e.g. deadlock-free
+    check via join timeout)."""
+    import threading
+    out = [None] * len(synceds)
+    errs = [None] * len(synceds)
+
+    def run(i):
+        try:
+            out[i] = list(synceds[i])
+        except BaseException as e:  # pragma: no cover - surfaced below
+            errs[i] = e
+
+    threads = [threading.Thread(target=run, args=(i,), daemon=True)
+               for i in range(len(synceds))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive(), "host thread hung (collective desync)"
+    for e in errs:
+        if e is not None:
+            raise e
+    return out
+
+
+@pytest.mark.parametrize("agree_every", [1, 3])
+def test_synced_live_mode_equal_steps_across_hosts(agree_every):
+    """Hosts with different natural batch counts all yield the same
+    number of batches; the shorter host's tail is fully-masked filler."""
+    agree = BarrierAgree(2)
+    s0 = make_sched([5, 9, 3, 7, 6])
+    s1 = make_sched([4, 2])
+    h0 = SyncedScheduler(s0, agree_fn=agree.fn(0),
+                         agree_every=agree_every)
+    h1 = SyncedScheduler(s1, agree_fn=agree.fn(1),
+                         agree_every=agree_every)
+    b0, b1 = _run_hosts([h0, h1])
+    assert len(b0) == len(b1)
+    assert len(b0) >= len(list(make_sched([5, 9, 3, 7, 6])))
+    n1_real = len(list(make_sched([4, 2])))
+    for b in b1[n1_real:]:
         assert b.mask.sum() == 0
         assert b.reset_flags.sum() == 0
+    # no real data lost on either host
+    assert sum(int(b.mask.sum()) for b in b0) == 5 + 9 + 3 + 7 + 6
+    assert sum(int(b.mask.sum()) for b in b1) == 4 + 2
 
 
-def test_synced_scheduler_lengths_mode():
+def test_synced_live_mode_robust_to_runtime_skips():
+    """VERDICT round-1 weak #3: one host's scheduler rejects utterances
+    at runtime (missing targets) — step counts still agree and nothing
+    hangs, with no pre-declared lengths at all."""
+    agree = BarrierAgree(2)
+    utts0, targets0 = make_utts([5, 9, 3, 7])
+    utts1, targets1 = make_utts([6, 30, 4, 8, 2])
+    # host 1 discovers mid-epoch that two utterances have no targets
+    del targets1.table["utt1"]   # the 30-frame one — big count change
+    del targets1.table["utt3"]
+    s0 = StreamScheduler(iter(utts0), targets0, feat_dim=3, num_stream=2,
+                         batch_size=4, targets_delay=0)
+    s1 = StreamScheduler(iter(utts1), targets1, feat_dim=3, num_stream=2,
+                         batch_size=4, targets_delay=0)
+    h0 = SyncedScheduler(s0, agree_fn=agree.fn(0))
+    h1 = SyncedScheduler(s1, agree_fn=agree.fn(1))
+    b0, b1 = _run_hosts([h0, h1])
+    assert len(b0) == len(b1)
+    assert s1.num_no_tgt_mat == 2
+    assert sum(int(b.mask.sum()) for b in b1) == 6 + 4 + 2
+    assert sum(int(b.mask.sum()) for b in b0) == 5 + 9 + 3 + 7
+
+
+def test_synced_lengths_mode():
     lengths = [5, 9, 3, 7]
     sched = make_sched(lengths)
     synced = SyncedScheduler(sched, agree_fn=lambda l: l,
@@ -57,6 +142,27 @@ def test_synced_scheduler_lengths_mode():
     assert len(batches) == count_batches(lengths, 2, 4)
     total = sum(int(b.mask.sum()) for b in batches)
     assert total == sum(lengths)
+
+
+def test_synced_lengths_mode_pads_to_larger_target():
+    lengths = [5, 9, 3]
+    sched = make_sched(lengths)
+    synced = SyncedScheduler(sched, agree_fn=lambda local: local + 3,
+                             lengths=lengths)
+    batches = list(synced)
+    assert len(batches) == synced.target_steps
+    for b in batches[-3:]:
+        assert b.mask.sum() == 0
+        assert b.reset_flags.sum() == 0
+
+
+def test_synced_lengths_mode_raises_on_undercount_instead_of_hanging():
+    """lengths that disagree with what the scheduler actually accepts
+    must fail loudly, not hang a collective on a real pod."""
+    sched = make_sched([4, 9])        # really ~3+ batches at T=4
+    synced = SyncedScheduler(sched, agree_fn=lambda l: l, lengths=[4])
+    with pytest.raises(RuntimeError, match="desync"):
+        list(synced)
 
 
 def test_empty_batch_is_training_noop():

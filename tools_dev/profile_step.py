@@ -23,11 +23,15 @@ from kaldi_lstm_tpu.models import Nnet
 from kaldi_lstm_tpu.train import TrainOptions, init_momentum
 from kaldi_lstm_tpu.train.trainer import make_grouped_train_step
 
-from bench import PROTO  # flagship topology
+from bench import PROTO, PROTO_DEEP  # flagship / deep topologies
 
 
-def run_step(S=512, T=20, G=8, iters=4):
-    nnet, params = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(0))
+def run_step(S=512, T=20, G=8, iters=4, deep=False, bf16=False):
+    proto = PROTO_DEEP if deep else PROTO
+    if bf16:
+        from kaldi_lstm_tpu.models.components import set_matmul_dtype
+        set_matmul_dtype(jnp.bfloat16)
+    nnet, params = Nnet.init_from_proto(proto, jax.random.PRNGKey(0))
     opts = TrainOptions(learn_rate=1e-5, momentum=0.9)
     gstep = make_grouped_train_step(nnet, opts)
     params = jax.tree_util.tree_map(jnp.array, params)
@@ -99,8 +103,10 @@ def parse(trace_dir, iters, G):
 def main():
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     G = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    deep = "deep" in sys.argv[3:]
+    bf16 = "bf16" in sys.argv[3:]
     print("devices:", jax.devices(), file=sys.stderr)
-    td, iters, G = run_step(S=S, G=G)
+    td, iters, G = run_step(S=S, G=G, deep=deep, bf16=bf16)
     return parse(td, iters, G)
 
 

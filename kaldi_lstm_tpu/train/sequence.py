@@ -46,6 +46,16 @@ class DenGraph(NamedTuple):
 
     @classmethod
     def from_phone_loop(cls, g: PhoneLoopGraph) -> "DenGraph":
+        # the dense den graph scores every frame of a state with ONE pdf;
+        # exact for <Triples>-era models only — chain-style <Tuples>
+        # models with split self-loop/forward pdfs need per-arc emissions
+        # (decode/viterbi.py handles those; sequence training does not)
+        if not np.array_equal(np.asarray(g.self_pdf),
+                              np.asarray(g.state_pdf)):
+            raise ValueError(
+                "sequence training's dense denominator graph needs "
+                "self_loop_pdf == forward_pdf (<Triples>-era model); "
+                "this model has split pdfs")
         return cls(jnp.asarray(g.logA, jnp.float32),
                    jnp.asarray(g.start_logp, jnp.float32),
                    jnp.asarray(g.final_logp, jnp.float32),

@@ -63,6 +63,62 @@ def test_viterbi_noisy_and_scale():
     assert hyp == seq
 
 
+def test_split_pdf_chain_decode():
+    """Chain-style <Tuples> model (self_loop_pdf != forward_pdf) decodes
+    exactly with per-arc emissions: occupying a state for d frames
+    consumes d-1 self-loop arcs (self pdf) then the forward arc (forward
+    pdf) — decode/graph.py's emission convention."""
+    from kaldi_lstm_tpu.io.transition_model import \
+        make_chain_transition_model
+
+    P = 3
+    tm = make_chain_transition_model(P)
+    graph = PhoneLoopGraph.from_transition_model(tm)
+    seq, dur = [1, 3, 2, 3], 3
+    pdfs = []
+    for ph in seq:
+        fwd, slf = (ph - 1) * 2, (ph - 1) * 2 + 1
+        pdfs += [slf] * (dur - 1) + [fwd]
+    ll = peaked_loglik(pdfs, tm.num_pdfs)
+    hyp, logp = viterbi_decode(graph, ll)
+    assert hyp == seq
+    # exact score: every frame hits its peak, plus transition mass:
+    # per phone (dur-1) self-loops + the exit arc (log 0.5 each), plus
+    # one loop-back/start choice of log(1/P) per token
+    expect = 5.0 * len(pdfs) + len(pdfs) * np.log(0.5) - len(seq) * np.log(P)
+    assert abs(logp - expect) < 1e-6
+
+
+def test_split_pdf_wrong_order_not_matched():
+    """The arc-exact DP distinguishes [self, fwd] from [fwd, self]: a
+    per-state (single-pdf) approximation could not."""
+    from kaldi_lstm_tpu.io.transition_model import \
+        make_chain_transition_model
+
+    tm = make_chain_transition_model(2)
+    graph = PhoneLoopGraph.from_transition_model(tm)
+    good = peaked_loglik([1, 1, 0], tm.num_pdfs)   # self,self,fwd of ph1
+    bad = peaked_loglik([0, 1, 1], tm.num_pdfs)    # fwd first: impossible
+    _, lp_good = viterbi_decode(graph, good)
+    _, lp_bad = viterbi_decode(graph, bad)
+    assert lp_good > lp_bad + 4.0  # bad path misses >= 1 peak
+
+
+def test_one_state_phone_repetition_tokens():
+    """Re-entry of a 1-emitting-state phone (loop-back onto itself) is a
+    NEW phone token, distinct from its self-loop — the per-arc DP fixes
+    the merge the old per-state graph documented as a limitation."""
+    from kaldi_lstm_tpu.io.transition_model import \
+        make_chain_transition_model
+
+    tm = make_chain_transition_model(2)
+    graph = PhoneLoopGraph.from_transition_model(tm)
+    # phone 1 twice, 2 frames each: self(1), fwd(0), self(1), fwd(0)
+    ll = peaked_loglik([1, 0, 1, 0], tm.num_pdfs)
+    hyp, _ = viterbi_decode(graph, ll)
+    assert hyp == [1, 1]
+
+
 def test_edit_distance_counts():
     s = edit_distance("abcd", "abcd")
     assert (s.errors, s.ins, s.dele, s.sub) == (0, 0, 0, 0)

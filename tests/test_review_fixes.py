@@ -215,15 +215,20 @@ def test_text_posterior_table_large_records(tmp_path):
         assert got[k] == table[k]
 
 
-def test_viterbi_rejects_split_pdf_tuples():
+def test_dengraph_rejects_split_pdf_tuples():
+    # the phone-loop Viterbi now decodes split-pdf <Tuples> models
+    # exactly (per-arc emissions, tests/test_decode_viterbi.py), but the
+    # dense denominator graph for sequence training still scores one pdf
+    # per state and must keep refusing them
     from kaldi_lstm_tpu.decode.viterbi import PhoneLoopGraph
-    from kaldi_lstm_tpu.io.transition_model import TransitionModel
+    from kaldi_lstm_tpu.io.transition_model import \
+        make_chain_transition_model
+    from kaldi_lstm_tpu.train.sequence import DenGraph
 
-    class FakeTM:
-        tuples = [(1, 0, 0, 1)]  # forward_pdf 0 != self_loop_pdf 1
-
-    with pytest.raises(ValueError, match="self_loop_pdf"):
-        PhoneLoopGraph.from_transition_model(FakeTM())
+    g = PhoneLoopGraph.from_transition_model(
+        make_chain_transition_model(2))
+    with pytest.raises(ValueError, match="split pdfs"):
+        DenGraph.from_phone_loop(g)
 
 
 def test_shift_buffer_constant_memory():

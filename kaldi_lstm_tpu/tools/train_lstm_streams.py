@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", default="false",
                    help="Run the large matmuls (senone affine, LSTM input "
                         "projection) in bfloat16 with f32 accumulation")
+    p.add_argument("--debug-dump", default="",
+                   help="directory: before training, dump per-frame LSTM "
+                        "activations/derivatives for the first minibatch "
+                        "(the reference's int DEBUG blocks, "
+                        "bd-nnet-lstm-projected-streams.h:314-324)")
     p.add_argument("--profile-dir", default="",
                    help="Write a jax.profiler trace of the steady-state "
                         "steps to this directory")
@@ -138,6 +143,23 @@ def main(argv=None, _stats_out=None) -> int:
                         l1_penalty=args.l1_penalty,
                         l2_penalty=args.l2_penalty,
                         objective=args.objective_function)
+
+    if args.debug_dump:
+        import numpy as np
+        from kaldi_lstm_tpu.tools.nnet_debug_dump import (
+            _load_chunk,
+            debug_dump,
+        )
+        raw_dim = transf.input_dim if transf else nnet.input_dim
+        dbg_x, dbg_ids = _load_chunk(
+            args.feature_rspecifier, args.targets_rspecifier,
+            args.num_stream, args.batch_size, raw_dim)
+        if transf is not None:
+            import jax.numpy as jnp
+            dbg_x = np.asarray(transf.feedforward(transf_params,
+                                                  jnp.asarray(dbg_x)))
+        debug_dump(nnet, params, dbg_x, dbg_ids, args.debug_dump,
+                   have_targets=True)
 
     LOG(("CROSS-VALIDATION" if crossvalidate else "TRAINING") + " STARTED")
 

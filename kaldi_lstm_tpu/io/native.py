@@ -31,11 +31,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so = os.path.join(_native_dir(), "libkltio.so")
-    if not os.path.exists(so):
-        try:
-            subprocess.run(["make", "-C", _native_dir()], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # always let make check freshness (no-op when the .so is newer than
+    # kltio.cc) so a stale binary can never shadow edited source; the
+    # binary is NOT committed — fresh checkouts build here on first use
+    try:
+        subprocess.run(["make", "-C", _native_dir()], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(so):  # read-only env without a prebuilt .so
             return None
     try:
         lib = ctypes.CDLL(so)

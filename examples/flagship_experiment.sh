@@ -1,0 +1,232 @@
+#!/usr/bin/env bash
+# Flagship-scale end-to-end experiment on real hardware (VERDICT r1 #7):
+# a ~2-hour synthetic audio corpus at the reference's flagship dims
+# (40-dim fbank -> LSTMP 800c/512r -> ~8k senones) through the COMPLETE
+# reference workflow, natively:
+#
+#   corpus gen -> wav synthesis -> fbank -> CMVN -> xent train (newbob)
+#     -> prior counts -> AM scoring -> word decode (%WER) -> latgen
+#     -> lattice best path / CTM -> realign -> sMBR -> decode (%WER)
+#
+# Stage wall-times and scores are appended to $dir/REPORT.md.
+#
+#   python stages that need the TPU run with the default backend; pure
+#   host stages run on CPU (no chip claim). Total wall ~1 h on one v5e.
+#
+#   bash examples/flagship_experiment.sh [workdir]
+set -euo pipefail
+
+dir=${1:-/tmp/klt_flagship}
+cd "$(dirname "$0")/.."
+export PYTHONPATH=$PWD${PYTHONPATH:+:$PYTHONPATH}
+mkdir -p "$dir"
+report=$dir/REPORT.md
+CPU=(env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu)
+
+# corpus/model scale (the reference's decode example is 8k-senone class
+# of acoustic models; 2666 phones x 3 states = 7998 pdfs). Every knob
+# is env-overridable for toy-scale dry runs (KLT_NPHONES=20 ... bash ...).
+NPHONES=${KLT_NPHONES:-2666} NSTATES=3
+NPDFS=$((NPHONES * NSTATES))
+NWORDS=${KLT_NWORDS:-500} NUTTS=${KLT_NUTTS:-1920}
+NTRAIN=${KLT_NTRAIN:-1800}          # the rest are the test set
+NSEQ=${KLT_NSEQ:-400}               # train subset for realign + sMBR
+NSTREAM=${KLT_NSTREAM:-256} CELL=${KLT_CELL:-800} RECUR=${KLT_RECUR:-512}
+GROUP=${KLT_GROUP:-16}
+
+stamp() { date +%s.%N; }
+log_stage() {  # log_stage <name> <t0> [extra]
+  local t1; t1=$(stamp)
+  local dt; dt=$(python -c "print(f'{$t1-$2:.1f}')")
+  echo "| $1 | ${dt}s | ${3:-} |" >> "$report"
+  echo "=== [$1] done in ${dt}s ${3:-}"
+}
+
+if [ ! -f "$report" ]; then
+  {
+    echo "# Flagship end-to-end experiment"
+    echo
+    echo "Corpus: $NUTTS utts, $NWORDS-word lexicon, $NPHONES phones x"
+    echo "$NSTATES states = $NPDFS senones; model 40 -> LSTMP(800c/512r)"
+    echo "-> $NPDFS. Host: $(uname -r), $(nproc) cpus."
+    echo
+    echo "| stage | wall | notes |"
+    echo "|---|---|---|"
+  } > "$report"
+fi
+
+if [ ! -f "$dir/lang/.done" ]; then
+  t0=$(stamp)
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.make_word_synth_data \
+      --dir "$dir/lang" --num-words $NWORDS --num-phones $NPHONES \
+      --states-per-phone $NSTATES --num-utts $NUTTS --feat-dim 4 \
+      --self-loop-prob 0.7 --max-words 16 --eos-prob 0.08 \
+      --min-pron 3 --max-pron 6 --seed 0
+  rm -f "$dir/lang/feats.ark" "$dir/lang/feats.scp"  # wav path replaces these
+  log_stage "corpus (lexicon+LM+alignments)" "$t0"
+  touch "$dir/lang/.done"
+fi
+
+if [ ! -f "$dir/wav/.done" ]; then
+  t0=$(stamp)
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.synth_wavs \
+      "$dir/lang/final.mdl" "ark:$dir/lang/ali.ark" "$dir/wav"
+  hrs=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.wav_to_duration \
+      "scp:$dir/wav/wav.scp" ark,t:- | awk '{s+=$2} END {printf "%.2fh", s/3600}')
+  log_stage "wav synthesis" "$t0" "$hrs audio"
+  touch "$dir/wav/.done"
+fi
+
+if [ ! -f "$dir/feats/.done" ]; then
+  t0=$(stamp)
+  mkdir -p "$dir/feats"
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_fbank_feats \
+      "scp:$dir/wav/wav.scp" \
+      "ark,scp:$dir/feats/fbank.ark,$dir/feats/fbank.scp" --num-mel-bins 40
+  head -n $NTRAIN "$dir/feats/fbank.scp" > "$dir/feats/tr.scp"
+  tail -n +$((NTRAIN + 1)) "$dir/feats/fbank.scp" > "$dir/feats/cv.scp"
+  head -n $NSEQ "$dir/feats/fbank.scp" > "$dir/feats/seq.scp"
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_cmvn_transform \
+      "scp:$dir/feats/tr.scp" "$dir/feats/feature_transform.nnet.txt"
+  log_stage "fbank + CMVN" "$t0" "$(wc -l < "$dir/feats/fbank.scp") utts"
+  touch "$dir/feats/.done"
+fi
+
+if [ ! -f "$dir/targets/.done" ]; then
+  t0=$(stamp)
+  mkdir -p "$dir/targets"
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.ali_to_pdf \
+      "$dir/lang/final.mdl" "ark:$dir/lang/ali.ark" \
+      "ark:$dir/targets/pdf_ali.ark"
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.ali_to_post \
+      "ark:$dir/targets/pdf_ali.ark" "ark:$dir/targets/post.ark"
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_class_counts \
+      "ark:$dir/targets/post.ark" "$dir/targets/counts.vec" \
+      --num-classes $NPDFS
+  log_stage "targets (ali->pdf->post) + priors" "$t0"
+  touch "$dir/targets/.done"
+fi
+
+cat > "$dir/nnet.proto" <<EOF
+<NnetProto>
+<Transmit> <InputDim> 40 <OutputDim> 40
+<LstmProjectedStreams> <InputDim> 40 <OutputDim> $RECUR <CellDim> $CELL <ParamScale> 0.01 <NumStream> 4
+<AffineTransform> <InputDim> $RECUR <OutputDim> $NPDFS <ParamStddev> 0.04
+<Softmax> <InputDim> $NPDFS <OutputDim> $NPDFS
+</NnetProto>
+EOF
+
+if [ ! -f "$dir/exp/.done" ]; then
+  t0=$(stamp)
+  python -m kaldi_lstm_tpu.tools.run_recipe \
+      --tr-feats "scp:$dir/feats/tr.scp" \
+      --tr-targets "ark:$dir/targets/post.ark" \
+      --cv-feats "scp:$dir/feats/cv.scp" \
+      --cv-targets "ark:$dir/targets/post.ark" \
+      --proto "$dir/nnet.proto" --dir "$dir/exp" \
+      --feature-transform "$dir/feats/feature_transform.nnet.txt" \
+      --scheduler newbob --learn-rate ${KLT_LR:-3e-4} \
+      --max-iters ${KLT_MAX_ITERS:-14} --min-iters 4 \
+      --num-stream $NSTREAM --batch-size 20 --targets-delay 0 \
+      --step-group $GROUP --bf16 true --dump-interval 2000000
+  log_stage "xent training (newbob, TPU)" "$t0"
+  touch "$dir/exp/.done"
+fi
+
+final_nnet=$dir/exp/final.nnet   # newbob's accepted final
+if [ ! -f "$final_nnet" ]; then
+  final_nnet=$(ls -t "$dir"/exp/nnet/nnet.iter* 2>/dev/null | head -1)
+fi
+
+if [ ! -f "$dir/score/.done" ]; then
+  t0=$(stamp)
+  mkdir -p "$dir/score"
+  python -m kaldi_lstm_tpu.tools.nnet_forward \
+      --feature-transform "$dir/feats/feature_transform.nnet.txt" \
+      --class-frame-counts "$dir/targets/counts.vec" --apply-log=true \
+      "$final_nnet" "scp:$dir/feats/cv.scp" "ark:$dir/score/loglik.ark"
+  log_stage "AM scoring cv (TPU)" "$t0"
+  touch "$dir/score/.done"
+fi
+
+grep -E "^utt" "$dir/lang/text" | tail -n $((NUTTS - NTRAIN)) \
+    > "$dir/score/text.cv"
+
+if [ ! -f "$dir/score/.decoded" ]; then
+  t0=$(stamp)
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.decode_faster \
+      "$dir/lang/final.mdl" "$dir/lang/lexicon.txt" "$dir/lang/lm.arpa" \
+      "ark:$dir/score/loglik.ark" "ark,t:$dir/score/hyp.txt" \
+      --word-symbol-table "$dir/lang/words.txt" --acoustic-scale 1.0 \
+      --beam 13 --max-active 7000
+  wer=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_wer \
+      "$dir/score/text.cv" "$dir/score/hyp.txt" | tee /dev/stderr | head -1)
+  log_stage "word decode (xent model)" "$t0" "$wer"
+  touch "$dir/score/.decoded"
+fi
+
+if [ ! -f "$dir/score/.latgen" ]; then
+  t0=$(stamp)
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.latgen_faster \
+      "$dir/lang/final.mdl" "$dir/lang/lexicon.txt" "$dir/lang/lm.arpa" \
+      "ark:$dir/score/loglik.ark" "ark:$dir/score/lat.ark" \
+      --acoustic-scale 1.0 --beam 13 --lattice-beam 6 --max-active 7000
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.lattice_best_path \
+      "ark:$dir/score/lat.ark" "ark,t:$dir/score/hyp_lat.txt" \
+      --word-symbol-table "$dir/lang/words.txt"
+  wer=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_wer \
+      "$dir/score/text.cv" "$dir/score/hyp_lat.txt" | head -1)
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.lattice_to_ctm \
+      "ark:$dir/score/lat.ark" "$dir/score/hyp.ctm" \
+      --word-symbol-table "$dir/lang/words.txt"
+  log_stage "latgen + best path + CTM" "$t0" "$wer"
+  touch "$dir/score/.latgen"
+fi
+
+if [ ! -f "$dir/seq/.done" ]; then
+  t0=$(stamp)
+  mkdir -p "$dir/seq"
+  python -m kaldi_lstm_tpu.tools.nnet_forward \
+      --feature-transform "$dir/feats/feature_transform.nnet.txt" \
+      --class-frame-counts "$dir/targets/counts.vec" --apply-log=true \
+      "$final_nnet" "scp:$dir/feats/seq.scp" "ark:$dir/seq/loglik_tr.ark"
+  head -n $NSEQ "$dir/lang/text" > "$dir/seq/text.seq"
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.align_mapped \
+      "$dir/lang/final.mdl" "$dir/lang/lexicon.txt" \
+      "ark:$dir/seq/loglik_tr.ark" "$dir/seq/text.seq" \
+      "ark:$dir/seq/ali_re.ark" --acoustic-scale 1.0
+  log_stage "realign $NSEQ train utts (TPU fwd + host align)" "$t0"
+  touch "$dir/seq/.done"
+fi
+
+if [ ! -f "$dir/seq/.smbr" ]; then
+  t0=$(stamp)
+  python -m kaldi_lstm_tpu.tools.nnet_train_smbr \
+      "scp:$dir/feats/seq.scp" "ark:$dir/seq/ali_re.ark" \
+      "$dir/lang/final.mdl" "$final_nnet" "$dir/seq/nnet.smbr" \
+      --feature-transform "$dir/feats/feature_transform.nnet.txt" \
+      --learn-rate 1e-5 --acoustic-scale 1.0 --length-bucket 64
+  log_stage "sMBR sequence training (TPU)" "$t0"
+  touch "$dir/seq/.smbr"
+fi
+
+if [ ! -f "$dir/seq/.decoded" ]; then
+  t0=$(stamp)
+  python -m kaldi_lstm_tpu.tools.nnet_forward \
+      --feature-transform "$dir/feats/feature_transform.nnet.txt" \
+      --class-frame-counts "$dir/targets/counts.vec" --apply-log=true \
+      "$dir/seq/nnet.smbr" "scp:$dir/feats/cv.scp" \
+      "ark:$dir/seq/loglik_cv.ark"
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.decode_faster \
+      "$dir/lang/final.mdl" "$dir/lang/lexicon.txt" "$dir/lang/lm.arpa" \
+      "ark:$dir/seq/loglik_cv.ark" "ark,t:$dir/seq/hyp_smbr.txt" \
+      --word-symbol-table "$dir/lang/words.txt" --acoustic-scale 1.0 \
+      --beam 13 --max-active 7000
+  wer=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_wer \
+      "$dir/score/text.cv" "$dir/seq/hyp_smbr.txt" | head -1)
+  log_stage "word decode (sMBR model)" "$t0" "$wer"
+  touch "$dir/seq/.decoded"
+fi
+
+echo "=== experiment complete; report:"
+cat "$report"

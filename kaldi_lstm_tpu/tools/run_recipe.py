@@ -62,6 +62,10 @@ def main(argv=None) -> int:
                    help="newbob: don't halve before this many iters")
     p.add_argument("--start-halving-impr", type=float, default=0.01)
     p.add_argument("--end-halving-impr", type=float, default=0.001)
+    p.add_argument("--step-group", type=int, default=1,
+                   help="passed to the trainer (grouped device step)")
+    p.add_argument("--bf16", default="false",
+                   help="passed to the trainer (bf16 matmuls)")
     p.add_argument("--verbose", type=int, default=1)
     args = p.parse_args(argv)
     if args.halving_factor is None:
@@ -92,6 +96,8 @@ def main(argv=None) -> int:
         f"--batch-size={args.batch_size}",
         f"--targets-delay={args.targets_delay}",
         f"--dump-interval={args.dump_interval}",
+        f"--step-group={args.step_group}",
+        f"--bf16={args.bf16}",
         f"--verbose={args.verbose}",
     ]
 

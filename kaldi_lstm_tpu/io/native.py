@@ -63,6 +63,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.klt_fill_batch.restype = L
     lib.klt_fill_batch.argtypes = [
         L, L, L, L, L, P64, P64, P64, P64, P64, PF, PI, PF, PF]
+    PD = ctypes.POINTER(ctypes.c_double)
+    D = ctypes.c_double
+    try:
+        lib.klt_decode_faster.restype = ctypes.c_int64
+        lib.klt_decode_faster.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            P64, PI, PI, PD, ctypes.c_int64,
+            P64, PI, PD,
+            PD, D, D, ctypes.c_int64, ctypes.c_int64, PD, PI]
+    except AttributeError:
+        pass  # stale prebuilt .so in a read-only env; decoder falls back
     _LIB = lib
     return _LIB
 
@@ -158,6 +169,39 @@ def scan_posterior_ark(path: str, max_entries: int = 1):
         b = a + int(num_frames[i])
         out[key] = (ids[a:b], weights[a:b])
     return out
+
+
+def decode_faster_native(ns: int, em_ptr, em_dst, em_pdf, em_w,
+                         eps_ptr, eps_dst, eps_w, loglik: np.ndarray,
+                         acoustic_scale: float, beam: float,
+                         max_active: int, start: int):
+    """Whole-utterance Viterbi beam search in C++ (native/kltdecode.cc).
+
+    Returns (alpha [ns] float64, bps [(T+1), ns] int32) or None when the
+    native lib is unavailable; raises RuntimeError when no token
+    survives a frame (same condition as the Python path).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "klt_decode_faster"):
+        return None
+    T, K = loglik.shape
+    alpha = np.empty(ns, np.float64)
+    bps = np.empty((T + 1, ns), np.int32)
+    rc = lib.klt_decode_faster(
+        ns, T, K,
+        _ptr(em_ptr, ctypes.c_int64), _ptr(em_dst, ctypes.c_int),
+        _ptr(em_pdf, ctypes.c_int), _ptr(em_w, ctypes.c_double),
+        len(em_dst),
+        _ptr(eps_ptr, ctypes.c_int64), _ptr(eps_dst, ctypes.c_int),
+        _ptr(eps_w, ctypes.c_double),
+        _ptr(loglik, ctypes.c_double), float(acoustic_scale), float(beam),
+        int(max_active), int(start),
+        _ptr(alpha, ctypes.c_double), _ptr(bps, ctypes.c_int))
+    if rc < 0:
+        raise RuntimeError(
+            f"decode_faster: no tokens survived at frame {-rc - 1} — "
+            "beam too tight or loglik/graph mismatch")
+    return alpha, bps
 
 
 def fill_batch(T: int, delay: int, feats_p: np.ndarray, ids_p: np.ndarray,

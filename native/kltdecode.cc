@@ -1,0 +1,155 @@
+// Native Viterbi beam-search core for decode/faster.py.
+//
+// Replicates decode_faster's vectorized numpy semantics exactly
+// (including backpointer tie order: within a frame, arcs are relaxed in
+// ascending (source-state, arc-id) order and an equal score REPLACES
+// the backpointer, matching np.maximum.at + the `cand >= alpha[dst]`
+// winner mask), so the Python path remains a drop-in cross-check.
+//
+// The graph arrives as the same CSR arrays CompiledGraph builds; per
+// utterance one call runs the whole frame loop and fills the
+// [(T+1), ns] backpointer matrix the Python traceback consumes.
+// Returns 0, or -(t+1) if no token survived frame t (beam too tight).
+//
+// Upstream counterpart: decode-faster-mapped's FasterDecoder
+// (ProcessEmitting/ProcessNonemitting); see decode/faster.py.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+constexpr double kNeg = -1e30;
+
+struct EpsClosure {
+  // one relaxation to fixed point over the epsilon CSR; mirrors
+  // _eps_closure (max 32 passes, strict-improvement updates, cutoff
+  // applied to candidates). Appends newly-improved states to `grown`.
+  static void run(int64_t ns, const int64_t* ptr, const int32_t* dst,
+                  const double* w, int64_t num_em, double* alpha,
+                  int32_t* bp, std::vector<int32_t>& frontier,
+                  double cutoff, std::vector<int32_t>& grown,
+                  std::vector<int32_t>& stamp, int32_t& epoch) {
+    std::vector<int32_t> next;
+    for (int pass = 0; pass < 32 && !frontier.empty(); ++pass) {
+      ++epoch;
+      next.clear();
+      for (int32_t s : frontier) {
+        for (int64_t a = ptr[s]; a < ptr[s + 1]; ++a) {
+          const double cand = alpha[s] + w[a];
+          if (cand <= cutoff) continue;
+          const int32_t d = dst[a];
+          if (cand > alpha[d]) {
+            alpha[d] = cand;
+            bp[d] = static_cast<int32_t>(num_em + a);
+            if (stamp[d] != epoch) {
+              stamp[d] = epoch;
+              next.push_back(d);
+            }
+          }
+        }
+      }
+      frontier.swap(next);
+      grown.insert(grown.end(), frontier.begin(), frontier.end());
+    }
+  }
+};
+}  // namespace
+
+extern "C" int64_t klt_decode_faster(
+    int64_t ns, int64_t T, int64_t K,
+    const int64_t* em_ptr, const int32_t* em_dst, const int32_t* em_pdf,
+    const double* em_w, int64_t num_em,
+    const int64_t* eps_ptr, const int32_t* eps_dst, const double* eps_w,
+    const double* loglik, double acoustic_scale, double beam,
+    int64_t max_active, int64_t start,
+    double* alpha_out /* [ns] */, int32_t* bps /* [(T+1)*ns] */) {
+  std::vector<double> alpha(ns, kNeg), alpha_next(ns);
+  std::vector<int32_t> active, touched, grown, stamp(ns, 0);
+  std::vector<double> scores;
+  int32_t epoch = 0;
+
+  std::memset(bps, 0xff, sizeof(int32_t) * (T + 1) * ns);  // all -1
+  alpha[start] = 0.0;
+  active.push_back(static_cast<int32_t>(start));
+  grown.clear();
+  {
+    std::vector<int32_t> frontier = active;
+    EpsClosure::run(ns, eps_ptr, eps_dst, eps_w, num_em, alpha.data(),
+                    bps, frontier, kNeg, grown, stamp, epoch);
+  }
+  for (int32_t s : grown)
+    if (alpha[s] > kNeg / 2) active.push_back(s);
+  std::sort(active.begin(), active.end());
+  active.erase(std::unique(active.begin(), active.end()), active.end());
+
+  for (int64_t t = 0; t < T; ++t) {
+    int32_t* bp = bps + (t + 1) * ns;
+    const double* em_t = loglik + t * K;
+    std::fill(alpha_next.begin(), alpha_next.end(), kNeg);
+    touched.clear();
+    ++epoch;
+    // emitting relaxation in ascending (state, arc) order; >= replaces
+    // the backpointer so the LAST equal-scoring arc wins, like numpy
+    for (int32_t s : active) {
+      const double base = alpha[s];
+      for (int64_t a = em_ptr[s]; a < em_ptr[s + 1]; ++a) {
+        const double cand =
+            base + em_w[a] + acoustic_scale * em_t[em_pdf[a]];
+        const int32_t d = em_dst[a];
+        if (cand >= alpha_next[d]) {
+          alpha_next[d] = cand;
+          bp[d] = static_cast<int32_t>(a);
+          if (stamp[d] != epoch) {
+            stamp[d] = epoch;
+            touched.push_back(d);
+          }
+        }
+      }
+    }
+    if (touched.empty()) return -(t + 1);
+
+    double best = kNeg;
+    for (int32_t d : touched) best = std::max(best, alpha_next[d]);
+    double cutoff = best - beam;
+    if (max_active > 0) {
+      int64_t above = 0;
+      for (int32_t d : touched)
+        if (alpha_next[d] > cutoff) ++above;
+      if (above > max_active) {
+        scores.clear();
+        for (int32_t d : touched) scores.push_back(alpha_next[d]);
+        std::nth_element(scores.begin(),
+                         scores.end() - max_active, scores.end());
+        cutoff = std::max(cutoff, *(scores.end() - max_active));
+      }
+    }
+    active.clear();
+    for (int32_t d : touched) {
+      if (alpha_next[d] < cutoff) {
+        alpha_next[d] = kNeg;
+        bp[d] = -1;
+      } else if (alpha_next[d] > kNeg / 2) {
+        active.push_back(d);
+      }
+    }
+    alpha.swap(alpha_next);
+    std::sort(active.begin(), active.end());
+
+    grown.clear();
+    {
+      std::vector<int32_t> frontier = active;
+      EpsClosure::run(ns, eps_ptr, eps_dst, eps_w, num_em, alpha.data(),
+                      bp, frontier, cutoff, grown, stamp, epoch);
+    }
+    if (!grown.empty()) {
+      for (int32_t s : grown) active.push_back(s);
+      std::sort(active.begin(), active.end());
+      active.erase(std::unique(active.begin(), active.end()),
+                   active.end());
+    }
+  }
+  std::memcpy(alpha_out, alpha.data(), sizeof(double) * ns);
+  return 0;
+}

@@ -246,3 +246,30 @@ def test_vectorized_matches_token_decoder():
             b = decode_faster_tokens(graph, loglik, 1.0, beam=14.0)
             assert abs(a.score - b.score) < 1e-6
             assert a.words == b.words
+
+
+def test_native_matches_python_vectorized(monkeypatch):
+    """The C++ decoder core (native/kltdecode.cc) is bit-identical to
+    the numpy vectorized path: same words AND same float64 scores,
+    with and without max_active pruning."""
+    from kaldi_lstm_tpu.io.native import get_lib
+    import pytest
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "klt_decode_faster"):
+        pytest.skip("native decode core unavailable")
+    lex, lm, tm, means, rng = _oracle_setup(num_words=8, seed=23)
+    from kaldi_lstm_tpu.tools.make_word_synth_data import sample_sentence
+    graph = build_decoding_graph(tm, lex, lm)
+    for max_active in (0, 12):
+        for _ in range(4):
+            sent = sample_sentence(rng, lm, sorted(lex), 7) or ["w000"]
+            loglik = _emit(tm, lex, means, rng, sent, noise=0.6)
+            monkeypatch.setenv("KLT_DECODE_IMPL", "auto")
+            a = decode_faster(graph, loglik, 1.0, beam=14.0,
+                              max_active=max_active)
+            monkeypatch.setenv("KLT_DECODE_IMPL", "python")
+            b = decode_faster(graph, loglik, 1.0, beam=14.0,
+                              max_active=max_active)
+            assert a.words == b.words
+            assert a.score == b.score  # bit-exact, not approx
+            assert a.reached_final == b.reached_final

@@ -70,7 +70,8 @@ fi
 if [ ! -f "$dir/wav/.done" ]; then
   t0=$(stamp)
   "${CPU[@]}" python -m kaldi_lstm_tpu.tools.synth_wavs \
-      "$dir/lang/final.mdl" "ark:$dir/lang/ali.ark" "$dir/wav"
+      "$dir/lang/final.mdl" "ark:$dir/lang/ali.ark" "$dir/wav" \
+      --log-amp-stddev "${KLT_AMPSTD:-1.0}" --noise-rms "${KLT_NOISE:-1.0}"
   hrs=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.wav_to_duration \
       "scp:$dir/wav/wav.scp" ark,t:- | awk '{s+=$2} END {printf "%.2fh", s/3600}')
   log_stage "wav synthesis" "$t0" "$hrs audio"

@@ -36,6 +36,7 @@ from kaldi_lstm_tpu.models import Nnet
 from kaldi_lstm_tpu.train.optim import init_momentum, momentum_update
 from kaldi_lstm_tpu.train.sequence import (
     DenGraph,
+    PhoneLoopDenGraph,
     alignment_to_states,
     mmi_objective,
 )
@@ -93,8 +94,13 @@ def main(argv=None) -> int:
         return 1
 
     tm = TransitionModel.load(args.transition_model)
-    graph = DenGraph.from_phone_loop(
-        PhoneLoopGraph.from_transition_model(tm))
+    # O(Ns)-per-frame structured phone loop when the topology allows;
+    # dense DenGraph as the general fallback (train/sequence.py)
+    try:
+        graph = PhoneLoopDenGraph.from_transition_model(tm)
+    except ValueError:
+        graph = DenGraph.from_phone_loop(
+            PhoneLoopGraph.from_transition_model(tm))
 
     transf = transf_params = None
     if args.feature_transform:

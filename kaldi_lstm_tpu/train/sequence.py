@@ -63,18 +63,120 @@ class DenGraph(NamedTuple):
                    jnp.asarray(g.state_phone, jnp.int32))
 
 
-def _den_logZ_from_em(graph: DenGraph, em: jax.Array,
-                      mask: jax.Array) -> jax.Array:
-    """Exact logsumexp forward over the dense graph on prepared
-    per-state emissions em [B, T, Ns] (padded frames must be 0 in em);
-    returns log p(X | den graph) [B]."""
+class PhoneLoopDenGraph(NamedTuple):
+    """Structured phone-loop denominator graph with an O(Ns)-per-frame
+    forward — the TPU-scalable replacement for DenGraph's dense
+    [Ns, Ns] relaxation (O(Ns^2) per frame is 64M lse terms at 7998
+    senones; the structure makes flagship-scale lattice-free
+    sequence training cheap).
+
+    Exploits the phone loop's shape: each state has only a self-loop
+    (`log_self`), an in-phone successor arc i -> i+1 (`log_fwd`, NEG at
+    phone-final states), and an exit (`log_final`) into ONE shared
+    non-emitting junction that fans out to every phone entry with
+    `loop_logp`. The junction factorizes the all-pairs loop-back block
+    of the dense matrix into one logsumexp pool per frame.
+
+    Also slightly MORE exact than DenGraph for 1-emitting-state phones:
+    the dense path merges the self-loop and re-entry parallel arcs with
+    max (a Viterbi merge), while here they stay separate lse terms.
+    """
+
+    log_self: jax.Array    # [Ns]
+    log_fwd: jax.Array     # [Ns] arc i -> i+1 (NEG at phone-final)
+    log_final: jax.Array   # [Ns] arc into the loop junction / final
+    is_entry: jax.Array    # [Ns] bool
+    loop_logp: jax.Array   # scalar: junction -> each entry
+    state_pdf: jax.Array   # [Ns] int32
+    state_phone: jax.Array  # [Ns] int32
+
+    @property
+    def start_logp(self) -> jax.Array:
+        return jnp.where(self.is_entry, self.loop_logp, NEG)
+
+    @property
+    def final_logp(self) -> jax.Array:
+        return self.log_final
+
+    @classmethod
+    def from_transition_model(cls, tm, phone_insertion_penalty: float = 0.0
+                              ) -> "PhoneLoopDenGraph":
+        """O(Ns)-memory construction straight from the transition model
+        (no dense matrix). Raises ValueError for split-pdf models or
+        topologies with skip arcs (fall back to the dense DenGraph)."""
+        tuples = tm.tuples
+        ns = len(tuples)
+        index = {(p, s): i for i, (p, s, _f, _l) in enumerate(tuples)}
+        log_self = np.full(ns, NEG)
+        log_fwd = np.full(ns, NEG)
+        log_final = np.full(ns, NEG)
+        state_pdf = np.zeros(ns, np.int32)
+        state_phone = np.zeros(ns, np.int32)
+        for i, (phone, hmm_state, fwd, slf) in enumerate(tuples):
+            if slf != fwd:
+                raise ValueError(
+                    "phone-loop den graph needs self_loop_pdf == "
+                    "forward_pdf (<Triples>-era model)")
+            state_pdf[i] = fwd
+            state_phone[i] = phone
+            topo_state = tm.topo.entry_for_phone(phone)[hmm_state]
+            for dst, prob in topo_state.transitions:
+                logp = np.log(max(prob, 1e-20))
+                if dst == hmm_state:
+                    log_self[i] = np.logaddexp(log_self[i], logp)
+                elif (phone, dst) in index:
+                    if index[(phone, dst)] != i + 1:
+                        raise ValueError(
+                            "phone-loop den graph needs a strictly "
+                            "sequential (no-skip) Bakis topology; use "
+                            "the dense DenGraph")
+                    log_fwd[i] = np.logaddexp(log_fwd[i], logp)
+                else:
+                    log_final[i] = np.logaddexp(log_final[i], logp)
+        phones = sorted({p for p, *_ in tuples})
+        is_entry = np.zeros(ns, bool)
+        for phone in phones:
+            s0 = min(s for p, s, _f, _l in tuples if p == phone)
+            is_entry[index[(phone, s0)]] = True
+        loop_logp = -np.log(len(phones)) - phone_insertion_penalty
+        return cls(jnp.asarray(log_self, jnp.float32),
+                   jnp.asarray(log_fwd, jnp.float32),
+                   jnp.asarray(log_final, jnp.float32),
+                   jnp.asarray(is_entry),
+                   jnp.float32(loop_logp),
+                   jnp.asarray(state_pdf, jnp.int32),
+                   jnp.asarray(state_phone, jnp.int32))
+
+
+def _struct_step(graph: PhoneLoopDenGraph, alpha: jax.Array,
+                 em_t: jax.Array) -> jax.Array:
+    """One O(Ns) lse-forward frame over the structured phone loop."""
+    pool = jax.nn.logsumexp(alpha + graph.log_final[None], axis=-1)
+    stay = alpha + graph.log_self[None]
+    shifted = alpha + graph.log_fwd[None]                    # arc i->i+1
+    fwd = jnp.concatenate(
+        [jnp.full_like(shifted[:, :1], NEG), shifted[:, :-1]], axis=1)
+    enter = jnp.where(graph.is_entry[None],
+                      pool[:, None] + graph.loop_logp, NEG)
+    return jnp.logaddexp(jnp.logaddexp(stay, fwd), enter) + em_t
+
+
+def _den_logZ_from_em(graph, em: jax.Array, mask: jax.Array) -> jax.Array:
+    """Exact logsumexp forward on prepared per-state emissions em
+    [B, T, Ns] (padded frames must be 0 in em); returns
+    log p(X | den graph) [B]. Dense [Ns, Ns] relaxation for DenGraph,
+    O(Ns) structured recurrence for PhoneLoopDenGraph."""
+    structured = isinstance(graph, PhoneLoopDenGraph)
     alpha0 = graph.start_logp[None, :] + em[:, 0]            # [B, Ns]
 
     def step(alpha, inputs):
         em_t, m_t = inputs                                   # [B,Ns],[B]
-        # logsumexp over source states of alpha + logA
-        nxt = jax.nn.logsumexp(alpha[:, :, None] + graph.logA[None],
-                               axis=1) + em_t
+        if structured:
+            nxt = _struct_step(graph, alpha, em_t)
+        else:
+            # logsumexp over source states of alpha + logA
+            nxt = jax.nn.logsumexp(alpha[:, :, None] + graph.logA[None],
+                                   axis=1) + em_t
         alpha = jnp.where(m_t[:, None] > 0, nxt, alpha)
         return alpha, None
 
@@ -117,7 +219,18 @@ def num_logprob(graph: DenGraph, loglik: jax.Array, states: jax.Array,
     total = jnp.sum(ac * mask, axis=-1)
     if with_transitions:
         lm = graph.start_logp[states[:, 0]]
-        trans = graph.logA[states[:, :-1], states[:, 1:]]    # [B, T-1]
+        if isinstance(graph, PhoneLoopDenGraph):
+            prev, cur = states[:, :-1], states[:, 1:]
+            stay = cur == prev
+            step_fwd = (cur == prev + 1) & (
+                graph.state_phone[cur] == graph.state_phone[prev])
+            loop = (graph.log_final[prev] + graph.loop_logp
+                    + jnp.where(graph.is_entry[cur], 0.0, NEG))
+            trans = jnp.where(stay, graph.log_self[prev],
+                              jnp.where(step_fwd, graph.log_fwd[prev],
+                                        loop))                # [B, T-1]
+        else:
+            trans = graph.logA[states[:, :-1], states[:, 1:]]  # [B, T-1]
         # transitions only between consecutive REAL frames
         lm = lm + jnp.sum(trans * mask[:, 1:], axis=-1)
         # final prob at the last real frame's state

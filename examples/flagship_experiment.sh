@@ -187,16 +187,15 @@ fi
 if [ ! -f "$dir/seq/.done" ]; then
   t0=$(stamp)
   mkdir -p "$dir/seq"
-  python -m kaldi_lstm_tpu.tools.nnet_forward \
+  head -n $NSEQ "$dir/lang/text" > "$dir/seq/text.seq"
+  # fused score+align: no multi-GB loglik ark between the stages
+  python -m kaldi_lstm_tpu.tools.nnet_align \
       --feature-transform "$dir/feats/feature_transform.nnet.txt" \
       --class-frame-counts "$dir/targets/counts.vec" --apply-log=true \
-      "$final_nnet" "scp:$dir/feats/seq.scp" "ark:$dir/seq/loglik_tr.ark"
-  head -n $NSEQ "$dir/lang/text" > "$dir/seq/text.seq"
-  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.align_mapped \
-      "$dir/lang/final.mdl" "$dir/lang/lexicon.txt" \
-      "ark:$dir/seq/loglik_tr.ark" "$dir/seq/text.seq" \
+      "$final_nnet" "$dir/lang/final.mdl" "$dir/lang/lexicon.txt" \
+      "scp:$dir/feats/seq.scp" "$dir/seq/text.seq" \
       "ark:$dir/seq/ali_re.ark" --acoustic-scale 1.0
-  log_stage "realign $NSEQ train utts (TPU fwd + host align)" "$t0"
+  log_stage "realign $NSEQ train utts (fused score+align)" "$t0"
   touch "$dir/seq/.done"
 fi
 

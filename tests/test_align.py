@@ -123,3 +123,75 @@ def test_align_mapped_cli_roundtrip(tmp_path):
         np.testing.assert_array_equal(pdfs, truths[key])
         seen += 1
     assert seen == 4
+
+
+def test_nnet_align_fused_matches_two_stage(tmp_path):
+    """Fused score+align (tools/nnet_align.py) produces the identical
+    ali.ark as nnet_forward -> align_mapped, without the intermediate
+    loglik ark."""
+    import jax
+    from kaldi_lstm_tpu.io.kaldi_io import (
+        SequentialMatrixReader,
+        _open_rspecifier,
+        _read_key,
+        _read_value_header,
+        read_int_vector,
+    )
+    import io as _io
+    from kaldi_lstm_tpu.models import Nnet
+    from kaldi_lstm_tpu.tools.align_mapped import main as align_main
+    from kaldi_lstm_tpu.tools.compute_class_counts import main as counts_main
+    from kaldi_lstm_tpu.tools.ali_to_pdf import main as a2p_main
+    from kaldi_lstm_tpu.tools.ali_to_post import main as a2post_main
+    from kaldi_lstm_tpu.tools.make_word_synth_data import main as mk_main
+    from kaldi_lstm_tpu.tools.nnet_align import main as fused_main
+    from kaldi_lstm_tpu.tools.nnet_forward import main as fwd_main
+
+    d = tmp_path
+    mk_main(["--dir", str(d), "--num-words", "6", "--num-phones", "5",
+             "--states-per-phone", "2", "--num-utts", "10",
+             "--feat-dim", "8", "--seed", "3"])
+    tm_pdfs = 5 * 2
+    a2p_main([f"{d}/final.mdl", f"ark:{d}/ali.ark", f"ark:{d}/pdf.ark"])
+    a2post_main([f"ark:{d}/pdf.ark", f"ark:{d}/post.ark"])
+    counts_main([f"ark:{d}/post.ark", f"{d}/counts.vec",
+                 "--num-classes", str(tm_pdfs)])
+    proto = f"""<NnetProto>
+<LstmProjectedStreams> <InputDim> 8 <OutputDim> 6 <CellDim> 8 <ParamScale> 0.08 <NumStream> 2
+<AffineTransform> <InputDim> 6 <OutputDim> {tm_pdfs} <ParamStddev> 0.2
+<Softmax> <InputDim> {tm_pdfs} <OutputDim> {tm_pdfs}
+</NnetProto>
+"""
+    nnet, params = Nnet.init_from_proto(proto, jax.random.PRNGKey(2))
+    nnet.write(f"{d}/nnet", params)
+
+    common = ["--class-frame-counts", f"{d}/counts.vec",
+              "--batch-utts", "3", "--length-bucket", "16"]
+    assert fwd_main([f"{d}/nnet", f"scp:{d}/feats.scp",
+                     f"ark:{d}/ll.ark", "--apply-log", "true"]
+                    + common) == 0
+    assert align_main([f"{d}/final.mdl", f"{d}/lexicon.txt",
+                       f"ark:{d}/ll.ark", f"{d}/text",
+                       f"ark:{d}/ali2.ark", "--acoustic-scale", "1.0"]
+                      ) == 0
+    assert fused_main([f"{d}/nnet", f"{d}/final.mdl", f"{d}/lexicon.txt",
+                       f"scp:{d}/feats.scp", f"{d}/text",
+                       f"ark:{d}/ali_fused.ark",
+                       "--acoustic-scale", "1.0"] + common) == 0
+
+    def read_ali(path):
+        kind, stream = _open_rspecifier(f"ark:{path}")
+        buf = _io.BufferedReader(stream)
+        out = {}
+        while True:
+            key = _read_key(buf)
+            if key is None:
+                break
+            out[key] = read_int_vector(_read_value_header(buf)).tolist()
+        return out
+
+    two_stage = read_ali(f"{d}/ali2.ark")
+    fused = read_ali(f"{d}/ali_fused.ark")
+    assert two_stage.keys() == fused.keys() and len(fused) == 10
+    for k in fused:
+        assert fused[k] == two_stage[k]

@@ -85,8 +85,11 @@ def parse(trace_dir, iters, G):
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "?")
-        # skip trace-viewer grouping rows
-        if name.startswith(("Steps", "XLA Modules", "XLA TraceMe")):
+        # skip trace-viewer grouping rows, per-iteration step lanes
+        # (bare numbers), and the jit/while parents that double-count
+        # their children
+        if name.startswith(("Steps", "XLA Modules", "XLA TraceMe",
+                            "jit_", "while")) or name.isdigit():
             continue
         dur = e.get("dur", 0) / 1e3   # us -> ms
         by_name[name] += dur

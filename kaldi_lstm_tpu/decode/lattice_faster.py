@@ -99,48 +99,62 @@ def decode_lattice_faster(graph: DecodingGraph, loglik: np.ndarray,
     Memory is O(T * num_states) for the per-level score snapshots plus
     the recorded arc lists — the same order as decode_faster's
     backpointer table."""
+    import os
+
     cg = compile_graph(graph)
     em = acoustic_scale * np.asarray(loglik, np.float64)
     T = em.shape[0]
     ns = cg.ns
 
-    alphas = np.full((T + 1, ns), NEG)
-    alpha = alphas[0]
-    alpha[cg.start] = 0.0
-    bp_dummy = np.full(ns, -1, np.int32)
-    _eps_closure(cg, alpha, bp_dummy, np.asarray([cg.start]))
-    active = np.nonzero(alpha > NEG / 2)[0]
+    native = None
+    if os.environ.get("KLT_DECODE_IMPL", "auto") != "python":
+        from kaldi_lstm_tpu.io.native import decode_lattice_native
+        native = decode_lattice_native(
+            ns, cg.em_ptr, cg.em_dst, cg.em_pdf, cg.em_w,
+            cg.eps_ptr, cg.eps_dst, cg.eps_w,
+            np.ascontiguousarray(em), beam, lattice_beam, max_active,
+            cg.start)
+    if native is not None:
+        alphas, em_kept, eps_kept = native
+    else:
+        alphas = np.full((T + 1, ns), NEG)
+        alpha = alphas[0]
+        alpha[cg.start] = 0.0
+        bp_dummy = np.full(ns, -1, np.int32)
+        _eps_closure(cg, alpha, bp_dummy, np.asarray([cg.start]))
+        active = np.nonzero(alpha > NEG / 2)[0]
 
-    em_kept: list = []      # per frame: recorded emitting arc ids
-    eps_kept: list = [_record_eps(cg, alpha, active, lattice_beam)]
+        em_kept = []      # per frame: recorded emitting arc ids
+        eps_kept = [_record_eps(cg, alpha, active, lattice_beam)]
 
-    for t in range(T):
-        prev_alpha, prev_active = alphas[t], active
-        ids = _out_arcs(cg.em_ptr, prev_active)
-        dst = cg.em_dst[ids]
-        cand = prev_alpha[cg.em_src[ids]] + cg.em_w[ids] \
-            + em[t][cg.em_pdf[ids]]
-        alpha = alphas[t + 1]
-        np.maximum.at(alpha, dst, cand)
-        touched = np.unique(dst)
-        if touched.size == 0:
-            raise RuntimeError(
-                f"decode_lattice_faster: no tokens survived at frame {t}"
-                " — beam too tight or loglik/graph mismatch")
-        scores = alpha[touched]
-        best = scores.max()
-        cutoff = best - beam
-        if max_active and (scores > cutoff).sum() > max_active:
-            cutoff = max(cutoff,
-                         np.partition(scores, -max_active)[-max_active])
-        alpha[touched[alpha[touched] < cutoff]] = NEG
-        active = touched[alpha[touched] > NEG / 2]
-        grown = _eps_closure(cg, alpha, bp_dummy, active, cutoff)
-        if grown.size:
-            active = np.unique(np.concatenate([active, grown]))
-        em_kept.append(_record_em(cg, prev_alpha, alpha, prev_active,
-                                  em[t], lattice_beam))
-        eps_kept.append(_record_eps(cg, alpha, active, lattice_beam))
+        for t in range(T):
+            prev_alpha, prev_active = alphas[t], active
+            ids = _out_arcs(cg.em_ptr, prev_active)
+            dst = cg.em_dst[ids]
+            cand = prev_alpha[cg.em_src[ids]] + cg.em_w[ids] \
+                + em[t][cg.em_pdf[ids]]
+            alpha = alphas[t + 1]
+            np.maximum.at(alpha, dst, cand)
+            touched = np.unique(dst)
+            if touched.size == 0:
+                raise RuntimeError(
+                    f"decode_lattice_faster: no tokens survived at frame "
+                    f"{t} — beam too tight or loglik/graph mismatch")
+            scores = alpha[touched]
+            best = scores.max()
+            cutoff = best - beam
+            if max_active and (scores > cutoff).sum() > max_active:
+                cutoff = max(cutoff,
+                             np.partition(scores,
+                                          -max_active)[-max_active])
+            alpha[touched[alpha[touched] < cutoff]] = NEG
+            active = touched[alpha[touched] > NEG / 2]
+            grown = _eps_closure(cg, alpha, bp_dummy, active, cutoff)
+            if grown.size:
+                active = np.unique(np.concatenate([active, grown]))
+            em_kept.append(_record_em(cg, prev_alpha, alpha, prev_active,
+                                      em[t], lattice_beam))
+            eps_kept.append(_record_eps(cg, alpha, active, lattice_beam))
 
     # ---- backward: exact beta over the recorded arcs --------------------
     alpha_T = alphas[T]

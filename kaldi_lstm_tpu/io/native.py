@@ -74,6 +74,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             PD, D, D, ctypes.c_int64, ctypes.c_int64, PD, PI]
     except AttributeError:
         pass  # stale prebuilt .so in a read-only env; decoder falls back
+    try:
+        lib.klt_decode_lattice.restype = ctypes.c_int64
+        lib.klt_decode_lattice.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            P64, PI, PI, PD, ctypes.c_int64,
+            P64, PI, PD,
+            PD, D, D, ctypes.c_int64, ctypes.c_int64,
+            PD, P64, ctypes.c_int64, P64, P64, ctypes.c_int64, P64]
+    except AttributeError:
+        pass
     _LIB = lib
     return _LIB
 
@@ -202,6 +212,58 @@ def decode_faster_native(ns: int, em_ptr, em_dst, em_pdf, em_w,
             f"decode_faster: no tokens survived at frame {-rc - 1} — "
             "beam too tight or loglik/graph mismatch")
     return alpha, bps
+
+
+def decode_lattice_native(ns: int, em_ptr, em_dst, em_pdf, em_w,
+                          eps_ptr, eps_dst, eps_w, em: np.ndarray,
+                          beam: float, lattice_beam: float,
+                          max_active: int, start: int):
+    """Lattice-generating forward pass in C++ (native/kltdecode.cc).
+
+    `em` is the pre-scaled [T, K] float64 emission matrix. Returns
+    (alphas [(T+1), ns], em_kept per-frame id arrays, eps_kept
+    per-level id arrays) or None when unavailable; raises RuntimeError
+    when no token survives a frame.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "klt_decode_lattice"):
+        return None
+    T, K = em.shape
+    alphas = np.empty((T + 1, ns), np.float64)
+    em_out_ptr = np.zeros(T + 1, np.int64)
+    eps_out_ptr = np.zeros(T + 2, np.int64)
+    em_cap, eps_cap = 64 * T + 4096, 64 * (T + 2) + 4096
+    while True:
+        em_ids = np.empty(em_cap, np.int64)
+        eps_ids = np.empty(eps_cap, np.int64)
+        rc = lib.klt_decode_lattice(
+            ns, T, K,
+            _ptr(em_ptr, ctypes.c_int64), _ptr(em_dst, ctypes.c_int),
+            _ptr(em_pdf, ctypes.c_int), _ptr(em_w, ctypes.c_double),
+            len(em_dst),
+            _ptr(eps_ptr, ctypes.c_int64), _ptr(eps_dst, ctypes.c_int),
+            _ptr(eps_w, ctypes.c_double),
+            _ptr(em, ctypes.c_double), float(beam), float(lattice_beam),
+            int(max_active), int(start),
+            _ptr(alphas, ctypes.c_double),
+            _ptr(em_ids, ctypes.c_int64), em_cap,
+            _ptr(em_out_ptr, ctypes.c_int64),
+            _ptr(eps_ids, ctypes.c_int64), eps_cap,
+            _ptr(eps_out_ptr, ctypes.c_int64))
+        if rc == 1:  # capacity exceeded; ptr arrays carry true counts
+            em_cap = max(em_cap, int(em_out_ptr[T]) + 1)
+            eps_cap = max(eps_cap, int(eps_out_ptr[T + 1]) + 1)
+            continue
+        if rc < 0:
+            raise RuntimeError(
+                f"decode_lattice_faster: no tokens survived at frame "
+                f"{-rc - 1} — beam too tight or loglik/graph mismatch")
+        break
+    em_kept = [em_ids[em_out_ptr[t]:em_out_ptr[t + 1]].copy()
+               for t in range(T)]
+    eps_kept = [eps_ids[eps_out_ptr[l]:eps_out_ptr[l + 1]].copy()
+                for l in range(T + 1)]
+    return alphas, em_kept, eps_kept
 
 
 def fill_batch(T: int, delay: int, feats_p: np.ndarray, ids_p: np.ndarray,

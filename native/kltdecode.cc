@@ -26,6 +26,7 @@ struct EpsClosure {
   // one relaxation to fixed point over the epsilon CSR; mirrors
   // _eps_closure (max 32 passes, strict-improvement updates, cutoff
   // applied to candidates). Appends newly-improved states to `grown`.
+  // bp may be null (lattice forward records arcs separately).
   static void run(int64_t ns, const int64_t* ptr, const int32_t* dst,
                   const double* w, int64_t num_em, double* alpha,
                   int32_t* bp, std::vector<int32_t>& frontier,
@@ -42,7 +43,7 @@ struct EpsClosure {
           const int32_t d = dst[a];
           if (cand > alpha[d]) {
             alpha[d] = cand;
-            bp[d] = static_cast<int32_t>(num_em + a);
+            if (bp != nullptr) bp[d] = static_cast<int32_t>(num_em + a);
             if (stamp[d] != epoch) {
               stamp[d] = epoch;
               next.push_back(d);
@@ -152,4 +153,148 @@ extern "C" int64_t klt_decode_faster(
   }
   std::memcpy(alpha_out, alpha.data(), sizeof(double) * ns);
   return 0;
+}
+
+// Lattice-generating forward pass (decode/lattice_faster.py): the same
+// beam search as klt_decode_faster, but it snapshots every level's
+// alpha row into `alphas` [(T+1), ns] and records, per level, the
+// emitting / epsilon arc ids that land within `lattice_beam` of their
+// destination's post-pruning score (the provably sufficient superset
+// the Python backward prunes exactly). Emissions arrive PRE-SCALED
+// (em = acoustic_scale * loglik, double [T, K]).
+//
+// Recorded ids go to em_ids (em_ptr [T+1] offsets; frame t's arcs at
+// [em_ptr[t], em_ptr[t+1])) and eps_ids (eps_ptr [T+2]; level l at
+// [eps_ptr[l], eps_ptr[l+1])). Returns 0 on success, 1 if either
+// capacity (em_cap / eps_cap) was exceeded (caller enlarges and
+// retries), -(t+1) if no token survived frame t.
+extern "C" int64_t klt_decode_lattice(
+    int64_t ns, int64_t T, int64_t K,
+    const int64_t* em_ptr_csr, const int32_t* em_dst,
+    const int32_t* em_pdf, const double* em_w, int64_t num_em,
+    const int64_t* eps_ptr_csr, const int32_t* eps_dst,
+    const double* eps_w,
+    const double* em /* [T, K] pre-scaled */, double beam,
+    double lattice_beam, int64_t max_active, int64_t start,
+    double* alphas /* [(T+1), ns] */,
+    int64_t* em_ids, int64_t em_cap, int64_t* em_ptr /* [T+1] */,
+    int64_t* eps_ids, int64_t eps_cap, int64_t* eps_ptr /* [T+2] */) {
+  std::vector<int32_t> active, touched, grown, stamp(ns, 0);
+  std::vector<double> scores;
+  int32_t epoch = 0;
+  int64_t em_n = 0, eps_n = 0;
+  bool overflow = false;
+
+  std::fill(alphas, alphas + (T + 1) * ns, kNeg);
+  double* alpha = alphas;
+  alpha[start] = 0.0;
+  active.push_back(static_cast<int32_t>(start));
+  grown.clear();
+  {
+    std::vector<int32_t> frontier = active;
+    EpsClosure::run(ns, eps_ptr_csr, eps_dst, eps_w, num_em, alpha,
+                    nullptr, frontier, kNeg, grown, stamp, epoch);
+  }
+  for (int32_t s : grown)
+    if (alpha[s] > kNeg / 2) active.push_back(s);
+  std::sort(active.begin(), active.end());
+  active.erase(std::unique(active.begin(), active.end()), active.end());
+
+  auto record_eps = [&](const double* a, int64_t level) {
+    eps_ptr[level] = eps_n;
+    for (int32_t s : active) {
+      if (a[s] <= kNeg / 2) continue;
+      for (int64_t e = eps_ptr_csr[s]; e < eps_ptr_csr[s + 1]; ++e) {
+        const int32_t d = eps_dst[e];
+        if (a[d] <= kNeg / 2) continue;
+        if (a[s] + eps_w[e] >= a[d] - lattice_beam) {
+          if (eps_n < eps_cap) eps_ids[eps_n] = e;
+          else overflow = true;
+          ++eps_n;
+        }
+      }
+    }
+    eps_ptr[level + 1] = eps_n;
+  };
+  record_eps(alpha, 0);
+
+  std::vector<int32_t> prev_active;
+  for (int64_t t = 0; t < T; ++t) {
+    const double* em_t = em + t * K;
+    const double* alpha_prev = alphas + t * ns;
+    double* alpha_new = alphas + (t + 1) * ns;
+    prev_active = active;
+    touched.clear();
+    ++epoch;
+    for (int32_t s : prev_active) {
+      const double base = alpha_prev[s];
+      for (int64_t a = em_ptr_csr[s]; a < em_ptr_csr[s + 1]; ++a) {
+        const double cand = base + em_w[a] + em_t[em_pdf[a]];
+        const int32_t d = em_dst[a];
+        if (cand > alpha_new[d]) alpha_new[d] = cand;
+        if (stamp[d] != epoch) {
+          stamp[d] = epoch;
+          touched.push_back(d);
+        }
+      }
+    }
+    if (touched.empty()) return -(t + 1);
+
+    double best = kNeg;
+    for (int32_t d : touched) best = std::max(best, alpha_new[d]);
+    double cutoff = best - beam;
+    if (max_active > 0) {
+      int64_t above = 0;
+      for (int32_t d : touched)
+        if (alpha_new[d] > cutoff) ++above;
+      if (above > max_active) {
+        scores.clear();
+        for (int32_t d : touched) scores.push_back(alpha_new[d]);
+        std::nth_element(scores.begin(),
+                         scores.end() - max_active, scores.end());
+        cutoff = std::max(cutoff, *(scores.end() - max_active));
+      }
+    }
+    active.clear();
+    for (int32_t d : touched) {
+      if (alpha_new[d] < cutoff) {
+        alpha_new[d] = kNeg;
+      } else if (alpha_new[d] > kNeg / 2) {
+        active.push_back(d);
+      }
+    }
+    std::sort(active.begin(), active.end());
+    grown.clear();
+    {
+      std::vector<int32_t> frontier = active;
+      EpsClosure::run(ns, eps_ptr_csr, eps_dst, eps_w, num_em,
+                      alpha_new, nullptr, frontier, cutoff, grown,
+                      stamp, epoch);
+    }
+    if (!grown.empty()) {
+      for (int32_t s : grown) active.push_back(s);
+      std::sort(active.begin(), active.end());
+      active.erase(std::unique(active.begin(), active.end()),
+                   active.end());
+    }
+    // record emitting arcs from the PREVIOUS level's frontier landing
+    // within lattice_beam of the destination's post-pruning score
+    em_ptr[t] = em_n;
+    for (int32_t s : prev_active) {
+      const double base = alpha_prev[s];
+      for (int64_t a = em_ptr_csr[s]; a < em_ptr_csr[s + 1]; ++a) {
+        const int32_t d = em_dst[a];
+        const double ds = alpha_new[d];
+        if (ds <= kNeg / 2) continue;
+        if (base + em_w[a] + em_t[em_pdf[a]] >= ds - lattice_beam) {
+          if (em_n < em_cap) em_ids[em_n] = a;
+          else overflow = true;
+          ++em_n;
+        }
+      }
+    }
+    em_ptr[t + 1] = em_n;
+    record_eps(alpha_new, t + 1);
+  }
+  return overflow ? 1 : 0;
 }

@@ -273,3 +273,41 @@ def test_native_matches_python_vectorized(monkeypatch):
             assert a.words == b.words
             assert a.score == b.score  # bit-exact, not approx
             assert a.reached_final == b.reached_final
+
+
+def test_native_lattice_matches_python(monkeypatch):
+    """The C++ lattice forward (klt_decode_lattice) yields the exact
+    same pruned lattice (states, arcs, costs, finals) as the numpy
+    path."""
+    from kaldi_lstm_tpu.decode.lattice_faster import decode_lattice_faster
+    from kaldi_lstm_tpu.io.native import get_lib
+    import pytest
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "klt_decode_lattice"):
+        pytest.skip("native lattice core unavailable")
+    lex, lm, tm, means, rng = _oracle_setup(num_words=8, seed=31)
+    from kaldi_lstm_tpu.tools.make_word_synth_data import sample_sentence
+    graph = build_decoding_graph(tm, lex, lm)
+
+    def sig(lat):
+        arcs = []
+        for s, al in enumerate(lat.arcs):
+            for a in al:
+                arcs.append((s, a.ilabel, a.olabel, a.graph_cost,
+                             a.acoustic_cost, a.dst))
+        return (lat.start, sorted(lat.final.items()), sorted(arcs),
+                lat.reached_final)
+
+    for max_active in (0, 12):
+        for _ in range(3):
+            sent = sample_sentence(rng, lm, sorted(lex), 6) or ["w000"]
+            loglik = _emit(tm, lex, means, rng, sent, noise=0.7)
+            monkeypatch.setenv("KLT_DECODE_IMPL", "auto")
+            a = decode_lattice_faster(graph, loglik, 1.0, beam=14.0,
+                                      lattice_beam=5.0,
+                                      max_active=max_active)
+            monkeypatch.setenv("KLT_DECODE_IMPL", "python")
+            b = decode_lattice_faster(graph, loglik, 1.0, beam=14.0,
+                                      lattice_beam=5.0,
+                                      max_active=max_active)
+            assert sig(a) == sig(b)

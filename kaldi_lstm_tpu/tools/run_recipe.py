@@ -75,8 +75,22 @@ def main(argv=None) -> int:
     os.makedirs(f"{d}/log", exist_ok=True)
     os.makedirs(f"{d}/nnet", exist_ok=True)
 
+    def _valid_nnet(path: str) -> bool:
+        """A killed run can leave a truncated/empty model; resuming
+        from it would EOFError deep in the trainer — validate first."""
+        if not os.path.exists(path):
+            return False
+        try:
+            from kaldi_lstm_tpu.models import Nnet
+            Nnet.read(path)
+            return True
+        except Exception:
+            LOG(f"WARNING: {path} is unreadable (truncated by a killed "
+                "run?), regenerating")
+            return False
+
     nnet_init = f"{d}/nnet.init"
-    if not os.path.exists(nnet_init):
+    if not _valid_nnet(nnet_init):
         if not args.proto:
             print("error: no nnet.init and no --proto given",
                   file=sys.stderr)
@@ -84,7 +98,7 @@ def main(argv=None) -> int:
         LOG("Initializing lstm")
         nnet_initialize.main([args.proto, nnet_init])
     iter0 = f"{d}/nnet/nnet.iter0"
-    if not os.path.exists(iter0):
+    if not _valid_nnet(iter0):
         import shutil
         shutil.copy(nnet_init, iter0)
 

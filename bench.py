@@ -174,6 +174,14 @@ def main():
                      nnet_d, params_d, S=512, group=32, bf16=True)
     details["deep_grouped32_bf16"] = round(med, 1)
 
+    # per-dispatch is normally dominated by the grouped step, but if a
+    # backend inverts that, re-measure it with repeats so the headline
+    # stays "best measured configuration"
+    if best_sweep > max(v[0] for v in cand.values()):
+        med, spr = measure(f"per-dispatch S={best_S} (headline check)",
+                           nnet, params, S=best_S)
+        cand[f"per_dispatch_S{best_S}"] = (med, spr)
+
     name, (best, spread) = max(cand.items(), key=lambda kv: kv[1][0])
     print(f"headline: {name}", file=sys.stderr)
     print(json.dumps({

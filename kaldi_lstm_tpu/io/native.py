@@ -31,19 +31,41 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so = os.path.join(_native_dir(), "libkltio.so")
-    # always let make check freshness (no-op when the .so is newer than
-    # kltio.cc) so a stale binary can never shadow edited source; the
-    # binary is NOT committed — fresh checkouts build here on first use
+    # let make check freshness (no-op when the .so is newer than the
+    # sources) so a stale binary cannot silently shadow edited source;
+    # the binary is NOT committed — fresh checkouts build on first use.
+    # The build AND the dlopen run under an exclusive file lock so
+    # concurrent process startups (multi-host launch, pytest-xdist)
+    # neither race the linker nor load a half-written .so.
+    lock = None
     try:
-        subprocess.run(["make", "-C", _native_dir()], check=True,
-                       capture_output=True, timeout=120)
+        import fcntl
+        lock = open(os.path.join(_native_dir(), ".build.lock"), "a+")
+        fcntl.flock(lock, fcntl.LOCK_EX)
     except Exception:
-        if not os.path.exists(so):  # read-only env without a prebuilt .so
-            return None
+        lock = None  # read-only dir: single-process semantics anyway
     try:
-        lib = ctypes.CDLL(so)
-    except OSError:
-        return None
+        try:
+            subprocess.run(["make", "-C", _native_dir()], check=True,
+                           capture_output=True, timeout=120)
+        except Exception as e:
+            if not os.path.exists(so):  # no prebuilt .so to fall back on
+                return None
+            import sys
+            print(f"WARNING: native rebuild failed ({e!r}); using the "
+                  f"existing {so} which may be STALE", file=sys.stderr)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+    finally:
+        if lock is not None:
+            try:
+                import fcntl
+                fcntl.flock(lock, fcntl.LOCK_UN)
+            except Exception:
+                pass
+            lock.close()
 
     L = ctypes.c_long
     I = ctypes.c_int

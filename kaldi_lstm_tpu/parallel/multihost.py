@@ -190,7 +190,16 @@ class SyncedScheduler:
 
     def __iter__(self) -> Iterator[StreamBatch]:
         if self.target_steps is not None:
+            if getattr(self, "_live_done", False):
+                # live mode discovers target_steps by EXHAUSTING the
+                # underlying StreamScheduler; a second pass would yield
+                # target_steps of all-filler batches and train on
+                # nothing, silently — refuse instead
+                raise RuntimeError(
+                    "SyncedScheduler is single-use in live mode; "
+                    "construct a new one (fresh readers) per epoch")
             return self._iter_counted()
+        self._live_done = True
         return self._iter_live()
 
 

@@ -63,6 +63,10 @@ def main(argv=None) -> int:
                    help="transcript tokens are word ids from "
                         "--word-symbol-table")
     args = p.parse_args(argv)
+    if args.transcripts_are_ids and not args.word_symbol_table:
+        print("nnet_align: --transcripts-are-ids requires "
+              "--word-symbol-table", file=sys.stderr)
+        return 1
     from kaldi_lstm_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     if str(args.apply_log).lower() not in ("true", "1", "yes") and \

@@ -104,12 +104,15 @@ def main(argv=None) -> int:
                   * args.log_amp_stddev).astype(np.float32)
     rng = np.random.RandomState(args.seed)
 
-    carrier_cache = {}
+    # small FIFO cache: utterance lengths interleave, so keep several
+    # carrier tables instead of thrashing one slot per length change
+    carrier_cache: dict = {}
 
     def carriers(n_samp):
         if n_samp not in carrier_cache:
+            if len(carrier_cache) >= 16:
+                carrier_cache.pop(next(iter(carrier_cache)))
             t = np.arange(n_samp) / fs
-            carrier_cache.clear()  # one entry is enough per length
             carrier_cache[n_samp] = np.sin(
                 2 * np.pi * freqs[:, None] * t[None, :]
                 + phases[:, None]).astype(np.float32)

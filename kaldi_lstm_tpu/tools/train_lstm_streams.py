@@ -144,6 +144,15 @@ def main(argv=None, _stats_out=None) -> int:
                         l2_penalty=args.l2_penalty,
                         objective=args.objective_function)
 
+    if args.debug_dump and ("ark:-" in (args.feature_rspecifier,
+                                        args.targets_rspecifier)
+                            or args.feature_rspecifier == "-"
+                            or args.targets_rspecifier == "-"):
+        # the dump pre-reads the rspecifiers with its own readers; a
+        # single-shot stdin stream would be consumed before training
+        WARN("--debug-dump skipped: stdin rspecifiers cannot be read "
+             "twice")
+        args.debug_dump = ""
     if args.debug_dump:
         import numpy as np
         from kaldi_lstm_tpu.tools.nnet_debug_dump import (

@@ -226,7 +226,12 @@ def num_logprob(graph: DenGraph, loglik: jax.Array, states: jax.Array,
                 graph.state_phone[cur] == graph.state_phone[prev])
             loop = (graph.log_final[prev] + graph.loop_logp
                     + jnp.where(graph.is_entry[cur], 0.0, NEG))
-            trans = jnp.where(stay, graph.log_self[prev],
+            # a same-state pair on a 1-emitting-state phone is ambiguous
+            # (self-loop OR re-entry; the tuple-index path cannot tell):
+            # score it max(self, re-entry) — exactly the dense graph's
+            # Viterbi-merged diagonal, so both graph types agree
+            stay_score = jnp.maximum(graph.log_self[prev], loop)
+            trans = jnp.where(stay, stay_score,
                               jnp.where(step_fwd, graph.log_fwd[prev],
                                         loop))                # [B, T-1]
         else:

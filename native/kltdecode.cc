@@ -23,25 +23,31 @@ namespace {
 constexpr double kNeg = -1e30;
 
 struct EpsClosure {
-  // one relaxation to fixed point over the epsilon CSR; mirrors
-  // _eps_closure (max 32 passes, strict-improvement updates, cutoff
-  // applied to candidates). Appends newly-improved states to `grown`.
-  // bp may be null (lattice forward records arcs separately).
+  // relaxation to fixed point over the epsilon CSR, replicating
+  // _eps_closure EXACTLY: each pass is Jacobi from a pass-start
+  // snapshot (numpy computes all candidates before np.maximum.at),
+  // `>=` replaces so the LAST equal-scoring arc wins the backpointer,
+  // and only strict improvements over the pass-start value propagate.
+  // Max 32 passes; cutoff drops candidates (strict >). Appends
+  // newly-improved states to `grown`. bp may be null (lattice forward
+  // records arcs separately).
   static void run(int64_t ns, const int64_t* ptr, const int32_t* dst,
                   const double* w, int64_t num_em, double* alpha,
                   int32_t* bp, std::vector<int32_t>& frontier,
                   double cutoff, std::vector<int32_t>& grown,
                   std::vector<int32_t>& stamp, int32_t& epoch) {
     std::vector<int32_t> next;
+    std::vector<double> alpha_old(alpha, alpha + ns);
     for (int pass = 0; pass < 32 && !frontier.empty(); ++pass) {
       ++epoch;
       next.clear();
+      if (pass > 0) std::copy(alpha, alpha + ns, alpha_old.begin());
       for (int32_t s : frontier) {
         for (int64_t a = ptr[s]; a < ptr[s + 1]; ++a) {
-          const double cand = alpha[s] + w[a];
+          const double cand = alpha_old[s] + w[a];
           if (cand <= cutoff) continue;
           const int32_t d = dst[a];
-          if (cand > alpha[d]) {
+          if (cand > alpha_old[d] && cand >= alpha[d]) {
             alpha[d] = cand;
             if (bp != nullptr) bp[d] = static_cast<int32_t>(num_em + a);
             if (stamp[d] != epoch) {
@@ -51,6 +57,7 @@ struct EpsClosure {
           }
         }
       }
+      std::sort(next.begin(), next.end());
       frontier.swap(next);
       grown.insert(grown.end(), frontier.begin(), frontier.end());
     }

@@ -157,9 +157,11 @@ def decode_lattice_faster(graph: DecodingGraph, loglik: np.ndarray,
             eps_kept.append(_record_eps(cg, alpha, active, lattice_beam))
 
     # ---- backward: exact beta over the recorded arcs --------------------
+    # only two beta rows live at a time (levels t and t+1): a full
+    # [(T+1), ns] table cost more to ALLOCATE than the native forward
+    # pass takes (profiled ~60 ms/utterance in np.full)
     alpha_T = alphas[T]
-    betas = np.full((T + 1, ns), NEG)
-    beta = betas[T]
+    beta = np.full(ns, NEG)
     fin_active = (alpha_T > NEG / 2) & (cg.final > NEG / 2)
     reached_final = bool(fin_active.any())
     if reached_final:
@@ -177,6 +179,7 @@ def decode_lattice_faster(graph: DecodingGraph, loglik: np.ndarray,
         best_total = best_alpha
         final_cost = {int(s): 0.0 for s in np.nonzero(good)[0]}
     _reverse_eps(cg, beta, eps_kept[T])
+    beta_T = beta.copy()    # needed for the final-weight pruning below
     thresh = best_total - lattice_beam
 
     kept_em_final: list = [None] * T
@@ -194,8 +197,8 @@ def decode_lattice_faster(graph: DecodingGraph, loglik: np.ndarray,
     prune_eps(T, beta)
     for t in range(T - 1, -1, -1):
         ids = em_kept[t]
-        beta_next = betas[t + 1]
-        beta_t = betas[t]
+        beta_next = beta
+        beta_t = np.full(ns, NEG)
         if ids.size:
             arc_cost = cg.em_w[ids] + em[t][cg.em_pdf[ids]]
             contrib = arc_cost + beta_next[cg.em_dst[ids]]
@@ -206,6 +209,7 @@ def decode_lattice_faster(graph: DecodingGraph, loglik: np.ndarray,
             kept_em_final[t] = ids
         _reverse_eps(cg, beta_t, eps_kept[t])
         prune_eps(t, beta_t)
+        beta = beta_t
 
     # ---- build the lattice ----------------------------------------------
     lat = Lattice()
@@ -235,7 +239,7 @@ def decode_lattice_faster(graph: DecodingGraph, loglik: np.ndarray,
                     sid(level + 1, int(cg.em_dst[a]))))
     for s, cost in final_cost.items():
         # only finals that survive global pruning get a final weight
-        if alphas[T][s] + betas[T][s] >= thresh - 1e-9:
+        if alphas[T][s] + beta_T[s] >= thresh - 1e-9:
             lat.final[sid(T, s)] = (cost, 0.0)
     lat.reached_final = reached_final
     return lat

@@ -160,8 +160,10 @@ if [ ! -f "$dir/score/.decoded" ]; then
       "ark:$dir/score/loglik.ark" "ark,t:$dir/score/hyp.txt" \
       --word-symbol-table "$dir/lang/words.txt" --acoustic-scale 1.0 \
       --beam 13 --max-active 7000
-  wer=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_wer \
-      "$dir/score/text.cv" "$dir/score/hyp.txt" | tee /dev/stderr | head -1)
+  wer_out=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_wer \
+      "$dir/score/text.cv" "$dir/score/hyp.txt")
+  echo "$wer_out" >&2
+  wer=$(printf '%s\n' "$wer_out" | sed -n 1p)
   log_stage "word decode (xent model)" "$t0" "$wer"
   touch "$dir/score/.decoded"
 fi
@@ -175,8 +177,10 @@ if [ ! -f "$dir/score/.latgen" ]; then
   "${CPU[@]}" python -m kaldi_lstm_tpu.tools.lattice_best_path \
       "ark:$dir/score/lat.ark" "ark,t:$dir/score/hyp_lat.txt" \
       --word-symbol-table "$dir/lang/words.txt"
-  wer=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_wer \
-      "$dir/score/text.cv" "$dir/score/hyp_lat.txt" | head -1)
+  wer_out=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_wer \
+      "$dir/score/text.cv" "$dir/score/hyp_lat.txt")
+  echo "$wer_out" >&2
+  wer=$(printf '%s\n' "$wer_out" | sed -n 1p)
   "${CPU[@]}" python -m kaldi_lstm_tpu.tools.lattice_to_ctm \
       "ark:$dir/score/lat.ark" "$dir/score/hyp.ctm" \
       --word-symbol-table "$dir/lang/words.txt"
@@ -222,8 +226,10 @@ if [ ! -f "$dir/seq/.decoded" ]; then
       "ark:$dir/seq/loglik_cv.ark" "ark,t:$dir/seq/hyp_smbr.txt" \
       --word-symbol-table "$dir/lang/words.txt" --acoustic-scale 1.0 \
       --beam 13 --max-active 7000
-  wer=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_wer \
-      "$dir/score/text.cv" "$dir/seq/hyp_smbr.txt" | head -1)
+  wer_out=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_wer \
+      "$dir/score/text.cv" "$dir/seq/hyp_smbr.txt")
+  echo "$wer_out" >&2
+  wer=$(printf '%s\n' "$wer_out" | sed -n 1p)
   log_stage "word decode (sMBR model)" "$t0" "$wer"
   touch "$dir/seq/.decoded"
 fi

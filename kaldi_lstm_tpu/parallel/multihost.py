@@ -189,17 +189,17 @@ class SyncedScheduler:
                 steps += 1
 
     def __iter__(self) -> Iterator[StreamBatch]:
+        # the underlying StreamScheduler is single-use: a second pass
+        # (either mode) would silently yield only filler batches and
+        # train on nothing — refuse instead
+        if getattr(self, "_iterated", False):
+            raise RuntimeError(
+                "SyncedScheduler is single-use (its StreamScheduler is "
+                "exhausted); construct a new one with fresh readers "
+                "per epoch")
+        self._iterated = True
         if self.target_steps is not None:
-            if getattr(self, "_live_done", False):
-                # live mode discovers target_steps by EXHAUSTING the
-                # underlying StreamScheduler; a second pass would yield
-                # target_steps of all-filler batches and train on
-                # nothing, silently — refuse instead
-                raise RuntimeError(
-                    "SyncedScheduler is single-use in live mode; "
-                    "construct a new one (fresh readers) per epoch")
             return self._iter_counted()
-        self._live_done = True
         return self._iter_live()
 
 

@@ -39,6 +39,36 @@ from kaldi_lstm_tpu.io.transition_model import TransitionModel
 from kaldi_lstm_tpu.utils import LOG
 
 
+def align_stream(pairs, texts, tm, lexicon, words, args, writer
+                 ) -> tuple[int, int, int]:
+    """Shared per-utterance alignment loop of this CLI and the fused
+    tools/nnet_align.py: (key, loglik) pairs in, transition-id
+    alignments out via `writer`. Returns (aligned, no_text, failed)."""
+    n = no_text = failed = 0
+    for key, mat in pairs:
+        sent = texts.get(key)
+        if sent is None:
+            LOG(f"WARNING: {key}: no transcript, skipping")
+            no_text += 1
+            continue
+        if args.transcripts_are_ids:
+            sent = [words.id2sym[int(t)] for t in sent]
+        try:
+            graph = build_alignment_graph(
+                tm, lexicon, sent, words=words,
+                sil_phone=args.sil_phone, sil_prob=args.sil_prob)
+            tids, _w, _score = align_mapped(
+                graph, mat, args.acoustic_scale, args.beam,
+                args.max_active)
+        except (AlignmentError, ValueError) as e:
+            LOG(f"WARNING: {key}: {e}")
+            failed += 1
+            continue
+        writer.write(key, tids)
+        n += 1
+    return n, no_text, failed
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         description="Viterbi forced alignment of log-likelihoods "
@@ -65,29 +95,10 @@ def main(argv=None) -> int:
              if args.word_symbol_table else None)
     texts = read_text_table(args.transcripts)
 
-    n = no_text = failed = 0
     with TableWriter(args.ali_wspecifier, write_int_vector) as w:
-        for key, mat in SequentialMatrixReader(args.loglik_rspecifier):
-            sent = texts.get(key)
-            if sent is None:
-                LOG(f"WARNING: {key}: no transcript, skipping")
-                no_text += 1
-                continue
-            if args.transcripts_are_ids:
-                sent = [words.id2sym[int(t)] for t in sent]
-            try:
-                graph = build_alignment_graph(
-                    tm, lexicon, sent, words=words,
-                    sil_phone=args.sil_phone, sil_prob=args.sil_prob)
-                tids, _w, score = align_mapped(
-                    graph, mat, args.acoustic_scale, args.beam,
-                    args.max_active)
-            except (AlignmentError, ValueError) as e:
-                LOG(f"WARNING: {key}: {e}")
-                failed += 1
-                continue
-            w.write(key, tids)
-            n += 1
+        n, no_text, failed = align_stream(
+            SequentialMatrixReader(args.loglik_rspecifier), texts, tm,
+            lexicon, words, args, w)
     LOG(f"Aligned {n} utterances"
         + (f"; {no_text} without transcript" if no_text else "")
         + (f"; {failed} failed" if failed else ""))

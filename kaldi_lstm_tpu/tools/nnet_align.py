@@ -19,11 +19,6 @@ from __future__ import annotations
 import argparse
 import sys
 
-from kaldi_lstm_tpu.decode.align import (
-    AlignmentError,
-    align_mapped,
-    build_alignment_graph,
-)
 from kaldi_lstm_tpu.io.kaldi_io import (
     SequentialMatrixReader,
     TableWriter,
@@ -35,6 +30,7 @@ from kaldi_lstm_tpu.io.lang import (
     read_text_table,
 )
 from kaldi_lstm_tpu.io.transition_model import TransitionModel
+from kaldi_lstm_tpu.tools.align_mapped import align_stream
 from kaldi_lstm_tpu.tools.nnet_forward import (
     add_forward_args,
     scorer_from_args,
@@ -84,30 +80,24 @@ def main(argv=None) -> int:
              if args.word_symbol_table else None)
     texts = read_text_table(args.transcripts)
 
-    n = no_text = failed = 0
-    with TableWriter(args.ali_wspecifier, write_int_vector) as w:
-        for key, loglik in scorer.score_stream(
-                SequentialMatrixReader(args.feature_rspecifier)):
-            sent = texts.get(key)
-            if sent is None:
+    # skip transcript-less utterances BEFORE scoring: a discarded
+    # device forward at flagship dims is the expensive part
+    no_text = 0
+
+    def with_transcripts(reader):
+        nonlocal no_text
+        for key, feats in reader:
+            if key not in texts:
                 LOG(f"WARNING: {key}: no transcript, skipping")
                 no_text += 1
                 continue
-            if args.transcripts_are_ids:
-                sent = [words.id2sym[int(t)] for t in sent]
-            try:
-                graph = build_alignment_graph(
-                    tm, lexicon, sent, words=words,
-                    sil_phone=args.sil_phone, sil_prob=args.sil_prob)
-                tids, _w, _score = align_mapped(
-                    graph, loglik, args.acoustic_scale, args.beam,
-                    args.max_active)
-            except (AlignmentError, ValueError) as e:
-                LOG(f"WARNING: {key}: {e}")
-                failed += 1
-                continue
-            w.write(key, tids)
-            n += 1
+            yield key, feats
+
+    with TableWriter(args.ali_wspecifier, write_int_vector) as w:
+        n, _, failed = align_stream(
+            scorer.score_stream(with_transcripts(
+                SequentialMatrixReader(args.feature_rspecifier))),
+            texts, tm, lexicon, words, args, w)
     LOG(f"Scored+aligned {n} utterances"
         + (f"; {no_text} without transcript" if no_text else "")
         + (f"; {failed} failed" if failed else ""))

@@ -118,9 +118,10 @@ def main(argv=None) -> int:
         return _newbob(args, d, common, learn_rate)
 
     it = 0
-    # resume: skip iterations whose output model already exists
+    # resume: skip iterations whose output model already exists (and is
+    # not a zero-byte leftover of a killed run — same check as iter0)
     while it < args.max_iters and \
-            os.path.exists(f"{d}/nnet/nnet.iter{it + 1}"):
+            _valid_nnet(f"{d}/nnet/nnet.iter{it + 1}"):
         if it >= args.start_halving:
             learn_rate *= args.halving_factor
         LOG(f"iteration {it + 1} already done, skipping")

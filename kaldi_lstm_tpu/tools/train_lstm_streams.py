@@ -144,10 +144,12 @@ def main(argv=None, _stats_out=None) -> int:
                         l2_penalty=args.l2_penalty,
                         objective=args.objective_function)
 
-    if args.debug_dump and ("ark:-" in (args.feature_rspecifier,
-                                        args.targets_rspecifier)
-                            or args.feature_rspecifier == "-"
-                            or args.targets_rspecifier == "-"):
+    def _reads_stdin(rspec: str) -> bool:
+        # 'ark:-', 'ark,t:-', 'scp:-', bare '-' all map to sys.stdin
+        return rspec == "-" or rspec.rsplit(":", 1)[-1] == "-"
+
+    if args.debug_dump and (_reads_stdin(args.feature_rspecifier)
+                            or _reads_stdin(args.targets_rspecifier)):
         # the dump pre-reads the rspecifiers with its own readers; a
         # single-shot stdin stream would be consumed before training
         WARN("--debug-dump skipped: stdin rspecifiers cannot be read "

@@ -159,3 +159,24 @@ def test_newbob_resume(tmp_path, monkeypatch):
     assert trained_before == 3  # initial 2 accepted + the crashed 3rd
     assert len(stub2.train_lrs) == 2  # only iters 3 (re-run) and 4
     assert (d / "final.nnet").read_text() == "M0++++"
+
+
+def test_fixed_scheduler_skips_only_valid_models(tmp_path, monkeypatch):
+    """A zero-byte nnet.iterN left by a killed run must NOT count as a
+    completed iteration on resume (run_recipe validates size)."""
+    import os
+    d = tmp_path / "exp"
+    os.makedirs(d / "nnet")
+    (d / "nnet.init").write_text("M0")
+    (d / "nnet" / "nnet.iter1").write_text("M1")
+    (d / "nnet" / "nnet.iter2").write_text("")   # killed mid-write
+    stub = StubTrainer([5.0, 4.0, 3.0, 2.0])
+    monkeypatch.setattr(run_recipe, "train_lstm_streams", stub)
+    rc = run_recipe.main(
+        ["--tr-feats", "scp:x", "--tr-targets", "ark:x",
+         "--cv-feats", "scp:x", "--cv-targets", "ark:x",
+         "--dir", str(d), "--scheduler", "fixed",
+         "--learn-rate", "1.0", "--max-iters", "2"])
+    assert rc == 0
+    # iteration 2 was re-trained: its model is the stub's output now
+    assert (d / "nnet" / "nnet.iter2").read_text() != ""

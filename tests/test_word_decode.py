@@ -311,3 +311,18 @@ def test_native_lattice_matches_python(monkeypatch):
                                       lattice_beam=5.0,
                                       max_active=max_active)
             assert sig(a) == sig(b)
+
+
+def test_tight_beam_and_max_active_one_agree(monkeypatch):
+    """Degenerate pruning (beam ~0, max_active=1 keeps only the single
+    best token per frame) exercises the cutoff edge cases; both
+    implementations must still agree bit-exactly."""
+    lex, lm, tm, means, rng = _oracle_setup(num_words=6, seed=41)
+    graph = build_decoding_graph(tm, lex, lm)
+    for _ in range(3):
+        loglik = _emit(tm, lex, means, rng, ["w000", "w001"], noise=0.3)
+        monkeypatch.setenv("KLT_DECODE_IMPL", "auto")
+        a = decode_faster(graph, loglik, 1.0, beam=1e-9, max_active=1)
+        monkeypatch.setenv("KLT_DECODE_IMPL", "python")
+        b = decode_faster(graph, loglik, 1.0, beam=1e-9, max_active=1)
+        assert a.words == b.words and a.score == b.score

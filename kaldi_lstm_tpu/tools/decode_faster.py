@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     p.add_argument("--max-active", type=int, default=0)
     p.add_argument("--sil-phone", type=int, default=0)
     p.add_argument("--sil-prob", type=float, default=0.0)
+    p.add_argument("--num-threads", type=int, default=1,
+                   help="decode this many utterances concurrently (the "
+                        "native core releases the GIL; ~linear in host "
+                        "cores)")
     args = p.parse_args(argv)
 
     tm = TransitionModel.load(args.model)
@@ -63,23 +67,58 @@ def main(argv=None) -> int:
 
     n, total_frames, total_logp, no_final = 0, 0, 0.0, 0
     id2sym = graph.words.id2sym
-    with TableWriter(args.trans_wspecifier, write_text_line,
-                     binary=False) as w:
-        for key, mat in SequentialMatrixReader(args.loglik_rspecifier):
-            if mat.shape[1] < tm.num_pdfs:
-                print(f"decode_faster: {key}: loglik dim {mat.shape[1]} "
-                      f"< model pdfs {tm.num_pdfs}", file=sys.stderr)
-                return 1
-            res = decode_faster(graph, mat, args.acoustic_scale,
-                                args.beam, args.max_active)
-            if args.word_symbol_table:
-                w.write(key, [id2sym[i] for i in res.words])
-            else:
-                w.write(key, res.words)
-            n += 1
-            total_frames += mat.shape[0]
-            total_logp += res.score
-            no_final += 0 if res.reached_final else 1
+
+    def _decode_one(item):
+        key, mat = item
+        if mat.shape[1] < tm.num_pdfs:
+            raise ValueError(
+                f"decode_faster: {key}: loglik dim {mat.shape[1]} "
+                f"< model pdfs {tm.num_pdfs}")
+        return key, mat.shape[0], decode_faster(
+            graph, mat, args.acoustic_scale, args.beam, args.max_active)
+
+    reader = SequentialMatrixReader(args.loglik_rspecifier)
+    if args.num_threads > 1:
+        # the native decoder core runs GIL-free (ctypes releases it),
+        # so a thread pool scales across host cores; results come back
+        # in input order. A bounded submission window keeps only a few
+        # loglik matrices in memory (Executor.map would slurp the whole
+        # ark). Upstream parallelizes with JOB shards instead.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        from kaldi_lstm_tpu.decode.faster import compile_graph
+        compile_graph(graph)  # build the CSR once, not racily per thread
+
+        def bounded(pool, it, window):
+            it = iter(it)
+            futs: deque = deque()
+            for item in it:
+                futs.append(pool.submit(_decode_one, item))
+                if len(futs) >= window:
+                    yield futs.popleft().result()
+            while futs:
+                yield futs.popleft().result()
+
+        pool = ThreadPoolExecutor(args.num_threads)
+        results = bounded(pool, reader, 2 * args.num_threads)
+    else:
+        results = map(_decode_one, reader)
+
+    try:
+        with TableWriter(args.trans_wspecifier, write_text_line,
+                         binary=False) as w:
+            for key, nframes, res in results:
+                if args.word_symbol_table:
+                    w.write(key, [id2sym[i] for i in res.words])
+                else:
+                    w.write(key, res.words)
+                n += 1
+                total_frames += nframes
+                total_logp += res.score
+                no_final += 0 if res.reached_final else 1
+    except ValueError as e:
+        print(e, file=sys.stderr)
+        return 1
     LOG(f"Decoded {n} utterances, avg log-prob per frame "
         f"{total_logp / max(total_frames, 1):.4f}"
         + (f"; {no_final} did not reach a final state" if no_final else ""))

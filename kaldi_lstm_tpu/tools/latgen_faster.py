@@ -60,6 +60,10 @@ def main(argv=None) -> int:
                         "(upstream latgen default); false = raw "
                         "state-level structure, arc-converted")
     p.add_argument("--max-det-states", type=int, default=200000)
+    p.add_argument("--num-threads", type=int, default=1,
+                   help="generate this many lattices concurrently (the "
+                        "native forward releases the GIL; determinize "
+                        "and lattice build stay Python)")
     args = p.parse_args(argv)
     determinize = (str(args.determinize_lattice).lower()
                    in ("true", "1", "yes")) and not args.raw
@@ -84,34 +88,66 @@ def main(argv=None) -> int:
                          binary=False)
     n, total_frames, total_cost, no_final = 0, 0, 0.0, 0
     id2sym = graph.words.id2sym
-    with LatticeWriter(args.lattice_wspecifier,
-                       compact=not args.raw) as lw:
-        for key, mat in SequentialMatrixReader(args.loglik_rspecifier):
-            if mat.shape[1] < tm.num_pdfs:
-                print(f"latgen_faster: {key}: loglik dim {mat.shape[1]} "
-                      f"< model pdfs {tm.num_pdfs}", file=sys.stderr)
-                return 1
-            lat = decode_lattice_faster(
-                graph, mat, args.acoustic_scale, args.beam,
-                args.lattice_beam, args.max_active)
-            out_lat = lat
-            if determinize:
-                try:
-                    out_lat = determinize_lattice(
-                        lat, max_states=args.max_det_states)
-                except DeterminizeError as e:
-                    # upstream convention: warn and keep the raw lattice
-                    LOG(f"WARNING: {key}: {e}; writing raw lattice")
-                    out_lat = lat
-            lw.write(key, out_lat)
-            if tw is not None:
-                wids, _tids, cost = lattice_best_path(lat)
-                tw.write(key, [id2sym[i] for i in wids]
-                         if args.word_symbol_table else wids)
-                total_cost += cost
-            n += 1
-            total_frames += mat.shape[0]
-            no_final += 0 if lat.reached_final else 1
+
+    def _gen_one(item):
+        key, mat = item
+        if mat.shape[1] < tm.num_pdfs:
+            raise ValueError(
+                f"latgen_faster: {key}: loglik dim {mat.shape[1]} "
+                f"< model pdfs {tm.num_pdfs}")
+        lat = decode_lattice_faster(
+            graph, mat, args.acoustic_scale, args.beam,
+            args.lattice_beam, args.max_active)
+        out_lat = lat
+        if determinize:
+            try:
+                out_lat = determinize_lattice(
+                    lat, max_states=args.max_det_states)
+            except DeterminizeError as e:
+                # upstream convention: warn and keep the raw lattice
+                LOG(f"WARNING: {key}: {e}; writing raw lattice")
+                out_lat = lat
+        return key, mat.shape[0], lat, out_lat
+
+    reader = SequentialMatrixReader(args.loglik_rspecifier)
+    if args.num_threads > 1:
+        # bounded-window thread pool, results in input order (the
+        # native forward releases the GIL; see decode_faster.py)
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        from kaldi_lstm_tpu.decode.faster import compile_graph
+        compile_graph(graph)
+
+        def bounded(pool, it, window):
+            futs = deque()
+            for item in it:
+                futs.append(pool.submit(_gen_one, item))
+                if len(futs) >= window:
+                    yield futs.popleft().result()
+            while futs:
+                yield futs.popleft().result()
+
+        pool = ThreadPoolExecutor(args.num_threads)
+        results = bounded(pool, reader, 2 * args.num_threads)
+    else:
+        results = map(_gen_one, reader)
+
+    try:
+        with LatticeWriter(args.lattice_wspecifier,
+                           compact=not args.raw) as lw:
+            for key, nframes, lat, out_lat in results:
+                lw.write(key, out_lat)
+                if tw is not None:
+                    wids, _tids, cost = lattice_best_path(lat)
+                    tw.write(key, [id2sym[i] for i in wids]
+                             if args.word_symbol_table else wids)
+                    total_cost += cost
+                n += 1
+                total_frames += nframes
+                no_final += 0 if lat.reached_final else 1
+    except ValueError as e:
+        print(e, file=sys.stderr)
+        return 1
     if tw is not None:
         tw.close()
         LOG(f"best-path avg cost per frame "

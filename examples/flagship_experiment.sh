@@ -136,7 +136,15 @@ fi
 
 final_nnet=$dir/exp/final.nnet   # newbob's accepted final
 if [ ! -f "$final_nnet" ]; then
-  final_nnet=$(ls -t "$dir"/exp/nnet/nnet.iter* 2>/dev/null | head -1)
+  # no `ls -t | head -1` here: under pipefail, head exiting first races
+  # SIGPIPE into a spurious abort (CLAUDE.md). Capture and pick newest.
+  final_nnet=""
+  for f in "$dir"/exp/nnet/nnet.iter*; do
+    [ -f "$f" ] || continue
+    if [ -z "$final_nnet" ] || [ "$f" -nt "$final_nnet" ]; then
+      final_nnet=$f
+    fi
+  done
 fi
 
 if [ ! -f "$dir/score/.done" ]; then

@@ -880,6 +880,21 @@ class RandomAccessPosteriorReader:
         return len(self.value(key))
 
 
+def check_output_path(path: str, what: str = "output file") -> str:
+    """Refuse to CREATE a file whose name looks like a CLI flag.
+
+    A mis-parsed argv (e.g. a positional landing on `--cross-validate=true`)
+    silently wrote a model to a flag-named file once; upstream Kaldi has the
+    same hole. `-` (stdout) stays valid, and the explicit escape hatch is a
+    `./` prefix (`./--weird-name` is accepted)."""
+    if path.startswith("-") and path != "-":
+        raise ValueError(
+            f"{what} {path!r} looks like a command-line flag, refusing to "
+            f"write it (use {'./' + path!r} if you really mean a file "
+            f"with that name)")
+    return path
+
+
 class TableWriter:
     """Write `key value` records to an ark (and optional scp index)."""
 
@@ -892,10 +907,13 @@ class TableWriter:
         self.scp = None
         if "scp" in opts:
             ark_path, scp_path = rest.split(",", 1)
+            check_output_path(ark_path, "ark")
+            check_output_path(scp_path, "scp")
             self.ark = open(ark_path, "wb")
             self.scp = open(scp_path, "w")
             self.ark_path = os.path.abspath(ark_path)
         else:
+            check_output_path(rest, "ark")
             self.ark = sys.stdout.buffer if rest == "-" else open(rest, "wb")
             self.ark_path = rest
 

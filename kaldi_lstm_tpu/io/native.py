@@ -12,12 +12,14 @@ import ctypes
 import mmap
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_INIT_LOCK = threading.Lock()
 
 
 def _native_dir() -> str:
@@ -26,10 +28,30 @@ def _native_dir() -> str:
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
+    # double-checked module lock: worker threads (decode --num-threads)
+    # racing the first call must BLOCK until the build/dlopen finishes,
+    # not observe _TRIED=True with _LIB still None and silently fall
+    # back to the slower Python paths for their utterances
+    if _TRIED:
+        return _LIB
+    with _INIT_LOCK:
+        return _get_lib_locked()
+
+
+def _get_lib_locked() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
-    _TRIED = True
+    try:
+        _LIB = _load()
+    finally:
+        # only flipped once _LIB is final — the unlocked fast path in
+        # get_lib() reads (_TRIED, _LIB) without the lock
+        _TRIED = True
+    return _LIB
+
+
+def _load() -> Optional[ctypes.CDLL]:
     so = os.path.join(_native_dir(), "libkltio.so")
     # let make check freshness (no-op when the .so is newer than the
     # sources) so a stale binary cannot silently shadow edited source;
@@ -106,8 +128,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             PD, P64, ctypes.c_int64, P64, P64, ctypes.c_int64, P64]
     except AttributeError:
         pass
-    _LIB = lib
-    return _LIB
+    return lib
 
 
 def _ptr(a: np.ndarray, ctype):

@@ -162,6 +162,7 @@ class Nnet:
     # ------------------------------------------------------------------
     def write(self, filename: str, params: ParamsList,
               binary: bool = True) -> None:
+        kio.check_output_path(filename, "model file")
         with open(filename, "wb") as f:
             self.write_stream(f, params, binary)
 

@@ -17,8 +17,17 @@ class StubTrainer:
         self.train_lrs = []
 
     def main(self, argv):
+        if "--cross-validate=true" in argv:
+            # fixed-scheduler CV call: [cv_feats, cv_targets, model,
+            # --cross-validate=true, ...] — nothing is written (a past
+            # version of this stub blindly took argv[3] as the output
+            # and committed a file literally named '--cross-validate=true')
+            if self.cv_losses:
+                self.cv_losses.pop(0)
+            return 0
         # train call: [tr_feats, tr_targets, cur, nxt, --learn-rate=..]
         cur, nxt = argv[2], argv[3]
+        assert not nxt.startswith("-"), f"flag-shaped model-out {nxt!r}"
         lr = [a for a in argv if a.startswith("--learn-rate=")][0]
         self.train_lrs.append(float(lr.split("=")[1]))
         with open(cur) as f, open(nxt, "w") as g:

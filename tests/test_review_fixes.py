@@ -377,3 +377,25 @@ def test_random_access_lattice_reader_scp(tmp_path):
     for k in ("u3", "u0"):
         assert r.has_key(k)
         assert r[k].arcs[0][0].label == ref[k].arcs[0][0].label
+
+
+def test_flag_shaped_output_paths_rejected(tmp_path, monkeypatch):
+    """Round-2 hygiene bug: a mis-parsed argv once wrote a model to a
+    file literally named '--cross-validate=true'. Output paths that look
+    like flags must be rejected, with ./ as the escape hatch."""
+    from kaldi_lstm_tpu.io.kaldi_io import MatrixWriter, check_output_path
+
+    nnet, params = Nnet.init_from_proto(SIG_PROTO, jax.random.PRNGKey(0))
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(ValueError, match="flag"):
+        nnet.write("--cross-validate=true", params)
+    with pytest.raises(ValueError, match="flag"):
+        MatrixWriter("ark:--out=x")
+    with pytest.raises(ValueError, match="flag"):
+        MatrixWriter("ark,scp:a.ark,--idx.scp")
+    assert not list(tmp_path.iterdir())
+    # escape hatch: explicit ./ prefix writes the weird name
+    nnet.write("./--cross-validate=true", params)
+    assert (tmp_path / "--cross-validate=true").exists()
+    # '-' (stdout) is unaffected
+    assert check_output_path("-") == "-"

@@ -195,3 +195,137 @@ def build_decoding_graph(tm: TransitionModel,
 
     return DecodingGraph(arcs=b.arcs, start=start, final=final,
                          words=words)
+
+
+def build_decoding_graph_ngram(tm: TransitionModel,
+                               lexicon: dict[str, list[list[int]]],
+                               lm, words: SymbolTable | None = None,
+                               sil_phone: int = 0, sil_prob: float = 0.0,
+                               bos: str = "<s>", eos: str = "</s>"
+                               ) -> DecodingGraph:
+    """Any-order HCLG from a general `ArpaLM` (io/arpa.py) — the n-gram
+    history-state expansion upstream latgen gets from composed+determinized
+    G.fst (the reference defers to that stack, README.md:17-30).
+
+    LM states are n-gram CONTEXTS (histories with explicit
+    continuations), closed under suffix so backoff epsilon arcs always
+    step exactly one history word (weight = that history's backoff).
+    A word arc from history h goes to the longest suffix of h+(w,) that
+    is a context (the standard ARPA-as-WFSA construction). Because the
+    destination now depends on (h, w) — not on w alone as in the bigram
+    builder above — pronunciation HMM chains are shared per
+    (word, destination-state) pair rather than globally per word; the
+    copy count is bounded by the number of LM contexts, the same growth
+    upstream HCLG pays for higher orders."""
+    from kaldi_lstm_tpu.io.arpa import ArpaLM
+    assert isinstance(lm, ArpaLM), "build_decoding_graph_ngram wants ArpaLM"
+    if words is None:
+        words = SymbolTable()
+        words.add("<eps>", 0)
+        for w in sorted(lexicon):
+            words.add(w)
+    b = _Builder(tm)
+    order = max(lm.order, 1)
+
+    vocab = [w for w in lm.vocab if w not in (bos, eos)]
+    missing = [w for w in vocab if w not in lexicon]
+    if missing:
+        raise ValueError(f"LM words missing from lexicon: {missing[:10]}")
+
+    # contexts: histories with explicit continuations PLUS n-grams that
+    # carry a backoff weight (their penalty must be paid through a real
+    # state's backoff arc — resolving past them would silently drop it);
+    # closed under suffix so backoff arcs step one word at a time
+    seeds: set[tuple] = set()
+    for k in range(2, order + 1):
+        for key in lm.ngrams.get(k, {}):
+            seeds.add(key[:-1])
+    for k in range(1, order):
+        for key, (_lp, bo) in lm.ngrams.get(k, {}).items():
+            if bo != 0.0:
+                seeds.add(key)
+    contexts: set[tuple] = set()
+    for h in seeds:
+        if eos in h:
+            continue  # </s> never precedes anything
+        while h and h not in contexts:
+            contexts.add(h)
+            h = h[1:]
+    hists = [()] + sorted(contexts)
+    state_of = {h: b.add_state() for h in hists}
+
+    def dest_hist(h: tuple, w: str) -> tuple:
+        cand = (h + (w,))[-(order - 1):] if order > 1 else ()
+        while cand and cand not in contexts:
+            cand = cand[1:]
+        return cand
+
+    word_scale = math.log(1.0 - sil_prob) if sil_prob > 0 else 0.0
+
+    # pronunciation chains shared per (word, destination LM state)
+    chains: dict[tuple, list[tuple[int, int]]] = {}
+
+    def connect(g: int, w: str, dest: int, lm_weight: float) -> None:
+        key = (w, dest)
+        if key not in chains:
+            chains[key] = [b.add_pron_chain(p) for p in lexicon[w]]
+            for _entry, exit_state in chains[key]:
+                b.add_arc(exit_state, dest, -1, 0, 0.0)
+        for entry, _exit in chains[key]:
+            b.add_arc(g, entry, -1, words[w], lm_weight + word_scale)
+
+    # continuation index: history -> [(word, ln prob)]
+    conts: dict[tuple, list] = {}
+    for k in range(1, order + 1):
+        for key, (lp, _bo) in lm.ngrams.get(k, {}).items():
+            conts.setdefault(key[:-1], []).append((key[-1], lp))
+
+    for h in hists:
+        g = state_of[h]
+        for w, lp in conts.get(h, ()):
+            if w in (bos, eos):
+                continue
+            connect(g, w, state_of[dest_hist(h, w)], lp)
+        # backoff epsilon: one history word per step (suffix closure)
+        if h:
+            bo = lm.ngrams.get(len(h), {}).get(h, (0.0, 0.0))[1]
+            b.add_arc(g, state_of[h[1:]], -1, 0, bo)
+
+    # start: the <s> history (longest-suffix resolution), else unigram
+    start = state_of[dest_hist((), bos)]
+
+    if sil_phone > 0 and sil_prob > 0:
+        for h in hists:
+            g = state_of[h]
+            entry = b.add_phone(sil_phone, g)
+            b.add_arc(g, entry, -1, 0, math.log(sil_prob))
+
+    final = np.full(len(b.arcs), NEG, np.float64)
+    for h in hists:
+        final[state_of[h]] = lm.cond_logp(h, eos) + word_scale
+    return DecodingGraph(arcs=b.arcs, start=start, final=final,
+                         words=words)
+
+
+def build_graph_from_arpa(tm: TransitionModel,
+                          lexicon: dict[str, list[list[int]]],
+                          arpa_path: str, words: SymbolTable | None = None,
+                          sil_phone: int = 0, sil_prob: float = 0.0,
+                          log_fn=None) -> DecodingGraph:
+    """Load an ARPA file and build the matching graph: order <= 2 through
+    the dedicated bigram builder (globally shared pron chains), higher
+    orders through the n-gram history-state expansion — the decoder CLIs'
+    single entry point."""
+    from kaldi_lstm_tpu.io.arpa import ArpaBigram, ArpaLM
+    lm = ArpaLM.load(arpa_path, log_fn=log_fn)
+    if lm.order <= 2:
+        bg = ArpaBigram()
+        bg.unigram = {w: v for (w,), v in lm.ngrams.get(1, {}).items()}
+        bg.bigram = {k: lp for k, (lp, _bo)
+                     in lm.ngrams.get(2, {}).items()}
+        return build_decoding_graph(tm, lexicon, bg, words=words,
+                                    sil_phone=sil_phone,
+                                    sil_prob=sil_prob)
+    return build_decoding_graph_ngram(tm, lexicon, lm, words=words,
+                                      sil_phone=sil_phone,
+                                      sil_prob=sil_prob)

@@ -90,33 +90,63 @@ class MeshPlan:
                 lambda _: self._named(P("data")), s)
             for s in states)
 
-    def batch_sharding(self) -> dict:
-        """Shardings for (feats, tgt_ids, tgt_weights, mask, reset_flags)."""
+    def batch_sharding(self, group: bool = False) -> dict:
+        """Shardings for (feats, tgt_ids, tgt_weights, mask, reset_flags).
+
+        With `group`, every array carries a leading replicated group axis
+        B (a lax.scan device loop over pre-staged batches — the grouped
+        sharded step); the stream axis shifts to dim 1."""
+        g = (None,) if group else ()
         return {
-            "feats": self._named(P("data", None, None)),
-            "tgt_ids": self._named(P("data", None, None)),
-            "tgt_weights": self._named(P("data", None, None)),
-            "mask": self._named(P("data", None)),
-            "reset_flags": self._named(P("data")),
+            "feats": self._named(P(*g, "data", None, None)),
+            "tgt_ids": self._named(P(*g, "data", None, None)),
+            "tgt_weights": self._named(P(*g, "data", None, None)),
+            "mask": self._named(P(*g, "data", None)),
+            "reset_flags": self._named(P(*g, "data")),
         }
 
     def replicated(self) -> NamedSharding:
         return self._named(P())
 
     # ------------------------------------------------------------------
+    def _put(self, arr, sharding: NamedSharding):
+        """device_put that also works multi-process: every process holds
+        the FULL host array (params are replicated host-side; initial
+        states are zeros) and contributes its addressable shards via
+        make_array_from_callback."""
+        if jax.process_count() == 1:
+            return jax.device_put(arr, sharding)
+        a = np.asarray(arr)
+        return jax.make_array_from_callback(
+            a.shape, sharding, lambda idx: a[idx])
+
     def place_params(self, params: Any) -> Any:
-        return jax.device_put(params, self.params_sharding(params))
+        return jax.tree_util.tree_map(
+            self._put, params, self.params_sharding(params))
 
     def place_states(self, states: Any) -> Any:
         shardings = self.states_sharding(states)
         return tuple(
-            s if sh is None else jax.device_put(s, sh)
+            s if sh is None else jax.tree_util.tree_map(self._put, s, sh)
             for s, sh in zip(states, shardings))
 
-    def place_batch(self, feats, tgt_ids, tgt_weights, mask, reset_flags):
-        bs = self.batch_sharding()
+    def gather_params(self, params: Any) -> Any:
+        """Replicate + fetch params to host numpy (for model writes).
+        Collective on multi-process — every process must call it."""
+        repl = jax.tree_util.tree_map(lambda _: self._named(P()), params)
+        gathered = jax.jit(lambda p: p, out_shardings=repl)(params)
+        return jax.tree_util.tree_map(np.asarray,
+                                      jax.device_get(gathered))
+
+    def place_batch(self, feats, tgt_ids, tgt_weights, mask, reset_flags,
+                    group: bool = False):
+        bs = self.batch_sharding(group=group)
         return (jax.device_put(jnp.asarray(feats), bs["feats"]),
                 jax.device_put(jnp.asarray(tgt_ids), bs["tgt_ids"]),
                 jax.device_put(jnp.asarray(tgt_weights), bs["tgt_weights"]),
                 jax.device_put(jnp.asarray(mask), bs["mask"]),
                 jax.device_put(jnp.asarray(reset_flags), bs["reset_flags"]))
+
+    def place_opt(self, opt_state: Any) -> Any:
+        return jax.tree_util.tree_map(
+            self._put, opt_state, self.opt_sharding(opt_state))

@@ -35,13 +35,28 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """jax.distributed.initialize wrapper; with no args, relies on the
-    TPU pod environment."""
+    TPU pod environment. Idempotent — a recipe driving several trainer
+    invocations in one process initializes once."""
     import jax
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized in this process
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
     jax.distributed.initialize(**kwargs)
+
+
+def barrier(name: str) -> None:
+    """Cross-process sync point (no-op single-process): used after rank-0
+    model writes so other ranks never read a half-written file when the
+    recipe immediately re-opens it (CV / next iteration)."""
+    import jax
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
 
 
 def empty_batch(S: int, T: int, D: int, K: int = 1) -> StreamBatch:
@@ -234,3 +249,25 @@ def shard_batch_to_mesh(plan, batch: StreamBatch):
             put(batch.tgt_weights, bs["tgt_weights"]),
             put(batch.mask, bs["mask"]),
             put(batch.reset_flags, bs["reset_flags"]))
+
+
+def shard_group_to_mesh(plan, batches):
+    """Stack B StreamBatches into one grouped device batch ([B, S, ...],
+    group axis replicated, streams over 'data') for the grouped sharded
+    step. Multi-process placement mirrors shard_batch_to_mesh."""
+    import jax
+    feats = np.stack([b.feats for b in batches])
+    ids = np.stack([b.tgt_ids for b in batches])
+    w = np.stack([b.tgt_weights for b in batches])
+    mask = np.stack([b.mask for b in batches])
+    flags = np.stack([b.reset_flags for b in batches])
+    if jax.process_count() == 1:
+        return plan.place_batch(feats, ids, w, mask, flags, group=True)
+    bs = plan.batch_sharding(group=True)
+
+    def put(local, sharding):
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    return (put(feats, bs["feats"]), put(ids, bs["tgt_ids"]),
+            put(w, bs["tgt_weights"]), put(mask, bs["mask"]),
+            put(flags, bs["reset_flags"]))

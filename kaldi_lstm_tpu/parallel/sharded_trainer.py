@@ -54,20 +54,16 @@ def _validate_stream_count(plan: MeshPlan, states_example) -> None:
             return
 
 
-def make_sharded_train_step(nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
-                            transf: Optional[Nnet] = None,
-                            crossvalidate: bool = False,
-                            params_example=None, states_example=None,
-                            transf_params_example=()):
-    """Build the pjit'd step with explicit in/out shardings.
-
-    `*_example` args provide pytree structure for the sharding specs
-    (shapes are not needed, only the tree).
-    """
+def _build_sharded(nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
+                   transf: Optional[Nnet], crossvalidate: bool,
+                   params_example, states_example, transf_params_example,
+                   group: bool):
+    """Common scaffolding for the plain and grouped sharded steps:
+    sharding specs + the un-jitted single-step body."""
     _validate_stream_count(plan, states_example)
     p_shard = plan.params_sharding(params_example)
     s_shard = plan.states_sharding(states_example)
-    b_shard = plan.batch_sharding()
+    b_shard = plan.batch_sharding(group=group)
     repl = plan.replicated()
 
     from kaldi_lstm_tpu.train.optim import MomentumState
@@ -89,13 +85,31 @@ def make_sharded_train_step(nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
 
     transf_shard = jax.tree_util.tree_map(lambda _: repl,
                                           transf_params_example)
+    from kaldi_lstm_tpu.train.loss import LossAux
+    aux_shard = LossAux(xent=repl, entropy=repl, correct=repl, frames=repl)
+    return (step_fn, p_shard, opt_shard, s_shard, b_shard, transf_shard,
+            aux_shard, repl)
+
+
+def make_sharded_train_step(nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
+                            transf: Optional[Nnet] = None,
+                            crossvalidate: bool = False,
+                            params_example=None, states_example=None,
+                            transf_params_example=()):
+    """Build the pjit'd step with explicit in/out shardings.
+
+    `*_example` args provide pytree structure for the sharding specs
+    (shapes are not needed, only the tree).
+    """
+    (step_fn, p_shard, opt_shard, s_shard, b_shard, transf_shard,
+     aux_shard, repl) = _build_sharded(
+        nnet, opts, plan, transf, crossvalidate, params_example,
+        states_example, transf_params_example, group=False)
     in_shardings = (
         p_shard, opt_shard, s_shard, transf_shard,
         b_shard["feats"], b_shard["tgt_ids"], b_shard["tgt_weights"],
         b_shard["mask"], b_shard["reset_flags"], repl, repl,
     )
-    from kaldi_lstm_tpu.train.loss import LossAux
-    aux_shard = LossAux(xent=repl, entropy=repl, correct=repl, frames=repl)
     out_shardings = (p_shard, opt_shard, s_shard, aux_shard)
 
     donate = () if crossvalidate else (0, 1, 2)
@@ -110,5 +124,64 @@ def make_sharded_train_step(nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
         return jitted(params, opt_state, states, transf_params, feats,
                       tgt_ids, tgt_weights, mask, reset_flags,
                       learn_rate, rng)
+
+    return call
+
+
+def make_sharded_grouped_train_step(
+        nnet: Nnet, opts: TrainOptions, plan: MeshPlan,
+        transf: Optional[Nnet] = None, crossvalidate: bool = False,
+        params_example=None, states_example=None,
+        transf_params_example=()):
+    """Grouped (dispatch-amortized) sharded step: ONE device dispatch runs
+    a lax.scan over B pre-staged batches (leading axis B on every batch
+    array, replicated; stream axis sharded over 'data' as in the plain
+    step). Identical math to B calls of make_sharded_train_step — grouping
+    is worth ~+37% single-chip (BENCH_r02) and pods pay the same
+    per-dispatch latency, so the sharded path gets the same treatment.
+    `rngs` is an optional [B]-keys array for dropout."""
+    (step_fn, p_shard, opt_shard, s_shard, b_shard, transf_shard,
+     aux_shard, repl) = _build_sharded(
+        nnet, opts, plan, transf, crossvalidate, params_example,
+        states_example, transf_params_example, group=True)
+
+    import jax.numpy as jnp  # noqa: F401  (scan body traces jnp ops)
+
+    def gstep(params, opt_state, states, transf_params, feats, tgt_ids,
+              tgt_weights, mask, reset_flags, learn_rate, rngs=None):
+        def body(carry, xs):
+            p, o, s = carry
+            rng = xs[-1] if rngs is not None else None
+            f, i, w, m, fl = xs[:5]
+            p, o, s, aux = step_fn(p, o, s, transf_params, f, i, w, m,
+                                   fl, learn_rate, rng)
+            return (p, o, s), aux
+
+        xs = (feats, tgt_ids, tgt_weights, mask, reset_flags)
+        if rngs is not None:
+            xs = xs + (rngs,)
+        (params, opt_state, states), auxs = jax.lax.scan(
+            body, (params, opt_state, states), xs)
+        return params, opt_state, states, auxs
+
+    # per-step aux stacks to [B]-shaped LossAux, replicated
+    from kaldi_lstm_tpu.train.loss import LossAux
+    auxs_shard = LossAux(xent=repl, entropy=repl, correct=repl,
+                         frames=repl)
+    in_shardings = (
+        p_shard, opt_shard, s_shard, transf_shard,
+        b_shard["feats"], b_shard["tgt_ids"], b_shard["tgt_weights"],
+        b_shard["mask"], b_shard["reset_flags"], repl, repl,
+    )
+    out_shardings = (p_shard, opt_shard, s_shard, auxs_shard)
+    jitted = jax.jit(gstep, in_shardings=in_shardings,
+                     out_shardings=out_shardings,
+                     donate_argnums=() if crossvalidate else (0, 1, 2))
+
+    def call(params, opt_state, states, transf_params, feats, tgt_ids,
+             tgt_weights, mask, reset_flags, learn_rate, rngs=None):
+        return jitted(params, opt_state, states, transf_params, feats,
+                      tgt_ids, tgt_weights, mask, reset_flags,
+                      learn_rate, rngs)
 
     return call

@@ -18,8 +18,11 @@ import argparse
 import sys
 
 from kaldi_lstm_tpu.decode.faster import decode_faster
-from kaldi_lstm_tpu.decode.graph import build_decoding_graph
-from kaldi_lstm_tpu.io.arpa import ArpaBigram, uniform_unigram
+from kaldi_lstm_tpu.decode.graph import (
+    build_decoding_graph,
+    build_graph_from_arpa,
+)
+from kaldi_lstm_tpu.io.arpa import uniform_unigram
 from kaldi_lstm_tpu.io.kaldi_io import SequentialMatrixReader, TableWriter
 from kaldi_lstm_tpu.io.lang import write_text_line, SymbolTable, read_lexicon
 from kaldi_lstm_tpu.io.transition_model import TransitionModel
@@ -53,15 +56,21 @@ def main(argv=None) -> int:
 
     tm = TransitionModel.load(args.model)
     lexicon = read_lexicon(args.lexicon)
-    if args.arpa == "none":
-        lm = uniform_unigram(sorted(lexicon))
-    else:
-        lm = ArpaBigram.load(args.arpa, log_fn=LOG)
     words = (SymbolTable.load(args.word_symbol_table)
              if args.word_symbol_table else None)
-    graph = build_decoding_graph(tm, lexicon, lm, words=words,
-                                 sil_phone=args.sil_phone,
-                                 sil_prob=args.sil_prob)
+    if args.arpa == "none":
+        graph = build_decoding_graph(tm, lexicon,
+                                     uniform_unigram(sorted(lexicon)),
+                                     words=words,
+                                     sil_phone=args.sil_phone,
+                                     sil_prob=args.sil_prob)
+    else:
+        # any ARPA order: <=2 via the bigram builder, higher via the
+        # n-gram history expansion (build_decoding_graph_ngram)
+        graph = build_graph_from_arpa(tm, lexicon, args.arpa,
+                                      words=words,
+                                      sil_phone=args.sil_phone,
+                                      sil_prob=args.sil_prob, log_fn=LOG)
     LOG(f"decoding graph: {graph.num_states} states, "
         f"{graph.num_arcs()} arcs")
 

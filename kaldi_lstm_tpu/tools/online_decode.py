@@ -20,9 +20,12 @@ import sys
 
 import numpy as np
 
-from kaldi_lstm_tpu.decode.graph import build_decoding_graph
+from kaldi_lstm_tpu.decode.graph import (
+    build_decoding_graph,
+    build_graph_from_arpa,
+)
 from kaldi_lstm_tpu.decode.online import OnlineRecognizer
-from kaldi_lstm_tpu.io.arpa import ArpaBigram, uniform_unigram
+from kaldi_lstm_tpu.io.arpa import uniform_unigram
 from kaldi_lstm_tpu.io.kaldi_io import SequentialMatrixReader, TableWriter
 from kaldi_lstm_tpu.io.lang import (
     SymbolTable,
@@ -69,13 +72,19 @@ def main(argv=None) -> int:
                              if args.feature_transform else (None, None))
     tm = TransitionModel.load(args.model)
     lexicon = read_lexicon(args.lexicon)
-    lm = (uniform_unigram(sorted(lexicon)) if args.arpa == "none"
-          else ArpaBigram.load(args.arpa, log_fn=LOG))
     words = (SymbolTable.load(args.word_symbol_table)
              if args.word_symbol_table else None)
-    graph = build_decoding_graph(tm, lexicon, lm, words=words,
-                                 sil_phone=args.sil_phone,
-                                 sil_prob=args.sil_prob)
+    if args.arpa == "none":
+        graph = build_decoding_graph(tm, lexicon,
+                                     uniform_unigram(sorted(lexicon)),
+                                     words=words,
+                                     sil_phone=args.sil_phone,
+                                     sil_prob=args.sil_prob)
+    else:
+        graph = build_graph_from_arpa(tm, lexicon, args.arpa,
+                                      words=words,
+                                      sil_phone=args.sil_phone,
+                                      sil_prob=args.sil_prob, log_fn=LOG)
     LOG(f"decoding graph: {graph.num_states} states, "
         f"{graph.num_arcs()} arcs")
 

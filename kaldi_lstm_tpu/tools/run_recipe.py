@@ -66,14 +66,43 @@ def main(argv=None) -> int:
                    help="passed to the trainer (grouped device step)")
     p.add_argument("--bf16", default="false",
                    help="passed to the trainer (bf16 matmuls)")
+    p.add_argument("--mesh", default="",
+                   help="passed to the trainer: multi-chip sharded "
+                        "training over a 'data=D[,model=M]' device mesh")
+    p.add_argument("--sync-every", type=int, default=8,
+                   help="passed to the trainer (SyncedScheduler "
+                        "agreement cadence under --mesh)")
+    p.add_argument("--fused-xent", default="auto",
+                   help="passed to the trainer (auto|true|false)")
+    p.add_argument("--coordinator-address", default="",
+                   help="multi-process pod run: jax.distributed "
+                        "coordinator host:port (run one recipe process "
+                        "per host over a SHARED experiment dir; per-host "
+                        "feature/target shards via --tr-feats etc.)")
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--verbose", type=int, default=1)
     args = p.parse_args(argv)
     if args.halving_factor is None:
         args.halving_factor = 0.5 if args.scheduler == "newbob" else 0.8
+    multiproc = args.num_processes > 1
+    rank0 = (not multiproc) or args.process_id == 0
 
     d = args.dir
     os.makedirs(f"{d}/log", exist_ok=True)
     os.makedirs(f"{d}/nnet", exist_ok=True)
+
+    def _wait_for(path: str, timeout: float = 600.0) -> None:
+        """Non-zero ranks poll a shared-FS file that rank 0 creates
+        before the first trainer invocation (after that, the trainer's
+        own post-write barrier sequences every model file)."""
+        import time
+        t0 = time.time()
+        while not (os.path.exists(path) and os.path.getsize(path) > 0):
+            if time.time() - t0 > timeout:
+                raise TimeoutError(f"rank {args.process_id}: {path} not "
+                                   f"created by rank 0")
+            time.sleep(0.2)
 
     def _valid_nnet(path: str) -> bool:
         """A killed run typically leaves a ZERO-BYTE model (opened,
@@ -89,17 +118,21 @@ def main(argv=None) -> int:
         return True
 
     nnet_init = f"{d}/nnet.init"
-    if not _valid_nnet(nnet_init):
-        if not args.proto:
-            print("error: no nnet.init and no --proto given",
-                  file=sys.stderr)
-            return 1
-        LOG("Initializing lstm")
-        nnet_initialize.main([args.proto, nnet_init])
     iter0 = f"{d}/nnet/nnet.iter0"
-    if not _valid_nnet(iter0):
-        import shutil
-        shutil.copy(nnet_init, iter0)
+    if rank0:
+        if not _valid_nnet(nnet_init):
+            if not args.proto:
+                print("error: no nnet.init and no --proto given",
+                      file=sys.stderr)
+                return 1
+            LOG("Initializing lstm")
+            nnet_initialize.main([args.proto, nnet_init])
+        if not _valid_nnet(iter0):
+            import shutil
+            shutil.copy(nnet_init, iter0)
+    else:
+        _wait_for(nnet_init)
+        _wait_for(iter0)
 
     learn_rate = args.learn_rate
     common = [
@@ -113,6 +146,14 @@ def main(argv=None) -> int:
         f"--bf16={args.bf16}",
         f"--verbose={args.verbose}",
     ]
+    if args.mesh:
+        common += [f"--mesh={args.mesh}",
+                   f"--sync-every={args.sync_every}",
+                   f"--fused-xent={args.fused_xent}"]
+    if multiproc:
+        common += [f"--coordinator-address={args.coordinator_address}",
+                   f"--num-processes={args.num_processes}",
+                   f"--process-id={args.process_id}"]
 
     if args.scheduler == "newbob":
         return _newbob(args, d, common, learn_rate)
@@ -162,6 +203,8 @@ def _newbob(args, d: str, common: list, learn_rate: float) -> int:
     import json
     import shutil
 
+    rank0 = args.num_processes <= 1 or args.process_id == 0
+
     def cv(model: str):
         rc, stats = train_lstm_streams.run_main(
             [args.cv_feats, args.cv_targets, model,
@@ -189,6 +232,8 @@ def _newbob(args, d: str, common: list, learn_rate: float) -> int:
         final = cur
 
     def save_state(it):
+        if not rank0:
+            return
         with open(state_file, "w") as f:
             json.dump({"iter": it, "loss": loss, "halving": halving,
                        "learn_rate": learn_rate, "cur": cur,
@@ -213,7 +258,8 @@ def _newbob(args, d: str, common: list, learn_rate: float) -> int:
             LOG(f"nnet accepted ({os.path.basename(nxt)}), "
                 f"AvgLoss {loss_new:.6f}")
         else:
-            shutil.move(nxt, nxt + "_rejected")
+            if rank0:
+                shutil.move(nxt, nxt + "_rejected")
             LOG(f"nnet rejected ({os.path.basename(nxt)}), "
                 f"AvgLoss {loss_new:.6f} > {loss:.6f}")
         # stopping criterion
@@ -232,7 +278,8 @@ def _newbob(args, d: str, common: list, learn_rate: float) -> int:
         if halving:
             learn_rate *= args.halving_factor
         save_state(it)
-    shutil.copy(final, f"{d}/final.nnet")
+    if rank0:
+        shutil.copy(final, f"{d}/final.nnet")
     LOG(f"training finished, final model: {d}/final.nnet "
         f"(= {os.path.basename(final)}), CV AvgLoss {loss:.6f}")
     return 0

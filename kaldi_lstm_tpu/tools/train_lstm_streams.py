@@ -71,6 +71,34 @@ def build_parser() -> argparse.ArgumentParser:
                         "device loop; identical math, amortizes per-step "
                         "dispatch latency — ~25%% of wall at flagship "
                         "shapes)")
+    p.add_argument("--mesh", default="",
+                   help="Multi-chip sharded training: 'data=D[,model=M]' "
+                        "builds a (data, model) device mesh — streams "
+                        "shard over 'data' (gradient psum over ICI), the "
+                        "senone output layer over 'model' (distributed "
+                        "softmax-xent). --num-stream is the PER-PROCESS "
+                        "stream count and must give a global count "
+                        "divisible by D. Empty = single-device path.")
+    p.add_argument("--sync-every", type=int, default=8,
+                   help="With --mesh: steps between the cross-host "
+                        "continue-flag agreements of the SyncedScheduler "
+                        "(locally-exhausted hosts pad with fully-masked "
+                        "filler batches in between)")
+    p.add_argument("--fused-xent", default="auto",
+                   choices=("auto", "true", "false"),
+                   help="Fuse senone affine+softmax+xent into the flash "
+                        "kernel (auto = on TPU; the sharded path uses "
+                        "the tensor-parallel variant)")
+    p.add_argument("--coordinator-address", default="",
+                   help="Multi-process: jax.distributed coordinator "
+                        "host:port (every process passes the same "
+                        "address; empty = single process or TPU-pod env "
+                        "auto-detection via --num-processes)")
+    p.add_argument("--num-processes", type=int, default=0,
+                   help="Multi-process: total process count (0 = single "
+                        "process)")
+    p.add_argument("--process-id", type=int, default=0,
+                   help="Multi-process: this process's rank")
     p.add_argument("--verbose", type=int, default=0)
     p.add_argument("--state-in", default="",
                    help="Resume full train state (params + momentum) from "
@@ -117,8 +145,28 @@ def run_main(argv=None):
     return rc, (out[0] if out else None)
 
 
+def parse_mesh(spec: str) -> dict:
+    """'data=4,model=2' -> {'data': 4, 'model': 2} (model defaults 1)."""
+    out = {"data": 1, "model": 1}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        if k not in out or not v.isdigit() or int(v) < 1:
+            raise ValueError(f"bad --mesh entry {part!r} "
+                             f"(want data=D[,model=M])")
+        out[k] = int(v)
+    return out
+
+
 def main(argv=None, _stats_out=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.coordinator_address or args.num_processes > 1:
+        # must run before ANY other jax use
+        from kaldi_lstm_tpu.parallel import multihost
+        multihost.initialize(args.coordinator_address or None,
+                             args.num_processes or None, args.process_id)
     from kaldi_lstm_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     set_verbose_level(args.verbose)
@@ -138,11 +186,24 @@ def main(argv=None, _stats_out=None) -> int:
         set_matmul_dtype(jnp.bfloat16)
 
     nnet, params = Nnet.read(args.model_in)
+    fused = None if args.fused_xent == "auto" else _bool(args.fused_xent)
     opts = TrainOptions(learn_rate=args.learn_rate, momentum=args.momentum,
                         grad_clip=args.grad_clip,
                         l1_penalty=args.l1_penalty,
                         l2_penalty=args.l2_penalty,
-                        objective=args.objective_function)
+                        objective=args.objective_function,
+                        fused_xent=fused)
+
+    plan = None
+    if args.mesh:
+        from kaldi_lstm_tpu.parallel import MeshPlan, make_mesh
+        axes = parse_mesh(args.mesh)
+        mesh = make_mesh(data=axes["data"], model=axes["model"])
+        plan = MeshPlan(mesh, nnet)
+        LOG(f"sharded training on mesh data={axes['data']} "
+            f"model={axes['model']} "
+            f"({jax.process_count()} process(es), "
+            f"{len(jax.devices())} device(s))")
 
     def _reads_stdin(rspec: str) -> bool:
         # 'ark:-', 'ark,t:-', 'scp:-', bare '-' all map to sys.stdin
@@ -189,6 +250,10 @@ def main(argv=None, _stats_out=None) -> int:
         frame_weights=frame_weights)
 
     def dump(p, num_done):
+        if plan is not None:
+            p = plan.gather_params(p)  # collective: all processes enter
+            if jax.process_index() != 0:
+                return
         name = f"{args.model_out}_utt{num_done}"
         nnet.write(name, p, binary=_bool(args.binary))
         LOG(f"dumped model to {name}")
@@ -209,20 +274,34 @@ def main(argv=None, _stats_out=None) -> int:
                     crossvalidate=crossvalidate, opt_state=opt_state,
                     dump_interval=args.dump_interval, dump_fn=dump,
                     monitor_verbose=args.verbose,
-                    step_group=args.step_group)
+                    step_group=args.step_group,
+                    plan=plan, sync_every=args.sync_every)
 
     if profiling:
         jax.profiler.stop_trace()
         LOG(f"profiler trace written to {args.profile_dir}")
 
     if not crossvalidate:
-        nnet.write(args.model_out, res.params, binary=_bool(args.binary))
-        if args.state_out:
-            from kaldi_lstm_tpu.train.checkpoint import save_train_state
-            save_train_state(args.state_out, res.params, res.opt_state,
-                             meta={"learn_rate": args.learn_rate,
-                                   "num_done": scheduler.num_done})
-            LOG(f"wrote train state to {args.state_out}")
+        out_params, out_opt = res.params, res.opt_state
+        if plan is not None:  # collective gathers: all processes enter
+            out_params = plan.gather_params(out_params)
+            if args.state_out:
+                out_opt = plan.gather_params(out_opt)
+        if plan is None or jax.process_index() == 0:
+            nnet.write(args.model_out, out_params,
+                       binary=_bool(args.binary))
+            if args.state_out:
+                from kaldi_lstm_tpu.train.checkpoint import \
+                    save_train_state
+                save_train_state(args.state_out, out_params, out_opt,
+                                 meta={"learn_rate": args.learn_rate,
+                                       "num_done": scheduler.num_done})
+                LOG(f"wrote train state to {args.state_out}")
+        if plan is not None:
+            # other ranks must not re-open the model (CV / next recipe
+            # iteration on a shared FS) before rank 0 finishes writing
+            from kaldi_lstm_tpu.parallel.multihost import barrier
+            barrier("model_write")
 
     LOG(f"Done {scheduler.num_done} files, {scheduler.num_no_tgt_mat} with "
         f"no tgt_mats, {scheduler.num_other_error} with other errors. "

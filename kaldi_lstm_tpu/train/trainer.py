@@ -240,8 +240,17 @@ def _make_step_fn(nnet: Nnet, opts: TrainOptions,
 
         (_, (aux, new_states)), grads = jax.value_and_grad(
             objective, has_aux=True)(params)
+        # A fully-masked FILLER batch (SyncedScheduler lock-step padding,
+        # parallel/multihost.py) must be an exact no-op on the params:
+        # its grads are identically zero, but a plain update would still
+        # decay the momentum buffer (corr = mmt*corr; w -= lr*corr).
+        # Guard with scalars — lr 0 and momentum 1 make corr and params
+        # carry through unchanged, at zero tensor cost.
+        real = aux.frames > 0
+        lr_eff = learn_rate * real.astype(jnp.float32)
+        mmt_eff = jnp.where(real, opts.momentum, 1.0)
         params, opt_state = momentum_update(
-            params, grads, opt_state, learn_rate, opts.momentum,
+            params, grads, opt_state, lr_eff, mmt_eff,
             opts.grad_clip, lr_scale=build_lr_scale(nnet, params),
             l1_penalty=opts.l1_penalty, l2_penalty=opts.l2_penalty,
             num_frames=feats.shape[0] * feats.shape[1],
@@ -267,7 +276,8 @@ def make_train_step(nnet: Nnet, opts: TrainOptions,
 
 
 def make_grouped_train_step(nnet: Nnet, opts: TrainOptions,
-                            transf: Optional[Nnet] = None):
+                            transf: Optional[Nnet] = None,
+                            crossvalidate: bool = False):
     """One device dispatch runs a GROUP of train steps via lax.scan over
     pre-staged batches (leading axis B on every batch array; rngs is an
     optional [B, 2] key array for dropout). Per-step dispatch through a
@@ -275,10 +285,13 @@ def make_grouped_train_step(nnet: Nnet, opts: TrainOptions,
     device-attribution); grouping amortizes it — the TPU-idiomatic
     device-loop the reference's per-minibatch host loop
     (bd-nnet-train-lstm-streams.cc:143-282) could never express.
-    Returns stacked per-step aux ([B]-shaped LossAux)."""
-    step_fn = _make_step_fn(nnet, opts, transf, crossvalidate=False)
+    Returns stacked per-step aux ([B]-shaped LossAux). `crossvalidate`
+    groups the CV pass the same way (params pass through the scan
+    unchanged) — a CV epoch is otherwise per-dispatch-latency-bound."""
+    step_fn = _make_step_fn(nnet, opts, transf, crossvalidate)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    @functools.partial(jax.jit,
+                       donate_argnums=() if crossvalidate else (0, 1, 2))
     def gstep(params, opt_state, states, transf_params, feats, tgt_ids,
               tgt_weights, mask, reset_flags, learn_rate, rngs=None):
         def body(carry, xs):
@@ -377,22 +390,80 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
               dump_interval: int = 0, dump_fn=None,
               learn_rate: Optional[float] = None,
               monitor_verbose: int = 0,
-              step_group: int = 1) -> EpochResult:
+              step_group: int = 1,
+              plan=None, sync_every: int = 1) -> EpochResult:
     """One pass over the utterance source (one `bd-nnet-train-lstm-streams`
     invocation). `dump_fn(params, num_done)` is called every
     `dump_interval` utterances (:275-281). `monitor_verbose>=1` prints
     InfoPropagate/InfoGradient moment dumps at the first minibatch
     (:232-239). `step_group > 1` stages that many batches per device
     dispatch (lax.scan device loop — identical math, coarser
-    dump/monitor granularity); group tails run through the plain step."""
-    use_group = step_group > 1 and not crossvalidate
-    step = None if use_group else make_train_step(nnet, opts, transf,
-                                                  crossvalidate)
-    gstep = make_grouped_train_step(nnet, opts, transf) if use_group \
-        else None
-    if opt_state is None:
-        opt_state = init_momentum(params)
-    states = nnet.init_states(scheduler.S)
+    dump/monitor granularity); group tails run through the plain step.
+
+    `plan` (a parallel.MeshPlan) switches the epoch to the SHARDED steps:
+    streams over the mesh 'data' axis, senone layer over 'model', batches
+    placed by shard_batch_to_mesh. The scheduler is wrapped in a
+    SyncedScheduler (continue-flag agreement every `sync_every` steps) so
+    multi-host runs execute identical collective step counts; on a
+    multi-process run each host feeds its local scheduler shard and the
+    returned params/opt_state stay sharded (gather via
+    plan.gather_params before writing). With multiple processes the
+    dump trigger counts global steps (deterministic across hosts — a
+    local-utterance trigger could fire the collective gather on one host
+    only) and first-batch monitoring is skipped."""
+    use_group = step_group > 1
+    multiproc = False
+    if plan is not None:
+        from kaldi_lstm_tpu.parallel.multihost import (
+            SyncedScheduler,
+            shard_batch_to_mesh,
+            shard_group_to_mesh,
+        )
+        from kaldi_lstm_tpu.parallel.sharded_trainer import (
+            make_sharded_grouped_train_step,
+            make_sharded_train_step,
+        )
+        multiproc = jax.process_count() > 1
+        if not isinstance(scheduler, SyncedScheduler):
+            scheduler = SyncedScheduler(scheduler,
+                                        agree_every=max(1, sync_every))
+        S_global = scheduler.S * jax.process_count()
+        states_example = nnet.init_states(S_global)
+
+        def _mk_plain_step():
+            return make_sharded_train_step(
+                nnet, opts, plan, transf, crossvalidate,
+                params_example=params, states_example=states_example,
+                transf_params_example=transf_params)
+
+        step = None if use_group else _mk_plain_step()
+        gstep = make_sharded_grouped_train_step(
+            nnet, opts, plan, transf, crossvalidate,
+            params_example=params, states_example=states_example,
+            transf_params_example=transf_params) if use_group else None
+        if opt_state is None:
+            opt_state = init_momentum(params)
+        params = plan.place_params(params)
+        opt_state = plan.place_opt(opt_state)
+        states = plan.place_states(states_example)
+        # transf params must be GLOBAL arrays on multi-process (a plain
+        # device-local jax.Array is rejected by the multi-controller jit)
+        transf_params = jax.tree_util.tree_map(
+            lambda a: plan._put(np.asarray(a), plan.replicated()),
+            transf_params)
+        if monitor_verbose >= 1 and multiproc:
+            monitor_verbose = 0
+    else:
+        def _mk_plain_step():
+            return make_train_step(nnet, opts, transf, crossvalidate)
+
+        step = None if use_group else _mk_plain_step()
+        gstep = make_grouped_train_step(nnet, opts, transf,
+                                        crossvalidate) if use_group \
+            else None
+        if opt_state is None:
+            opt_state = init_momentum(params)
+        states = nnet.init_states(scheduler.S)
     lr = jnp.float32(opts.learn_rate if learn_rate is None else learn_rate)
 
     stats = LossStats("Xent" if opts.objective == "xent" else "Mse")
@@ -410,8 +481,14 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
     def batched_source():
         """Yield lists of up to `step_group` StreamBatches."""
         from kaldi_lstm_tpu.train.streams import PrefetchIterator
-        it = PrefetchIterator(scheduler,
-                              depth=max(2, step_group + 1))
+        if multiproc:
+            # the SyncedScheduler's continue-flag allgather is a
+            # collective — it must interleave deterministically with the
+            # pjit steps, so no background prefetch thread here
+            it = scheduler
+        else:
+            it = PrefetchIterator(scheduler,
+                                  depth=max(2, step_group + 1))
         group: list = []
         for b in it:
             group.append(b)
@@ -421,28 +498,83 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
         if group:
             yield group
 
+    if plan is not None:
+        def place_one(b: StreamBatch):
+            from kaldi_lstm_tpu.parallel.multihost import \
+                shard_batch_to_mesh
+            return shard_batch_to_mesh(plan, b)
+
+        def place_group(group):
+            from kaldi_lstm_tpu.parallel.multihost import \
+                shard_group_to_mesh
+            return shard_group_to_mesh(plan, group)
+    else:
+        def place_one(b: StreamBatch):
+            return (jnp.asarray(b.feats), jnp.asarray(b.tgt_ids),
+                    jnp.asarray(b.tgt_weights), jnp.asarray(b.mask),
+                    jnp.asarray(b.reset_flags))
+
+        def place_group(group):
+            return (jnp.asarray(np.stack([g.feats for g in group])),
+                    jnp.asarray(np.stack([g.tgt_ids for g in group])),
+                    jnp.asarray(np.stack([g.tgt_weights for g in group])),
+                    jnp.asarray(np.stack([g.mask for g in group])),
+                    jnp.asarray(np.stack([g.reset_flags
+                                          for g in group])))
+
     # utterances CONSUMED by trained batches — scheduler.num_done runs
     # ahead of training by up to the prefetch depth (the background
     # thread feeds utterances into queued batches); reports and dump
     # names must count processed work (reference :263-281 semantics)
     consumed_done = 0
 
-    for group in batched_source():
+    # per-stage wall attribution (VERDICT r2 item 3): `stage` is the
+    # host stacking + H2D placement (overlapped with device compute on
+    # single-process runs -- see staged_source), `wait` is main-thread
+    # starvation on the staged pipeline, `dispatch` is the step-call time
+    # (device-queue backpressure + donation sync), `stats` the blocking
+    # aux fetches. Logged at epoch end under KLT_EPOCH_PROFILE=1 or -v 2.
+    import time as _time
+    prof = {"stage": 0.0, "wait": 0.0, "dispatch": 0.0, "stats": 0.0}
+
+    def staged_source():
+        """Attach device placement to each group: (group, kind, staged)
+        with kind 'g' (one grouped dispatch) or 's' (per-batch steps)."""
+        for group in batched_source():
+            t0 = _time.perf_counter()
+            if use_group and len(group) == step_group:
+                item = (group, "g", place_group(group))
+            else:
+                item = (group, "s", [place_one(b) for b in group])
+            prof["stage"] += _time.perf_counter() - t0
+            yield item
+
+    src = staged_source()
+    if not multiproc:
+        # second pipeline stage: np.stack + H2D upload runs on its own
+        # thread so device compute never waits on staging (the scheduler
+        # already prefetches on a first thread inside batched_source)
+        from kaldi_lstm_tpu.train.streams import PrefetchIterator
+        src = PrefetchIterator(src, depth=2)
+    src_it = iter(src)
+
+    while True:
+        t0 = _time.perf_counter()
+        item = next(src_it, None)
+        prof["wait"] += _time.perf_counter() - t0
+        if item is None:
+            break
+        group, kind, staged = item
         if first_batch and monitor_verbose >= 1:
             _monitor_first_batch(nnet, params, transf, transf_params,
                                  group[0], opts, crossvalidate)
         first_batch = False
         consumed_done += sum(g.num_new_utts for g in group)
-        if use_group and len(group) == step_group:
+        t0 = _time.perf_counter()
+        if kind == "g":
             b = len(group)
-            gargs = (params, opt_state, states, transf_params,
-                     jnp.asarray(np.stack([g.feats for g in group])),
-                     jnp.asarray(np.stack([g.tgt_ids for g in group])),
-                     jnp.asarray(np.stack([g.tgt_weights
-                                           for g in group])),
-                     jnp.asarray(np.stack([g.mask for g in group])),
-                     jnp.asarray(np.stack([g.reset_flags
-                                           for g in group])), lr)
+            gargs = (params, opt_state, states, transf_params) \
+                + staged + (lr,)
             if use_dropout:
                 rngs = jnp.stack([jax.random.fold_in(drop_key,
                                                      batch_idx + i)
@@ -453,16 +585,11 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
             batch_idx += b
             pending.append(aux)  # [B]-shaped LossAux
         else:
-            for batch in group:
-                step_args = (params, opt_state, states, transf_params,
-                             jnp.asarray(batch.feats),
-                             jnp.asarray(batch.tgt_ids),
-                             jnp.asarray(batch.tgt_weights),
-                             jnp.asarray(batch.mask),
-                             jnp.asarray(batch.reset_flags), lr)
+            for placed in staged:
+                step_args = (params, opt_state, states, transf_params) \
+                    + placed + (lr,)
                 if step is None:  # grouped epoch's tail
-                    step = make_train_step(nnet, opts, transf,
-                                           crossvalidate)
+                    step = _mk_plain_step()
                 if use_dropout:
                     params, opt_state, states, aux = step(
                         *step_args,
@@ -472,36 +599,58 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
                 batch_idx += 1
                 # Buffer per-batch stats on DEVICE and fetch in blocks:
                 # a per-step host transfer would serialize the pipeline
-                # (the reference syncs every minibatch — cheap on its
+                # (the reference syncs every minibatch -- cheap on its
                 # single GPU, ruinous through a device queue at hundreds
                 # of steps/s).
                 pending.append(aux)
+        prof["dispatch"] += _time.perf_counter() - t0
 
         if len(pending) >= STATS_FLUSH:
+            t0 = _time.perf_counter()
             total_frames = _flush_stats(pending, stats, scheduler,
                                         total_frames)
+            prof["stats"] += _time.perf_counter() - t0
 
         # speed report every 1000 utterances (:263-267)
         if consumed_done - last_report_done >= 1000:
+            t0 = _time.perf_counter()
             total_frames = _flush_stats(pending, stats, scheduler,
                                         total_frames)
+            prof["stats"] += _time.perf_counter() - t0
             last_report_done = consumed_done - consumed_done % 1000
             t = timer.elapsed()
             VLOG(1, f"After {consumed_done} utterances: time elapsed = "
                     f"{t / 60:.2f} min; processed {total_frames / t:.0f} "
                     f"frames per second.")
 
+        # multi-process: trigger on the GLOBAL step count (identical on
+        # every host by SyncedScheduler construction) -- the gather inside
+        # dump_fn is collective and must fire on all hosts together;
+        # a local-utterance trigger could fire on a subset and deadlock
+        dump_progress = batch_idx if multiproc else consumed_done
         if (dump_interval > 0 and dump_fn is not None
-                and consumed_done - last_dump_done >= dump_interval):
-            last_dump_done = consumed_done - consumed_done % dump_interval
+                and dump_progress - last_dump_done >= dump_interval):
+            last_dump_done = dump_progress - dump_progress % dump_interval
             if not crossvalidate:
                 dump_fn(params, consumed_done)
 
+    t0 = _time.perf_counter()
     total_frames = _flush_stats(pending, stats, scheduler, total_frames)
+    prof["stats"] += _time.perf_counter() - t0
+    elapsed = timer.elapsed()
+    import os as _os
+    if _os.environ.get("KLT_EPOCH_PROFILE") or monitor_verbose >= 2:
+        other = elapsed - prof["wait"] - prof["dispatch"] - prof["stats"]
+        LOG(f"epoch profile ({batch_idx} steps, {elapsed:.2f}s wall): "
+            f"wait_data {prof['wait']:.2f}s, dispatch "
+            f"{prof['dispatch']:.2f}s, stats_fetch {prof['stats']:.2f}s, "
+            f"other_host {other:.2f}s "
+            f"(stage+H2D {prof['stage']:.2f}s, "
+            f"{'overlapped' if not multiproc else 'inline'})")
     return EpochResult(params=params, opt_state=opt_state, stats=stats,
                        num_done=scheduler.num_done,
                        total_frames=total_frames,
-                       elapsed=timer.elapsed())
+                       elapsed=elapsed)
 
 
 STATS_FLUSH = 32  # batches of device stats fetched per host transfer

@@ -160,3 +160,81 @@ def test_collective_bytes_scaling_model(compiled):
                       jax.tree_util.tree_leaves(params))
         total = sum(_payload_elems(ln) for ln in lines)
         assert total < 4 * n_param, (path, total, n_param)
+
+
+# ---------------------------------------------------------------------------
+# Flagship-shaped payload bound (VERDICT r2 item 10): compile-only, with
+# N_frames * K_senones >= 100x the parameter count, so an accidental
+# O(N*K) collective (gathered logits) would overshoot the bound by two
+# orders of magnitude instead of the toy shapes' ~5x margin.
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_K = 16624          # the reference decode example's senone count
+FS, FT, FD, FR = 1024, 16, 40, 128
+
+
+@pytest.fixture(scope="module")
+def compiled_flagship_shape():
+    if len(jax.devices()) < DATA * MODEL:
+        pytest.skip("needs 8 virtual devices")
+    proto = f"""<NnetProto>
+<LstmProjectedStreams> <InputDim> {FD} <OutputDim> {FR} <CellDim> 128 <ParamScale> 0.02 <NumStream> {FS}
+<AffineTransform> <InputDim> {FR} <OutputDim> {FLAGSHIP_K} <ParamStddev> 0.04
+<Softmax> <InputDim> {FLAGSHIP_K} <OutputDim> {FLAGSHIP_K}
+</NnetProto>
+"""
+    mesh = make_mesh(data=DATA, model=MODEL)
+    nnet, params = Nnet.init_from_proto(proto, jax.random.PRNGKey(0))
+    plan = MeshPlan(mesh, nnet)
+    states = nnet.init_states(FS)
+    out = {}
+    for name, fused in (("gspmd", False), ("fused", True)):
+        step = make_sharded_train_step(
+            nnet, TrainOptions(learn_rate=1e-3, momentum=0.9,
+                               fused_xent=fused),
+            plan, params_example=params, states_example=states)
+        jitted = [c.cell_contents for c in step.__closure__
+                  if callable(getattr(c.cell_contents, "lower", None))][0]
+        # compile-only: abstract shapes, no arrays materialized
+        p_spec = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+        opt_spec = init_momentum(p_spec)
+        st_spec = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), states)
+        batch_spec = (
+            jax.ShapeDtypeStruct((FS, FT, FD), np.float32),
+            jax.ShapeDtypeStruct((FS, FT, 1), np.int32),
+            jax.ShapeDtypeStruct((FS, FT, 1), np.float32),
+            jax.ShapeDtypeStruct((FS, FT), np.float32),
+            jax.ShapeDtypeStruct((FS,), np.int32),
+        )
+        txt = jitted.lower(
+            p_spec, opt_spec, st_spec, (), *batch_spec,
+            jax.ShapeDtypeStruct((), np.float32),
+            None).compile().as_text()
+        out[name] = (txt, _collective_lines(txt), params)
+    return out
+
+
+@pytest.mark.parametrize("path", ["gspmd", "fused"])
+def test_flagship_shape_no_quadratic_collectives(compiled_flagship_shape,
+                                                 path):
+    """At N*K = 272M elements vs ~2.3M params (>100x margin), every
+    collective payload must stay O(params) or O(frames) — a gathered
+    [N, K] logits tensor would violate this by two orders of
+    magnitude."""
+    txt, lines, params = compiled_flagship_shape[path]
+    n_param = sum(int(np.prod(l.shape)) for l in
+                  jax.tree_util.tree_leaves(params))
+    nk = FS * FT * FLAGSHIP_K
+    assert nk >= 100 * n_param  # the margin that gives the test teeth
+    assert lines, "no collectives found — sharding silently lost?"
+    bound = max(n_param, FS * FT * 4)  # O(params + frames)
+    for ln in lines:
+        kind = _COLL.search(ln).group(1)
+        assert kind in ("all-reduce", "all-gather"), ln
+        assert _payload_elems(ln) <= bound, (
+            f"payload {_payload_elems(ln)} > O(params+frames) bound "
+            f"{bound} (N*K={nk}): {ln[:160]}")
+    total = sum(_payload_elems(ln) for ln in lines)
+    assert total <= 4 * bound, (path, total, bound)

@@ -3,8 +3,10 @@ backoff), natural-log API over the format's log10 fields.
 
 Supplies the G side of the decoding graph (the reference uses upstream
 Kaldi's G.fst compiled from an ARPA file; README.md:30 defers to that
-decode stack). Higher orders are read but truncated to bigram with a
-warning — the self-contained decoder graph is bigram.
+decode stack). ArpaBigram truncates higher orders with a warning;
+`ArpaLM` below reads any order, and decode/graph.py's
+build_decoding_graph_ngram expands it into history states — the decoder
+CLIs dispatch on the file's order (build_graph_from_arpa).
 """
 
 from __future__ import annotations

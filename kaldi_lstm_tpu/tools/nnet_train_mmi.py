@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kaldi_lstm_tpu.decode.viterbi import PhoneLoopGraph
 from kaldi_lstm_tpu.io.kaldi_io import (
     SequentialMatrixReader,
     _open_rspecifier,
@@ -35,9 +34,8 @@ from kaldi_lstm_tpu.io.transition_model import TransitionModel
 from kaldi_lstm_tpu.models import Nnet
 from kaldi_lstm_tpu.train.optim import init_momentum, momentum_update
 from kaldi_lstm_tpu.train.sequence import (
-    DenGraph,
-    PhoneLoopDenGraph,
     alignment_to_states,
+    den_graph_for,
     mmi_objective,
 )
 from kaldi_lstm_tpu.utils import LOG, WARN, Timer, set_verbose_level
@@ -94,13 +92,10 @@ def main(argv=None) -> int:
         return 1
 
     tm = TransitionModel.load(args.transition_model)
-    # O(Ns)-per-frame structured phone loop when the topology allows;
-    # dense DenGraph as the general fallback (train/sequence.py)
-    try:
-        graph = PhoneLoopDenGraph.from_transition_model(tm)
-    except ValueError:
-        graph = DenGraph.from_phone_loop(
-            PhoneLoopGraph.from_transition_model(tm))
+    # structured O(Ns) phone loop / dense DenGraph / per-arc
+    # SplitDenGraph (chain-style <Tuples> split-pdf models) — picked by
+    # den_graph_for (train/sequence.py)
+    graph = den_graph_for(tm)
 
     transf = transf_params = None
     if args.feature_transform:

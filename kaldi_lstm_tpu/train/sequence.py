@@ -148,6 +148,84 @@ class PhoneLoopDenGraph(NamedTuple):
                    jnp.asarray(state_phone, jnp.int32))
 
 
+class SplitDenGraph(NamedTuple):
+    """Denominator graph with PER-ARC emissions — chain-style `<Tuples>`
+    models whose self-loop pdf differs from the forward pdf (the case
+    DenGraph/PhoneLoopDenGraph reject). Mirrors decode/viterbi.py's
+    split-arc convention exactly: frame t is scored by the pdf of the
+    arc that consumes it — `self_pdf[j]` on state j's self-loop,
+    `state_pdf[i]` (the forward pdf of the SOURCE state) on every other
+    arc in `logA_enter`, including the final exit arc that consumes the
+    last real frame.
+
+    The forward pass is the logsumexp twin of viterbi_decode's DP
+    ("alpha[j] = frames consumed so far, frame t to be consumed FROM
+    j"): per-batch exit terms are folded in at each utterance's last
+    real frame, so trailing padding is handled without a per-utterance
+    final gather."""
+
+    logA_enter: jax.Array   # [Ns, Ns] non-self arcs (incl. loop-backs)
+    self_logp: jax.Array    # [Ns]
+    start_logp: jax.Array   # [Ns]
+    final_logp: jax.Array   # [Ns]
+    state_pdf: jax.Array    # [Ns] forward pdf
+    self_pdf: jax.Array     # [Ns] self-loop pdf
+    state_phone: jax.Array  # [Ns]
+
+    @classmethod
+    def from_phone_loop(cls, g: PhoneLoopGraph) -> "SplitDenGraph":
+        return cls(jnp.asarray(g.logA_enter, jnp.float32),
+                   jnp.asarray(g.self_logp, jnp.float32),
+                   jnp.asarray(g.start_logp, jnp.float32),
+                   jnp.asarray(g.final_logp, jnp.float32),
+                   jnp.asarray(g.state_pdf, jnp.int32),
+                   jnp.asarray(g.self_pdf, jnp.int32),
+                   jnp.asarray(g.state_phone, jnp.int32))
+
+
+def _split_logZ_from_em(graph: SplitDenGraph, em_fwd: jax.Array,
+                        em_self: jax.Array, mask: jax.Array) -> jax.Array:
+    """log p(X | den graph) [B] from per-arc emissions em_fwd/em_self
+    [B, T, Ns] (padded frames must be 0). Exact lse forward in the
+    source-consumed formulation (see SplitDenGraph docstring)."""
+    B = em_fwd.shape[0]
+    ns = graph.start_logp.shape[0]
+    alpha0 = jnp.broadcast_to(graph.start_logp[None], (B, ns))
+    # frame t is each utterance's LAST real frame iff m_t=1 and m_{t+1}=0
+    m_next = jnp.concatenate([mask[:, 1:], jnp.zeros_like(mask[:, :1])],
+                             axis=1)
+    is_last = mask * (1.0 - m_next)                          # [B, T]
+
+    def step(carry, inputs):
+        alpha, logZ = carry
+        em_f, em_s, m_t, last_t = inputs
+        exit_term = jax.nn.logsumexp(
+            alpha + em_f + graph.final_logp[None], axis=-1)  # [B]
+        logZ = jnp.where(last_t > 0,
+                         jnp.logaddexp(logZ, exit_term), logZ)
+        src = alpha + em_f                                   # leave via fwd
+        enter = jax.nn.logsumexp(
+            src[:, :, None] + graph.logA_enter[None], axis=1)
+        stay = alpha + graph.self_logp[None] + em_s
+        nxt = jnp.logaddexp(enter, stay)
+        alpha = jnp.where(m_t[:, None] > 0, nxt, alpha)
+        return (alpha, logZ), None
+
+    xs = (jnp.swapaxes(em_fwd, 0, 1), jnp.swapaxes(em_self, 0, 1),
+          jnp.swapaxes(mask, 0, 1), jnp.swapaxes(is_last, 0, 1))
+    (_, logZ), _ = jax.lax.scan(step, (alpha0, jnp.full((B,), NEG)), xs)
+    return logZ
+
+
+def _prepare_em_split(graph: SplitDenGraph, loglik: jax.Array,
+                      mask: jax.Array, acoustic_scale: float
+                      ) -> tuple[jax.Array, jax.Array]:
+    em_fwd = acoustic_scale * loglik[:, :, graph.state_pdf]
+    em_self = acoustic_scale * loglik[:, :, graph.self_pdf]
+    keep = mask[:, :, None] > 0
+    return jnp.where(keep, em_fwd, 0.0), jnp.where(keep, em_self, 0.0)
+
+
 def _struct_step(graph: PhoneLoopDenGraph, alpha: jax.Array,
                  em_t: jax.Array) -> jax.Array:
     """One O(Ns) lse-forward frame over the structured phone loop."""
@@ -199,6 +277,10 @@ def den_logprob(graph: DenGraph, loglik: jax.Array, mask: jax.Array,
     loglik: [B, T, K] acoustic log-likelihoods; mask: [B, T] (1 = real
     frame). Returns [B]. Exact logsumexp forward over the dense graph.
     """
+    if isinstance(graph, SplitDenGraph):
+        em_f, em_s = _prepare_em_split(graph, loglik, mask,
+                                       acoustic_scale)
+        return _split_logZ_from_em(graph, em_f, em_s, mask)
     return _den_logZ_from_em(
         graph, _prepare_em(graph, loglik, mask, acoustic_scale), mask)
 
@@ -212,6 +294,9 @@ def num_logprob(graph: DenGraph, loglik: jax.Array, states: jax.Array,
     states: [B, T] int32 graph-state alignment (from the tuple index of
     the transition model; see alignment_to_states).
     """
+    if isinstance(graph, SplitDenGraph):
+        return _num_logprob_split(graph, loglik, states, mask,
+                                  acoustic_scale, with_transitions)
     B, T = states.shape
     pdfs = graph.state_pdf[states]                           # [B, T]
     ac = acoustic_scale * jnp.take_along_axis(
@@ -243,6 +328,43 @@ def num_logprob(graph: DenGraph, loglik: jax.Array, states: jax.Array,
         lm = lm + graph.final_logp[
             jnp.take_along_axis(states, last[:, None], 1)[:, 0]]
         total = total + lm
+    return total
+
+
+def _num_logprob_split(graph: SplitDenGraph, loglik: jax.Array,
+                       states: jax.Array, mask: jax.Array,
+                       acoustic_scale: float, with_transitions: bool
+                       ) -> jax.Array:
+    """Numerator path score with per-arc emissions. Frame t (t < last)
+    is consumed by the arc states[t] -> states[t+1]: its self-loop pdf
+    when the pair stays AND the self-loop beats the (1-state phone)
+    re-entry diagonal — the same Viterbi merge num_logprob applies for
+    PhoneLoopDenGraph — otherwise the source's forward pdf. The last
+    real frame is consumed by the exit arc (forward pdf + final_logp)."""
+    em_f = acoustic_scale * jnp.take_along_axis(
+        loglik, graph.state_pdf[states][..., None], axis=-1)[..., 0]
+    em_s = acoustic_scale * jnp.take_along_axis(
+        loglik, graph.self_pdf[states][..., None], axis=-1)[..., 0]
+    prev, cur = states[:, :-1], states[:, 1:]
+    stay = cur == prev
+    self_sc = graph.self_logp[prev] + em_s[:, :-1]
+    enter_sc = graph.logA_enter[prev, cur] + em_f[:, :-1]
+    pair_sc = jnp.where(stay, jnp.maximum(self_sc, enter_sc), enter_sc)
+    if not with_transitions:
+        # same arc choice, emission part only
+        pair_em = jnp.where(stay & (self_sc >= enter_sc),
+                            em_s[:, :-1], em_f[:, :-1])
+        total = jnp.sum(pair_em * mask[:, 1:], axis=-1)
+        last = jnp.sum(mask, axis=-1).astype(jnp.int32) - 1
+        total = total + jnp.take_along_axis(em_f, last[:, None],
+                                            1)[:, 0]
+        return total
+    total = graph.start_logp[states[:, 0]] \
+        + jnp.sum(pair_sc * mask[:, 1:], axis=-1)
+    last = jnp.sum(mask, axis=-1).astype(jnp.int32) - 1
+    s_last = jnp.take_along_axis(states, last[:, None], 1)[:, 0]
+    total = total + jnp.take_along_axis(em_f, last[:, None], 1)[:, 0] \
+        + graph.final_logp[s_last]
     return total
 
 
@@ -282,19 +404,33 @@ def expected_accuracy(graph: DenGraph, loglik: jax.Array,
     those phones from accuracy, upstream's silence treatment.
     Returns E[A] [B] (differentiable w.r.t. loglik).
     """
-    em = _prepare_em(graph, loglik, mask, acoustic_scale)
-    if criterion == "smbr":
-        match = graph.state_pdf[None, None, :] == ref_pdfs[:, :, None]
-    elif criterion == "mpe":
-        match = graph.state_phone[None, None, :] == ref_pdfs[:, :, None]
-    else:
+    if criterion not in ("smbr", "mpe"):
         raise ValueError(f"unknown criterion {criterion!r}")
-    acc = match.astype(jnp.float32) * mask[:, :, None]
-    if silence_phones is not None and silence_phones.size:
-        sil = jnp.isin(graph.state_phone, silence_phones)
-        acc = acc * (~sil)[None, None, :].astype(jnp.float32)
+
+    def _acc(pdf_per_state):
+        if criterion == "smbr":
+            match = pdf_per_state[None, None, :] == ref_pdfs[:, :, None]
+        else:
+            match = graph.state_phone[None, None, :] \
+                == ref_pdfs[:, :, None]
+        acc = match.astype(jnp.float32) * mask[:, :, None]
+        if silence_phones is not None and silence_phones.size:
+            sil = jnp.isin(graph.state_phone, silence_phones)
+            acc = acc * (~sil)[None, None, :].astype(jnp.float32)
+        return acc
+
+    if isinstance(graph, SplitDenGraph):
+        # two emission tensors, two accuracy directions: a frame taken
+        # on a self-loop arc is accurate iff its SELF pdf matches
+        em_f, em_s = _prepare_em_split(graph, loglik, mask,
+                                       acoustic_scale)
+        _, ea = jax.jvp(
+            lambda ef, es: _split_logZ_from_em(graph, ef, es, mask),
+            (em_f, em_s), (_acc(graph.state_pdf), _acc(graph.self_pdf)))
+        return ea
+    em = _prepare_em(graph, loglik, mask, acoustic_scale)
     _, ea = jax.jvp(lambda e: _den_logZ_from_em(graph, e, mask),
-                    (em,), (acc,))
+                    (em,), (_acc(graph.state_pdf),))
     return ea
 
 
@@ -309,6 +445,24 @@ def smbr_objective(graph: DenGraph, loglik: jax.Array,
     ea = expected_accuracy(graph, loglik, ref_pdfs, mask,
                            acoustic_scale, criterion, silence_phones)
     return -jnp.sum(ea), jax.lax.stop_gradient(ea)
+
+
+def den_graph_for(tm, phone_insertion_penalty: float = 0.0):
+    """Pick the best denominator-graph representation for a transition
+    model: the O(Ns) structured phone loop when the topology allows it,
+    the dense DenGraph for exotic (skip-arc) triples-era topologies, and
+    the per-arc SplitDenGraph for chain-style `<Tuples>` models with
+    split self-loop/forward pdfs."""
+    try:
+        return PhoneLoopDenGraph.from_transition_model(
+            tm, phone_insertion_penalty)
+    except ValueError:
+        g = PhoneLoopGraph.from_transition_model(
+            tm, phone_insertion_penalty=phone_insertion_penalty)
+        if np.array_equal(np.asarray(g.self_pdf),
+                          np.asarray(g.state_pdf)):
+            return DenGraph.from_phone_loop(g)
+        return SplitDenGraph.from_phone_loop(g)
 
 
 def alignment_to_states(tm, tids: np.ndarray) -> np.ndarray:

@@ -373,6 +373,22 @@ def _info_backpropagate(nnet, params, x, states, batch, loss_fn) -> str:
     return "\n".join(lines)
 
 
+def _staging_thread_ok() -> bool:
+    """Whether H2D staging may run on a background thread.
+    KLT_STAGING_THREAD=1/0 forces; default is on EXCEPT on the axon
+    tunnel backend, whose client wedged (all-threads futex wait,
+    observed mid-epoch on the flagship corpus) under a device_put
+    issued concurrently with step dispatch."""
+    import os
+    v = os.environ.get("KLT_STAGING_THREAD", "")
+    if v in ("0", "1"):
+        return v == "1"
+    try:
+        return jax.default_backend() != "axon"
+    except Exception:
+        return True
+
+
 class EpochResult(NamedTuple):
     params: Any
     opt_state: MomentumState
@@ -550,7 +566,7 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
             yield item
 
     src = staged_source()
-    if not multiproc:
+    if not multiproc and _staging_thread_ok():
         # second pipeline stage: np.stack + H2D upload runs on its own
         # thread so device compute never waits on staging (the scheduler
         # already prefetches on a first thread inside batched_source)

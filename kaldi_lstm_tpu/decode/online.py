@@ -66,18 +66,43 @@ class OnlineDecoder:
         self.beam = beam
         self.max_active = max_active
         ns = self.cg.ns
-        self.alpha = np.full(ns, NEG)
-        self.alpha[self.cg.start] = 0.0
-        bp0 = np.full(ns, -1, np.int32)
-        from kaldi_lstm_tpu.decode.faster import _eps_closure
-        _eps_closure(self.cg, self.alpha, bp0,
-                     np.asarray([self.cg.start]))
-        self.active = np.nonzero(self.alpha > NEG / 2)[0]
-        self.bps = [bp0]
+        # native persistent session (kltdecode.cc StreamCore) unless
+        # forced off — the numpy fallback is the bit-identical
+        # cross-check, same as offline decode_faster
+        import os
+        self._native = None
+        if os.environ.get("KLT_DECODE_IMPL", "") != "python":
+            from kaldi_lstm_tpu.io.native import NativeStreamSession
+            try:
+                self._native = NativeStreamSession(
+                    ns, self.cg.em_ptr, self.cg.em_dst, self.cg.em_pdf,
+                    self.cg.em_w, self.cg.eps_ptr, self.cg.eps_dst,
+                    self.cg.eps_w, beam, max_active, self.cg.start)
+            except RuntimeError:
+                self._native = None
+        if self._native is not None:
+            self.alpha = None  # fetched from the session on demand
+            self.bps = [self._native.bp0]
+        else:
+            self.alpha = np.full(ns, NEG)
+            self.alpha[self.cg.start] = 0.0
+            bp0 = np.full(ns, -1, np.int32)
+            from kaldi_lstm_tpu.decode.faster import _eps_closure
+            _eps_closure(self.cg, self.alpha, bp0,
+                         np.asarray([self.cg.start]))
+            self.active = np.nonzero(self.alpha > NEG / 2)[0]
+            self.bps = [bp0]
         self.num_frames = 0
 
     def advance(self, loglik: np.ndarray) -> None:
         em = self.acoustic_scale * np.asarray(loglik, np.float64)
+        if self._native is not None:
+            if len(em) == 0:
+                return
+            rows = self._native.advance(em)
+            self.bps.extend(rows)
+            self.num_frames += len(em)
+            return
         for row in em:
             bp = np.full(self.cg.ns, -1, np.int32)
             self.alpha, self.active = _frame_step(
@@ -86,17 +111,23 @@ class OnlineDecoder:
             self.bps.append(bp)
             self.num_frames += 1
 
+    def _alpha(self) -> np.ndarray:
+        return (self._native.alpha() if self._native is not None
+                else self.alpha)
+
     def partial(self) -> DecodeResult:
-        state = int(np.argmax(self.alpha))
+        alpha = self._alpha()
+        state = int(np.argmax(alpha))
         return DecodeResult(
             words=_traceback(self.cg, self.bps, state, self.num_frames),
-            score=float(self.alpha[state]), reached_final=False)
+            score=float(alpha[state]), reached_final=False)
 
     def finalize(self) -> DecodeResult:
-        total = self.alpha + self.cg.final
+        alpha = self._alpha()
+        total = alpha + self.cg.final
         reached = bool(total.max() > NEG / 2)
-        state = int(np.argmax(total if reached else self.alpha))
-        score = float(total[state] if reached else self.alpha[state])
+        state = int(np.argmax(total if reached else alpha))
+        score = float(total[state] if reached else alpha[state])
         words = _traceback(self.cg, self.bps, state, self.num_frames)
         return DecodeResult(words=words, score=score,
                             reached_final=reached)

@@ -119,6 +119,21 @@ def _load() -> Optional[ctypes.CDLL]:
     except AttributeError:
         pass  # stale prebuilt .so in a read-only env; decoder falls back
     try:
+        lib.klt_stream_new.restype = ctypes.c_void_p
+        lib.klt_stream_new.argtypes = [
+            ctypes.c_int64, P64, PI, PI, PD,
+            ctypes.c_int64, P64, PI, PD,
+            D, D, ctypes.c_int64, ctypes.c_int64, PI]
+        lib.klt_stream_advance.restype = ctypes.c_int64
+        lib.klt_stream_advance.argtypes = [
+            ctypes.c_void_p, PD, ctypes.c_int64, ctypes.c_int64, PI]
+        lib.klt_stream_alpha.restype = None
+        lib.klt_stream_alpha.argtypes = [ctypes.c_void_p, PD]
+        lib.klt_stream_free.restype = None
+        lib.klt_stream_free.argtypes = [ctypes.c_void_p]
+    except AttributeError:
+        pass  # stale prebuilt .so; online decoder falls back to numpy
+    try:
         lib.klt_decode_lattice.restype = ctypes.c_int64
         lib.klt_decode_lattice.argtypes = [
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -307,6 +322,69 @@ def decode_lattice_native(ns: int, em_ptr, em_dst, em_pdf, em_w,
     eps_kept = [eps_ids[eps_out_ptr[l]:eps_out_ptr[l + 1]].copy()
                 for l in range(T + 1)]
     return alphas, em_kept, eps_kept
+
+
+class NativeStreamSession:
+    """Persistent native Viterbi search state for the online decoder
+    (native/kltdecode.cc klt_stream_*). Holds references to the graph
+    CSR arrays for the session lifetime (the C side stores raw
+    pointers). `em` chunks passed to advance must be PRE-SCALED
+    (construct with acoustic_scale folded in, like OnlineDecoder)."""
+
+    def __init__(self, ns: int, em_ptr, em_dst, em_pdf, em_w,
+                 eps_ptr, eps_dst, eps_w, beam: float,
+                 max_active: int, start: int):
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "klt_stream_new"):
+            raise RuntimeError("native stream decoder unavailable")
+        self._lib = lib
+        self.ns = int(ns)
+        # keep the arrays alive (C keeps raw pointers)
+        self._refs = (em_ptr, em_dst, em_pdf, em_w,
+                      eps_ptr, eps_dst, eps_w)
+        self.bp0 = np.empty(self.ns, np.int32)
+        self._h = lib.klt_stream_new(
+            self.ns, _ptr(em_ptr, ctypes.c_int64),
+            _ptr(em_dst, ctypes.c_int), _ptr(em_pdf, ctypes.c_int),
+            _ptr(em_w, ctypes.c_double), len(em_dst),
+            _ptr(eps_ptr, ctypes.c_int64), _ptr(eps_dst, ctypes.c_int),
+            _ptr(eps_w, ctypes.c_double),
+            1.0, float(beam), int(max_active), int(start),
+            _ptr(self.bp0, ctypes.c_int))
+        self._frames = 0
+
+    def advance(self, em: np.ndarray) -> np.ndarray:
+        """em: [T, K] float64 pre-scaled log-likelihoods. Returns the
+        [T, ns] backpointer rows for these frames."""
+        em = np.ascontiguousarray(em, np.float64)
+        T, K = em.shape
+        bps = np.empty((T, self.ns), np.int32)
+        rc = self._lib.klt_stream_advance(
+            self._h, _ptr(em, ctypes.c_double), T, K,
+            _ptr(bps, ctypes.c_int))
+        if rc < 0:
+            raise RuntimeError(
+                f"online decode: no tokens survived at frame "
+                f"{self._frames + (-rc - 1)} — beam too tight or "
+                "loglik/graph mismatch")
+        self._frames += T
+        return bps
+
+    def alpha(self) -> np.ndarray:
+        out = np.empty(self.ns, np.float64)
+        self._lib.klt_stream_alpha(self._h, _ptr(out, ctypes.c_double))
+        return out
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.klt_stream_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def fill_batch(T: int, delay: int, feats_p: np.ndarray, ids_p: np.ndarray,

@@ -65,36 +65,59 @@ struct EpsClosure {
 };
 }  // namespace
 
-extern "C" int64_t klt_decode_faster(
-    int64_t ns, int64_t T, int64_t K,
-    const int64_t* em_ptr, const int32_t* em_dst, const int32_t* em_pdf,
-    const double* em_w, int64_t num_em,
-    const int64_t* eps_ptr, const int32_t* eps_dst, const double* eps_w,
-    const double* loglik, double acoustic_scale, double beam,
-    int64_t max_active, int64_t start,
-    double* alpha_out /* [ns] */, int32_t* bps /* [(T+1)*ns] */) {
-  std::vector<double> alpha(ns, kNeg), alpha_next(ns);
-  std::vector<int32_t> active, touched, grown, stamp(ns, 0);
-  std::vector<double> scores;
+namespace {
+
+// Frame-stepping core shared by the whole-utterance entry point
+// (klt_decode_faster) and the streaming session API (klt_stream_*):
+// holds the CSR graph pointers (caller keeps the arrays alive) and the
+// persistent search state (alpha, active frontier, visit stamps).
+struct StreamCore {
+  int64_t ns;
+  const int64_t* em_ptr;
+  const int32_t* em_dst;
+  const int32_t* em_pdf;
+  const double* em_w;
+  int64_t num_em;
+  const int64_t* eps_ptr;
+  const int32_t* eps_dst;
+  const double* eps_w;
+  double acoustic_scale, beam;
+  int64_t max_active;
+
+  std::vector<double> alpha, alpha_next, scores;
+  std::vector<int32_t> active, touched, grown, stamp;
   int32_t epoch = 0;
 
-  std::memset(bps, 0xff, sizeof(int32_t) * (T + 1) * ns);  // all -1
-  alpha[start] = 0.0;
-  active.push_back(static_cast<int32_t>(start));
-  grown.clear();
-  {
-    std::vector<int32_t> frontier = active;
-    EpsClosure::run(ns, eps_ptr, eps_dst, eps_w, num_em, alpha.data(),
-                    bps, frontier, kNeg, grown, stamp, epoch);
-  }
-  for (int32_t s : grown)
-    if (alpha[s] > kNeg / 2) active.push_back(s);
-  std::sort(active.begin(), active.end());
-  active.erase(std::unique(active.begin(), active.end()), active.end());
+  StreamCore(int64_t ns_, const int64_t* em_ptr_, const int32_t* em_dst_,
+             const int32_t* em_pdf_, const double* em_w_, int64_t num_em_,
+             const int64_t* eps_ptr_, const int32_t* eps_dst_,
+             const double* eps_w_, double ascale, double beam_,
+             int64_t max_active_)
+      : ns(ns_), em_ptr(em_ptr_), em_dst(em_dst_), em_pdf(em_pdf_),
+        em_w(em_w_), num_em(num_em_), eps_ptr(eps_ptr_),
+        eps_dst(eps_dst_), eps_w(eps_w_), acoustic_scale(ascale),
+        beam(beam_), max_active(max_active_),
+        alpha(ns_, kNeg), alpha_next(ns_), stamp(ns_, 0) {}
 
-  for (int64_t t = 0; t < T; ++t) {
-    int32_t* bp = bps + (t + 1) * ns;
-    const double* em_t = loglik + t * K;
+  void init(int64_t start, int32_t* bp0 /* [ns], pre-set to -1 */) {
+    alpha[start] = 0.0;
+    active.push_back(static_cast<int32_t>(start));
+    grown.clear();
+    {
+      std::vector<int32_t> frontier = active;
+      EpsClosure::run(ns, eps_ptr, eps_dst, eps_w, num_em, alpha.data(),
+                      bp0, frontier, kNeg, grown, stamp, epoch);
+    }
+    for (int32_t s : grown)
+      if (alpha[s] > kNeg / 2) active.push_back(s);
+    std::sort(active.begin(), active.end());
+    active.erase(std::unique(active.begin(), active.end()),
+                 active.end());
+  }
+
+  // one Viterbi frame; bp is this frame's [ns] backpointer row
+  // (pre-set to -1). Returns false when no token survives.
+  bool step(const double* em_t, int32_t* bp) {
     std::fill(alpha_next.begin(), alpha_next.end(), kNeg);
     touched.clear();
     ++epoch;
@@ -116,7 +139,7 @@ extern "C" int64_t klt_decode_faster(
         }
       }
     }
-    if (touched.empty()) return -(t + 1);
+    if (touched.empty()) return false;
 
     double best = kNeg;
     for (int32_t d : touched) best = std::max(best, alpha_next[d]);
@@ -157,9 +180,72 @@ extern "C" int64_t klt_decode_faster(
       active.erase(std::unique(active.begin(), active.end()),
                    active.end());
     }
+    return true;
   }
-  std::memcpy(alpha_out, alpha.data(), sizeof(double) * ns);
+};
+}  // namespace
+
+extern "C" int64_t klt_decode_faster(
+    int64_t ns, int64_t T, int64_t K,
+    const int64_t* em_ptr, const int32_t* em_dst, const int32_t* em_pdf,
+    const double* em_w, int64_t num_em,
+    const int64_t* eps_ptr, const int32_t* eps_dst, const double* eps_w,
+    const double* loglik, double acoustic_scale, double beam,
+    int64_t max_active, int64_t start,
+    double* alpha_out /* [ns] */, int32_t* bps /* [(T+1)*ns] */) {
+  StreamCore core(ns, em_ptr, em_dst, em_pdf, em_w, num_em, eps_ptr,
+                  eps_dst, eps_w, acoustic_scale, beam, max_active);
+  std::memset(bps, 0xff, sizeof(int32_t) * (T + 1) * ns);  // all -1
+  core.init(start, bps);
+  for (int64_t t = 0; t < T; ++t) {
+    if (!core.step(loglik + t * K, bps + (t + 1) * ns)) return -(t + 1);
+  }
+  std::memcpy(alpha_out, core.alpha.data(), sizeof(double) * ns);
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Streaming session API (decode/online.py OnlineDecoder): the same
+// search state persists across chunk calls. The caller OWNS the graph
+// CSR arrays and must keep them alive for the session lifetime.
+// ---------------------------------------------------------------------------
+
+extern "C" void* klt_stream_new(
+    int64_t ns, const int64_t* em_ptr, const int32_t* em_dst,
+    const int32_t* em_pdf, const double* em_w, int64_t num_em,
+    const int64_t* eps_ptr, const int32_t* eps_dst, const double* eps_w,
+    double acoustic_scale, double beam, int64_t max_active,
+    int64_t start, int32_t* bp0 /* [ns] */) {
+  auto* core = new StreamCore(ns, em_ptr, em_dst, em_pdf, em_w, num_em,
+                              eps_ptr, eps_dst, eps_w, acoustic_scale,
+                              beam, max_active);
+  std::memset(bp0, 0xff, sizeof(int32_t) * ns);
+  core->init(start, bp0);
+  return core;
+}
+
+// advance T frames; fills bps [T*ns] (one row per frame). Returns 0 or
+// -(t+1) (0-based t within THIS chunk) when no token survived frame t.
+extern "C" int64_t klt_stream_advance(void* handle, const double* loglik,
+                                      int64_t T, int64_t K,
+                                      int32_t* bps) {
+  auto* core = static_cast<StreamCore*>(handle);
+  std::memset(bps, 0xff, sizeof(int32_t) * T * core->ns);
+  (void)K;
+  for (int64_t t = 0; t < T; ++t) {
+    if (!core->step(loglik + t * K, bps + t * core->ns))
+      return -(t + 1);
+  }
+  return 0;
+}
+
+extern "C" void klt_stream_alpha(void* handle, double* out /* [ns] */) {
+  auto* core = static_cast<StreamCore*>(handle);
+  std::memcpy(out, core->alpha.data(), sizeof(double) * core->ns);
+}
+
+extern "C" void klt_stream_free(void* handle) {
+  delete static_cast<StreamCore*>(handle);
 }
 
 // Lattice-generating forward pass (decode/lattice_faster.py): the same

@@ -152,3 +152,46 @@ def test_online_rejects_bidirectional():
     graph = build_decoding_graph(tm, lex, lm)
     with pytest.raises(ValueError, match="stream"):
         OnlineRecognizer(nnet, params, graph)
+
+
+def test_native_stream_session_matches_python(monkeypatch):
+    """The persistent native search session (kltdecode.cc klt_stream_*)
+    must be bit-identical to the numpy OnlineDecoder across chunked
+    feeding, including mid-stream partial() hypotheses."""
+    from kaldi_lstm_tpu.decode.online import OnlineDecoder
+    from kaldi_lstm_tpu.io.native import get_lib
+    if get_lib() is None or not hasattr(get_lib(), "klt_stream_new"):
+        pytest.skip("native lib unavailable")
+    lex, lm, tm, means, rng = _oracle_setup(num_words=5, seed=41)
+    graph = build_decoding_graph(tm, lex, lm)
+    T = 40
+    ll = (means[rng.randint(0, tm.num_pdfs, T)]
+          + 0.8 * rng.randn(T, means.shape[1])).astype(np.float64)
+    # emission loglik proxy: negative sq distance to class means
+    ll = -((ll[:, None, :] - means[None]) ** 2).sum(-1)
+
+    dec_native = OnlineDecoder(graph, acoustic_scale=0.3, beam=14.0,
+                               max_active=300)
+    assert dec_native._native is not None, "native session must engage"
+    monkeypatch.setenv("KLT_DECODE_IMPL", "python")
+    dec_py = OnlineDecoder(graph, acoustic_scale=0.3, beam=14.0,
+                           max_active=300)
+    assert dec_py._native is None
+    t = 0
+    while t < T:
+        n = int(rng.randint(1, 9))
+        chunk = ll[t:t + n]
+        t += len(chunk)
+        dec_native.advance(chunk)
+        dec_py.advance(chunk)
+        pn, pp = dec_native.partial(), dec_py.partial()
+        assert pn.words == pp.words
+        np.testing.assert_allclose(pn.score, pp.score, rtol=1e-12)
+    rn, rp = dec_native.finalize(), dec_py.finalize()
+    assert rn.words == rp.words
+    assert rn.reached_final == rp.reached_final
+    np.testing.assert_allclose(rn.score, rp.score, rtol=1e-12)
+    # full backpointer history identical
+    assert len(dec_native.bps) == len(dec_py.bps)
+    for a, b in zip(dec_native.bps, dec_py.bps):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

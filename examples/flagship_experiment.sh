@@ -33,6 +33,8 @@ NTRAIN=${KLT_NTRAIN:-1800}          # the rest are the test set
 NSEQ=${KLT_NSEQ:-400}               # train subset for realign + sMBR
 NSTREAM=${KLT_NSTREAM:-256} CELL=${KLT_CELL:-800} RECUR=${KLT_RECUR:-512}
 GROUP=${KLT_GROUP:-16}
+LAYERS=${KLT_LAYERS:-1}             # 2 = the reference decode example's
+                                    # stacked 2xLSTMP (README.md:38-44)
 
 stamp() { date +%s.%N; }
 log_stage() {  # log_stage <name> <t0> [extra]
@@ -47,7 +49,7 @@ if [ ! -f "$report" ]; then
     echo "# Flagship end-to-end experiment"
     echo
     echo "Corpus: $NUTTS utts, $NWORDS-word lexicon, $NPHONES phones x"
-    echo "$NSTATES states = $NPDFS senones; model 40 -> LSTMP(800c/512r)"
+    echo "$NSTATES states = $NPDFS senones; model 40 -> ${LAYERS}xLSTMP(${CELL}c/${RECUR}r)"
     echo "-> $NPDFS. Host: $(uname -r), $(nproc) cpus."
     echo
     echo "| stage | wall | notes |"
@@ -108,14 +110,19 @@ if [ ! -f "$dir/targets/.done" ]; then
   touch "$dir/targets/.done"
 fi
 
-cat > "$dir/nnet.proto" <<EOF
-<NnetProto>
-<Transmit> <InputDim> 40 <OutputDim> 40
-<LstmProjectedStreams> <InputDim> 40 <OutputDim> $RECUR <CellDim> $CELL <ParamScale> 0.01 <NumStream> 4
-<AffineTransform> <InputDim> $RECUR <OutputDim> $NPDFS <ParamStddev> 0.04
-<Softmax> <InputDim> $NPDFS <OutputDim> $NPDFS
-</NnetProto>
-EOF
+{
+  echo "<NnetProto>"
+  echo "<Transmit> <InputDim> 40 <OutputDim> 40"
+  echo "<LstmProjectedStreams> <InputDim> 40 <OutputDim> $RECUR <CellDim> $CELL <ParamScale> 0.01 <NumStream> 4"
+  if [ "$LAYERS" -ge 2 ]; then
+    for _ in $(seq 2 "$LAYERS"); do
+      echo "<LstmProjectedStreams> <InputDim> $RECUR <OutputDim> $RECUR <CellDim> $CELL <ParamScale> 0.01 <NumStream> 4"
+    done
+  fi
+  echo "<AffineTransform> <InputDim> $RECUR <OutputDim> $NPDFS <ParamStddev> 0.04"
+  echo "<Softmax> <InputDim> $NPDFS <OutputDim> $NPDFS"
+  echo "</NnetProto>"
+} > "$dir/nnet.proto"
 
 if [ ! -f "$dir/exp/.done" ]; then
   t0=$(stamp)

@@ -111,3 +111,30 @@ def test_cli_mesh_cross_validate(corpus, tmp_path):
          "--mesh", "data=4,model=2"])
     assert rc1 == 0 and rc2 == 0
     assert abs(s1.avg_loss() - s2.avg_loss()) < 1e-5
+
+
+def test_run_recipe_mesh_matches_single_device(corpus, tmp_path):
+    """The full recipe (fixed scheduler, 2 iterations, CV passes)
+    through --mesh produces the same models as the single-device run."""
+    from kaldi_lstm_tpu.tools import run_recipe
+
+    def recipe(d, extra):
+        rc = run_recipe.main(
+            ["--tr-feats", f"scp:{corpus}/feats.scp",
+             "--tr-targets", f"ark:{corpus}/post.ark",
+             "--cv-feats", f"scp:{corpus}/feats.scp",
+             "--cv-targets", f"ark:{corpus}/post.ark",
+             "--proto", str(corpus / "nnet.proto"),
+             "--dir", str(d), "--scheduler", "fixed",
+             "--learn-rate", "1e-3", "--num-stream", "8",
+             "--targets-delay", "0", "--max-iters", "2",
+             "--verbose", "0"] + extra)
+        assert rc == 0
+        return Nnet.read(str(d / "nnet" / "nnet.iter2"))[1]
+
+    (corpus / "nnet.proto").write_text(PROTO)
+    p_single = recipe(tmp_path / "exp_s", [])
+    p_mesh = recipe(tmp_path / "exp_m",
+                    ["--mesh", "data=4,model=2", "--step-group", "2"])
+    for a, b in zip(_leaves(p_single), _leaves(p_mesh)):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-6)

@@ -26,7 +26,7 @@ CPU=(env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu)
 # corpus/model scale (the reference's decode example is 8k-senone class
 # of acoustic models; 2666 phones x 3 states = 7998 pdfs). Every knob
 # is env-overridable for toy-scale dry runs (KLT_NPHONES=20 ... bash ...).
-NPHONES=${KLT_NPHONES:-2666} NSTATES=3
+NPHONES=${KLT_NPHONES:-2666} NSTATES=${KLT_NSTATES:-3}
 NPDFS=$((NPHONES * NSTATES))
 NWORDS=${KLT_NWORDS:-500} NUTTS=${KLT_NUTTS:-1920}
 NTRAIN=${KLT_NTRAIN:-1800}          # the rest are the test set

@@ -32,10 +32,33 @@ Params = Any   # component parameter pytree ({} when parameter-free)
 State = Any    # recurrent state pytree (None when stateless)
 
 
+class Moments:
+    """Precomputed tensor moments for monitoring. The training monitor
+    computes min/max/mean/std for EVERY buffer in one jitted device call
+    and hands these tiny host scalars through the same
+    info()/info_gradient() formatting paths — materializing each buffer
+    eagerly (the naive route) costs a full D2H fetch per tensor, which
+    on a tunneled device turns a monitoring dump into minutes."""
+
+    __slots__ = ("shape", "min", "max", "mean", "std")
+
+    def __init__(self, shape, mn, mx, mean, std):
+        self.shape = tuple(shape)
+        self.min, self.max = float(mn), float(mx)
+        self.mean, self.std = float(mean), float(std)
+
+
 def moment_statistics(name: str, arr) -> str:
     """Tensor moment summary for Info()/InfoGradient() monitoring, the
     equivalent of Kaldi's MomentStatistics (used at
-    bd-nnet-lstm-projected-streams.h:190-210)."""
+    bd-nnet-lstm-projected-streams.h:190-210). Accepts an array or a
+    precomputed `Moments`."""
+    if isinstance(arr, Moments):
+        if int(np.prod(arr.shape or (1,))) == 0:
+            return f"{name} [empty]"
+        return (f"{name} [dim {'x'.join(map(str, arr.shape))}] "
+                f"min {arr.min:.6g} max {arr.max:.6g} "
+                f"mean {arr.mean:.6g} stddev {arr.std:.6g}")
     a = np.asarray(arr)
     if a.size == 0:
         return f"{name} [empty]"

@@ -185,7 +185,14 @@ def main(argv=None, _stats_out=None) -> int:
         from kaldi_lstm_tpu.models.components import set_matmul_dtype
         set_matmul_dtype(jnp.bfloat16)
 
+    import os as _os
+    import time as _time
+    _prof = bool(_os.environ.get("KLT_EPOCH_PROFILE")) or args.verbose >= 2
+    _t0 = _time.perf_counter()
     nnet, params = Nnet.read(args.model_in)
+    if _prof:
+        LOG(f"invocation profile: model read {args.model_in} "
+            f"{_time.perf_counter() - _t0:.2f}s")
     fused = None if args.fused_xent == "auto" else _bool(args.fused_xent)
     opts = TrainOptions(learn_rate=args.learn_rate, momentum=args.momentum,
                         grad_clip=args.grad_clip,
@@ -269,6 +276,9 @@ def main(argv=None, _stats_out=None) -> int:
         jax.profiler.start_trace(args.profile_dir)
         profiling = True
 
+    if _prof:
+        LOG(f"invocation profile: setup (parse+read+readers) "
+            f"{_time.perf_counter() - _t0:.2f}s to epoch start")
     res = run_epoch(nnet, params, scheduler, opts,
                     transf=transf, transf_params=transf_params,
                     crossvalidate=crossvalidate, opt_state=opt_state,
@@ -282,6 +292,7 @@ def main(argv=None, _stats_out=None) -> int:
         LOG(f"profiler trace written to {args.profile_dir}")
 
     if not crossvalidate:
+        _t0 = _time.perf_counter()
         out_params, out_opt = res.params, res.opt_state
         if plan is not None:  # collective gathers: all processes enter
             out_params = plan.gather_params(out_params)
@@ -297,6 +308,9 @@ def main(argv=None, _stats_out=None) -> int:
                                  meta={"learn_rate": args.learn_rate,
                                        "num_done": scheduler.num_done})
                 LOG(f"wrote train state to {args.state_out}")
+        if _prof:
+            LOG(f"invocation profile: model fetch+write {args.model_out} "
+                f"{_time.perf_counter() - _t0:.2f}s")
         if plan is not None:
             # other ranks must not re-open the model (CV / next recipe
             # iteration on a shared FS) before rank 0 finishes writing

@@ -137,3 +137,110 @@ def test_grouped_step_matches_plain(tmp_path):
                     jax.tree_util.tree_leaves(r_grp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_step_cache_reuses_jit_across_invocations():
+    """A recipe process invokes the trainer once per iteration; the
+    process-wide step cache must hand back the SAME jit object for a
+    freshly re-read net of identical structure (no per-iteration
+    re-trace), and distinguish anything that changes the traced
+    computation (CV mode, options, structure)."""
+    from kaldi_lstm_tpu.train import trainer as tr
+
+    nnet1, _ = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(0))
+    nnet2, _ = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(1))
+    opts = TrainOptions(learn_rate=0.05, momentum=0.9)
+
+    f1 = tr._cached_step("plain", nnet1, opts, None, False,
+                         lambda: tr.make_train_step(nnet1, opts))
+    f2 = tr._cached_step("plain", nnet2, opts, None, False,
+                         lambda: tr.make_train_step(nnet2, opts))
+    assert f1 is f2  # same structure -> cached object, zero re-trace
+
+    fcv = tr._cached_step("plain", nnet1, opts, None, True,
+                          lambda: tr.make_train_step(nnet1, opts, None,
+                                                     True))
+    assert fcv is not f1
+    opts2 = opts._replace(grad_clip=50.0)
+    f3 = tr._cached_step("plain", nnet1, opts2, None, False,
+                         lambda: tr.make_train_step(nnet1, opts2))
+    assert f3 is not f1
+
+
+def test_step_cache_epoch_results_identical():
+    """Two epochs through run_epoch (which now consults the cache) give
+    bit-identical results to a fresh process' first epoch semantics:
+    the cached step is the same computation."""
+    nnet, params0 = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(5))
+    opts = TrainOptions(learn_rate=5e-3, momentum=0.9)
+    r1 = run_epoch(nnet, jax.tree_util.tree_map(jnp.array, params0),
+                   make_sched(seed=11), opts)
+    # re-read-equivalent: a NEW structurally-equal net object
+    nnet_b, _ = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(6))
+    r2 = run_epoch(nnet_b, jax.tree_util.tree_map(jnp.array, params0),
+                   make_sched(seed=11), opts)
+    assert r1.stats.loss == r2.stats.loss
+    for a, b in zip(jax.tree_util.tree_leaves(r1.params),
+                    jax.tree_util.tree_leaves(r2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_jitted_monitor_matches_eager_reference():
+    """The one-dispatch device monitor must reproduce the moments the
+    old eager implementation computed: per-activation, per-grad-leaf,
+    and per-component backprop-buffer statistics."""
+    from kaldi_lstm_tpu.models.components import Softmax
+    from kaldi_lstm_tpu.train import trainer as tr
+    from kaldi_lstm_tpu.train.loss import masked_xent_loss
+
+    nnet, params = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(2))
+    S, T = 2, 5
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(S, T, 6).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, 5, (S, T, 1)).astype(np.int32))
+    w = jnp.ones((S, T, 1), np.float32)
+    mask = jnp.ones((S, T), np.float32)
+    states = nnet.init_states(S)
+
+    mon = tr.make_monitor_fn(nnet, TrainOptions(), None, False)
+    act_m, grad_m, bp_m = jax.device_get(
+        mon(params, (), x, states, ids, w, mask))
+
+    # eager reference: forward chain
+    acts = [x]
+    a = x
+    for c, p, s in zip(nnet.components, params, states):
+        a, _ = c.apply(p, a, s)
+        acts.append(a)
+    for m, a in zip(act_m, acts):
+        a = np.asarray(a)
+        np.testing.assert_allclose(
+            m, [a.min(), a.max(), a.mean(), a.std()], rtol=1e-5, atol=1e-6)
+
+    def objective(p):
+        logits, _ = nnet.propagate(p, x, states, logits=True)
+        return masked_xent_loss(logits, ids, w, mask)[0]
+
+    grads = jax.grad(objective)(params)
+    for g, m in zip(jax.tree_util.tree_leaves(grads),
+                    jax.tree_util.tree_leaves(grad_m)):
+        g = np.asarray(g)
+        np.testing.assert_allclose(
+            m, [g.min(), g.max(), g.mean(), g.std()], rtol=1e-4, atol=1e-6)
+
+    # backprop buffers: eager d loss / d acts[i] via sub-stack re-forward
+    comps = nnet.components
+    n_bp = len(comps) - (1 if isinstance(comps[-1], Softmax) else 0)
+    for i in range(n_bp):
+        def from_here(a):
+            y = a
+            for c, p, s in zip(comps[i:], params[i:], states[i:]):
+                if isinstance(c, Softmax) and c is comps[-1]:
+                    break
+                y, _ = c.apply(p, y, s)
+            return masked_xent_loss(y, ids, w, mask)[0]
+
+        g = np.asarray(jax.grad(from_here)(acts[i]))
+        np.testing.assert_allclose(
+            bp_m[i], [g.min(), g.max(), g.mean(), g.std()],
+            rtol=1e-4, atol=1e-6)

@@ -658,6 +658,10 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
             prof["stage"] += _time.perf_counter() - t0
             yield item
 
+    serialize_steps = (plan is not None
+                       and jax.default_backend() == "cpu"
+                       and len(jax.devices()) > 1)
+
     src = staged_source()
     if not multiproc and _staging_thread_ok():
         # second pipeline stage: np.stack + H2D upload runs on its own
@@ -712,6 +716,16 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
                 # single GPU, ruinous through a device queue at hundreds
                 # of steps/s).
                 pending.append(aux)
+        if serialize_steps:
+            # virtual CPU meshes (host-platform device_count > n cores):
+            # a SECOND in-flight execution's collective rendezvous can
+            # occupy every executor thread while an earlier execution
+            # still needs one to finish -- a true deadlock (observed as
+            # xla rendezvous terminate timeouts in the 8-device dryrun
+            # on a 2-core host). One execution in flight at a time is
+            # free here: CPU meshes are a correctness substrate, and
+            # the real-hardware path (tpu backend) is unaffected.
+            jax.block_until_ready((params, opt_state, states))
         prof["dispatch"] += _time.perf_counter() - t0
 
         if len(pending) >= STATS_FLUSH:

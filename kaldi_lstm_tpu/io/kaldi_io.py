@@ -961,6 +961,27 @@ def Int32Writer(wspecifier: str) -> TableWriter:
     return TableWriter(wspecifier, _write)
 
 
+class SequentialIntVectorReader:
+    """Sequential reader over `ark:` integer-VECTOR tables (alignments)
+    — upstream SequentialInt32VectorReader. Library counterpart of the
+    inline loops the ali-to-* tools use (ali_to_pdf.py:42-52)."""
+
+    def __init__(self, rspecifier: str):
+        self.kind, self.stream = _open_rspecifier(rspecifier)
+
+    def __iter__(self) -> Iterator[tuple[str, np.ndarray]]:
+        if self.kind == "scp":
+            raise ValueError("scp int-vector tables not supported")
+        stream = self.stream if isinstance(self.stream, io.BufferedReader) \
+            else io.BufferedReader(self.stream)
+        while True:
+            key = _read_key(stream)
+            if key is None:
+                return
+            inp = _read_value_header(stream)
+            yield key, read_int_vector(inp)
+
+
 class SequentialInt32Reader:
     """Sequential reader over `ark:`/`scp:` int32 tables (lengths etc.)."""
 

@@ -114,3 +114,26 @@ def test_analyze_counts_rejects_negative_ids(tmp_path):
         w.write("u0", [0, -1, 2])
     assert counts_main([f"ark:{tmp_path}/bad.ark",
                         f"{tmp_path}/c"]) == 1
+
+
+def test_sequential_int_vector_reader_roundtrip(tmp_path):
+    """SequentialIntVectorReader streams a multi-record alignment ark
+    written by write_int_vector (the table the ali-to-* tools emit)."""
+    import numpy as np
+
+    from kaldi_lstm_tpu.io.kaldi_io import (
+        SequentialIntVectorReader,
+        TableWriter,
+        write_int_vector,
+    )
+    p = tmp_path / "ali.ark"
+    rng = np.random.RandomState(3)
+    ref = {f"utt{i}": rng.randint(0, 1000, rng.randint(1, 40))
+           for i in range(17)}
+    with TableWriter(f"ark:{p}", write_int_vector) as w:
+        for k, v in ref.items():
+            w.write(k, v)
+    got = dict(SequentialIntVectorReader(f"ark:{p}"))
+    assert list(got) == list(ref)
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k])

@@ -414,9 +414,11 @@ def make_monitor_fn(nnet: Nnet, opts: TrainOptions,
 
 
 def _monitor_first_batch(nnet, params, transf, transf_params, batch, opts,
-                         crossvalidate):
-    """Format and VLOG the first-minibatch moment dumps from the cached
-    jitted monitor (reference :232-239 output layout)."""
+                         crossvalidate, total_frames: int = 0,
+                         level: int = 1):
+    """Format and VLOG the moment dumps from the cached jitted monitor
+    (reference :232-239 output layout at the first minibatch; :251-260
+    every-25k-frames repeat at vlog-2, `level=2`)."""
     from kaldi_lstm_tpu.models.components import Moments, moment_statistics
     monitor = _cached_step(
         "monitor", nnet, opts, transf, crossvalidate,
@@ -438,20 +440,20 @@ def _monitor_first_batch(nnet, params, transf, transf_params, batch, opts,
              stat("[input]", in_dim, act_m[0])]
     for c, m in zip(comps, act_m[1:]):
         lines.append(stat(f"[output of {c.token[1:-1]}]", c.output_dim, m))
-    VLOG(1, "### After 0 frames,")
-    VLOG(1, "\n".join(lines))
+    VLOG(level, f"### After {total_frames} frames,")
+    VLOG(level, "\n".join(lines))
     if crossvalidate:
         return
 
     mom_tree = jax.tree_util.tree_map(
         lambda p, m: Moments(jnp.shape(p), m[0], m[1], m[2], m[3]),
         params, grad_m)
-    VLOG(1, nnet.info_gradient(mom_tree))
+    VLOG(level, nnet.info_gradient(mom_tree))
     lines = ["### Backward propagation buffer content :"]
     for c, m in zip(comps, bp_m):
         lines.append(stat(f"[diff at input of {c.token[1:-1]}]",
                           c.input_dim, m))
-    VLOG(1, "\n".join(lines))
+    VLOG(level, "\n".join(lines))
 
 
 def _staging_thread_ok() -> bool:
@@ -581,6 +583,7 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
     last_report_done = 0
     last_dump_done = 0
     first_batch = True
+    monitor_frames = 0  # host-side masked-frame count (:241 semantics)
     use_dropout = (not crossvalidate and any(
         getattr(c, "dropout_rate", 0.0) > 0 for c in nnet.components))
     drop_key = jax.random.PRNGKey(777)
@@ -682,6 +685,8 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
             _monitor_first_batch(nnet, params, transf, transf_params,
                                  group[0], opts, crossvalidate)
         first_batch = False
+        prev_monitor_frames = monitor_frames
+        monitor_frames += sum(int(g.mask.sum()) for g in group)
         consumed_done += sum(g.num_new_utts for g in group)
         t0 = _time.perf_counter()
         if kind == "g":
@@ -727,6 +732,16 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
             # the real-hardware path (tpu backend) is unaffected.
             jax.block_until_ready((params, opt_state, states))
         prof["dispatch"] += _time.perf_counter() - t0
+
+        if (monitor_verbose >= 2 and not multiproc
+                and prev_monitor_frames // 25000
+                != monitor_frames // 25000):
+            # every-25k-frames moment dump at vlog-2 (reference
+            # :251-260): post-step params, post-increment frame label;
+            # under grouping the dump lands at group granularity
+            _monitor_first_batch(nnet, params, transf, transf_params,
+                                 group[0], opts, crossvalidate,
+                                 total_frames=monitor_frames, level=2)
 
         if len(pending) >= STATS_FLUSH:
             t0 = _time.perf_counter()

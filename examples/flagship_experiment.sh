@@ -136,6 +136,7 @@ if [ ! -f "$dir/exp/.done" ]; then
       --scheduler newbob --learn-rate ${KLT_LR:-3e-4} \
       --max-iters ${KLT_MAX_ITERS:-14} --min-iters ${KLT_MIN_ITERS:-4} \
       --keep-lr-iters ${KLT_KEEP_LR_ITERS:-0} \
+      --grad-clip ${KLT_GRAD_CLIP:-0} \
       --num-stream $NSTREAM --batch-size 20 --targets-delay 0 \
       --step-group $GROUP --bf16 true --dump-interval 2000000
   log_stage "xent training (newbob, TPU)" "$t0"

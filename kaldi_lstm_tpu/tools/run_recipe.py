@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     p.add_argument("--feature-transform", default="")
     p.add_argument("--learn-rate", type=float, default=1e-5)
     p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--grad-clip", type=float, default=0.0,
+                   help="passed to the trainer (per-element gradient "
+                        "clip; 50 reproduces the standard variant)")
     p.add_argument("--num-stream", type=int, default=4)
     p.add_argument("--batch-size", type=int, default=20)
     p.add_argument("--targets-delay", type=int, default=5)
@@ -138,6 +141,7 @@ def main(argv=None) -> int:
     common = [
         f"--feature-transform={args.feature_transform}",
         f"--momentum={args.momentum}",
+        f"--grad-clip={args.grad_clip}",
         f"--num-stream={args.num_stream}",
         f"--batch-size={args.batch_size}",
         f"--targets-delay={args.targets_delay}",

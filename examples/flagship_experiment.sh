@@ -124,6 +124,44 @@ fi
   echo "</NnetProto>"
 } > "$dir/nnet.proto"
 
+# Deep stacks train via the reference's own layer-stacking flow (FAQ Q2
+# / nnet1 discriminative pretraining): a cold 2xLSTMP at ParamScale 0.01
+# attenuates the signal twice over and diverges at any LR that moves
+# (measured: lr 3e-4 crawls at ~0.4 nats/iter, 6e-4 explodes even under
+# --grad-clip 50). Train the 1-layer net first, then insert a fresh
+# second LSTMP before the senone affine (klt-nnet-edit) and fine-tune
+# the full stack. KLT_STACK_PRETRAIN=0 disables.
+if [ "$LAYERS" -ge 2 ] && [ "${KLT_STACK_PRETRAIN:-1}" = 1 ] \
+    && [ ! -f "$dir/pre/.done" ]; then
+  t0=$(stamp)
+  mkdir -p "$dir/pre" "$dir/exp"
+  {
+    echo "<NnetProto>"
+    echo "<Transmit> <InputDim> 40 <OutputDim> 40"
+    echo "<LstmProjectedStreams> <InputDim> 40 <OutputDim> $RECUR <CellDim> $CELL <ParamScale> 0.01 <NumStream> 4"
+    echo "<AffineTransform> <InputDim> $RECUR <OutputDim> $NPDFS <ParamStddev> 0.04"
+    echo "<Softmax> <InputDim> $NPDFS <OutputDim> $NPDFS"
+    echo "</NnetProto>"
+  } > "$dir/pre/nnet.proto"
+  python -m kaldi_lstm_tpu.tools.run_recipe \
+      --tr-feats "scp:$dir/feats/tr.scp" \
+      --tr-targets "ark:$dir/targets/post.ark" \
+      --cv-feats "scp:$dir/feats/cv.scp" \
+      --cv-targets "ark:$dir/targets/post.ark" \
+      --proto "$dir/pre/nnet.proto" --dir "$dir/pre" \
+      --feature-transform "$dir/feats/feature_transform.nnet.txt" \
+      --scheduler newbob --learn-rate ${KLT_LR:-3e-4} \
+      --max-iters ${KLT_PRE_ITERS:-4} --min-iters ${KLT_PRE_ITERS:-4} \
+      --grad-clip ${KLT_GRAD_CLIP:-0} \
+      --num-stream $NSTREAM --batch-size 20 --targets-delay 0 \
+      --step-group $GROUP --bf16 true --dump-interval 2000000
+  python -m kaldi_lstm_tpu.tools.nnet_edit \
+      "$dir/pre/final.nnet" "$dir/exp/nnet.init" --insert-at 2 \
+      --proto-line "<LstmProjectedStreams> <InputDim> $RECUR <OutputDim> $RECUR <CellDim> $CELL <ParamScale> 0.01 <NumStream> 4"
+  log_stage "1-layer pretrain + stack layer 2 (FAQ Q2 flow)" "$t0"
+  touch "$dir/pre/.done"
+fi
+
 if [ ! -f "$dir/exp/.done" ]; then
   t0=$(stamp)
   python -m kaldi_lstm_tpu.tools.run_recipe \

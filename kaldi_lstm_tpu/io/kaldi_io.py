@@ -571,12 +571,23 @@ def _read_key(stream) -> str | None:
     while True:
         c = stream.read(1)
         if not c:
-            return None if not chars else b"".join(chars).decode()
+            if not chars:
+                return None
+            break
         if c.isspace():
             if chars:
-                return b"".join(chars).decode()
+                break
             continue
         chars.append(c)
+    try:
+        return b"".join(chars).decode()
+    except UnicodeDecodeError as e:
+        # binary payload where a key was expected: almost always a
+        # reader/table mismatch (e.g. a scalar-table reader on a
+        # vector table) or a truncated/misaligned ark
+        raise ValueError(
+            f"bad utterance key {b''.join(chars)[:32]!r}: not a Kaldi "
+            f"table of this kind, or the stream is misaligned") from e
 
 
 def _read_value_header(stream) -> KaldiInput:

@@ -137,3 +137,23 @@ def test_sequential_int_vector_reader_roundtrip(tmp_path):
     assert list(got) == list(ref)
     for k in ref:
         np.testing.assert_array_equal(got[k], ref[k])
+
+
+def test_misaligned_table_raises_clear_error(tmp_path):
+    """Reading a vector table with the scalar-int32 reader (or any
+    reader/table mismatch) must raise a ValueError naming the problem,
+    not a bare UnicodeDecodeError from key parsing."""
+    import numpy as np
+    import pytest
+
+    from kaldi_lstm_tpu.io.kaldi_io import (
+        SequentialInt32Reader,
+        TableWriter,
+        write_int_vector,
+    )
+    p = tmp_path / "vec.ark"
+    with TableWriter(f"ark:{p}", write_int_vector) as w:
+        for i in range(4):
+            w.write(f"utt{i}", np.arange(30) * 7)
+    with pytest.raises(ValueError, match="misaligned|not a Kaldi"):
+        list(SequentialInt32Reader(f"ark:{p}"))

@@ -155,7 +155,10 @@ if [ "$LAYERS" -ge 2 ] && [ "${KLT_STACK_PRETRAIN:-1}" = 1 ] \
       --grad-clip ${KLT_GRAD_CLIP:-0} \
       --num-stream $NSTREAM --batch-size 20 --targets-delay 0 \
       --step-group $GROUP --bf16 true --dump-interval 2000000
-  python -m kaldi_lstm_tpu.tools.nnet_edit \
+  # host-only tool: run on the CPU backend (a plain python would claim
+  # the TPU just to draw init params and can wedge behind the recipe's
+  # just-released claim)
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.nnet_edit \
       "$dir/pre/final.nnet" "$dir/exp/nnet.init" --insert-at 2 \
       --proto-line "<LstmProjectedStreams> <InputDim> $RECUR <OutputDim> $RECUR <CellDim> $CELL <ParamScale> 0.01 <NumStream> 4"
   log_stage "1-layer pretrain + stack layer 2 (FAQ Q2 flow)" "$t0"

@@ -543,6 +543,10 @@ class _LstmBase(Component):
         self.recur_dim = int(output_dim)
         self.param_scale = float(param_scale)
         self.cell_clip = 50.0  # bd-nnet-lstm-projected-streams.h:296-297
+        # newer-nnet1 <LearnRateCoef>: per-component LR multiplier
+        # (0 freezes the layer — the FAQ Q2 stacking flow trains the
+        # inserted layer against frozen pretrained features)
+        self.learn_rate_coef = 1.0
         # "auto": fused Pallas kernel on TPU, lax.scan elsewhere
         self.impl = "auto"
         # forward-connection dropout on the gate pre-activations —
@@ -661,9 +665,14 @@ class LstmProjected(_LstmBase):
         if tok != "<CellDim>":
             raise ValueError(f"LstmProjected: expected <CellDim>, got {tok!r}")
         self.cell_dim = kio.read_int32(inp)
-        if kio.peek_token(inp.stream) == "<DropoutRate>":
-            kio.read_token(inp)
-            self.dropout_rate = kio.read_float(inp)
+        while kio.peek_token(inp.stream) in ("<DropoutRate>",
+                                             "<LearnRateCoef>"):
+            tok = kio.read_token(inp)
+            val = kio.read_float(inp)
+            if tok == "<DropoutRate>":
+                self.dropout_rate = val
+            else:
+                self.learn_rate_coef = val
         return self._read_tensors(inp)
 
     def write_data(self, out, params):
@@ -672,12 +681,16 @@ class LstmProjected(_LstmBase):
         if self.dropout_rate > 0:
             kio.write_token(out, "<DropoutRate>")
             kio.write_float(out, self.dropout_rate)
+        if self.learn_rate_coef != 1.0:
+            kio.write_token(out, "<LearnRateCoef>")
+            kio.write_float(out, self.learn_rate_coef)
         self._write_tensors(out, params)
 
     def init_from_config(self, tokens, rng):
         self.cell_dim = int(tokens["<CellDim>"])
         self.param_scale = float(tokens.get("<ParamScale>", 0.02))
         self.dropout_rate = float(tokens.get("<DropoutRate>", 0.0))
+        self.learn_rate_coef = float(tokens.get("<LearnRateCoef>", 1.0))
         return self.init_params(rng)
 
 
@@ -723,9 +736,14 @@ class LstmProjectedStreams(_LstmBase):
             raise ValueError(
                 f"LstmProjectedStreams: expected <NumStream>, got {tok!r}")
         self.nstream = kio.read_int32(inp)
-        if kio.peek_token(inp.stream) == "<DropoutRate>":
-            kio.read_token(inp)
-            self.dropout_rate = kio.read_float(inp)
+        while kio.peek_token(inp.stream) in ("<DropoutRate>",
+                                             "<LearnRateCoef>"):
+            tok = kio.read_token(inp)
+            val = kio.read_float(inp)
+            if tok == "<DropoutRate>":
+                self.dropout_rate = val
+            else:
+                self.learn_rate_coef = val
         return self._read_tensors(inp)
 
     def write_data(self, out, params):
@@ -736,6 +754,9 @@ class LstmProjectedStreams(_LstmBase):
         if self.dropout_rate > 0:
             kio.write_token(out, "<DropoutRate>")
             kio.write_float(out, self.dropout_rate)
+        if self.learn_rate_coef != 1.0:
+            kio.write_token(out, "<LearnRateCoef>")
+            kio.write_float(out, self.learn_rate_coef)
         self._write_tensors(out, params)
 
     def init_from_config(self, tokens, rng):
@@ -743,6 +764,7 @@ class LstmProjectedStreams(_LstmBase):
         self.nstream = int(tokens.get("<NumStream>", 4))
         self.param_scale = float(tokens.get("<ParamScale>", 0.02))
         self.dropout_rate = float(tokens.get("<DropoutRate>", 0.0))
+        self.learn_rate_coef = float(tokens.get("<LearnRateCoef>", 1.0))
         return self.init_params(rng)
 
 

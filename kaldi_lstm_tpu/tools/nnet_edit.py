@@ -35,6 +35,13 @@ def main(argv=None) -> int:
     p.add_argument("--proto-line", default="",
                    help="One <NnetProto>-style component line to insert")
     p.add_argument("--remove-at", type=int, default=None)
+    p.add_argument("--set-learn-rate-coef", action="append", default=[],
+                   metavar="IDX=COEF",
+                   help="Set a component's <LearnRateCoef> (repeatable; "
+                        "0 freezes the layer — e.g. freeze the "
+                        "pretrained trunk while a newly stacked layer "
+                        "trains). Applied after insert/remove, so "
+                        "indices refer to the FINAL component list.")
     p.add_argument("--seed", type=int, default=777)
     args = p.parse_args(argv)
 
@@ -61,6 +68,25 @@ def main(argv=None) -> int:
             nnet.components.insert(idx + j, c)
             params.insert(idx + j, pp)
             LOG(f"inserted {c.token} at {idx + j}")
+
+    for spec in args.set_learn_rate_coef:
+        idx_s, _, coef_s = spec.partition("=")
+        try:
+            idx, coef = int(idx_s), float(coef_s)
+        except ValueError:
+            print(f"error: bad --set-learn-rate-coef {spec!r} "
+                  f"(want IDX=COEF)", file=sys.stderr)
+            return 1
+        c = nnet.components[idx % len(nnet.components)]
+        if not getattr(c, "updatable", False):
+            print(f"error: component {idx} ({c.token}) is not updatable",
+                  file=sys.stderr)
+            return 1
+        c.learn_rate_coef = coef
+        if hasattr(c, "bias_learn_rate_coef"):
+            c.bias_learn_rate_coef = coef
+        LOG(f"set {c.token} at {idx % len(nnet.components)} "
+            f"LearnRateCoef {coef:g}")
 
     # dimension sanity
     for a, b in zip(nnet.components, nnet.components[1:]):

@@ -152,7 +152,8 @@ def build_lr_scale(nnet: Nnet, params):
             out.append({"linearity": float(c.learn_rate_coef),
                         "bias": float(c.bias_learn_rate_coef)})
         else:
-            out.append(jax.tree_util.tree_map(lambda _: 1.0, p))
+            coef = float(getattr(c, "learn_rate_coef", 1.0))
+            out.append(jax.tree_util.tree_map(lambda _: coef, p))
     return tuple(out)
 
 

@@ -155,14 +155,47 @@ if [ "$LAYERS" -ge 2 ] && [ "${KLT_STACK_PRETRAIN:-1}" = 1 ] \
       --grad-clip ${KLT_GRAD_CLIP:-0} \
       --num-stream $NSTREAM --batch-size 20 --targets-delay 0 \
       --step-group $GROUP --bf16 true --dump-interval 2000000
+  log_stage "1-layer pretrain" "$t0"
+  touch "$dir/pre/.done"
+fi
+
+# Stack: swap in [fresh LSTMP-2 + fresh senone affine] above the
+# pretrained trunk and train THEM against the FROZEN trunk
+# (<LearnRateCoef> 0) — keeping the trained affine destabilizes the
+# stack (its weights encode layer-1 feature geometry; measured: the
+# fine-tune oscillates at ~60 nats xent and never recovers), while a
+# frozen trunk under a fresh top is exactly the 1-layer problem on
+# better features. Then unfreeze for the main fine-tune below.
+if [ "$LAYERS" -ge 2 ] && [ "${KLT_STACK_PRETRAIN:-1}" = 1 ] \
+    && [ ! -f "$dir/stack/.done" ]; then
+  t0=$(stamp)
+  mkdir -p "$dir/stack" "$dir/exp"
   # host-only tool: run on the CPU backend (a plain python would claim
   # the TPU just to draw init params and can wedge behind the recipe's
   # just-released claim)
   "${CPU[@]}" python -m kaldi_lstm_tpu.tools.nnet_edit \
-      "$dir/pre/final.nnet" "$dir/exp/nnet.init" --insert-at 2 \
-      --proto-line "<LstmProjectedStreams> <InputDim> $RECUR <OutputDim> $RECUR <CellDim> $CELL <ParamScale> 0.01 <NumStream> 4"
-  log_stage "1-layer pretrain + stack layer 2 (FAQ Q2 flow)" "$t0"
-  touch "$dir/pre/.done"
+      "$dir/pre/final.nnet" "$dir/stack/nnet.init" \
+      --remove-at 2 --insert-at 2 \
+      --proto-line "<LstmProjectedStreams> <InputDim> $RECUR <OutputDim> $RECUR <CellDim> $CELL <ParamScale> 0.01 <NumStream> 4
+<AffineTransform> <InputDim> $RECUR <OutputDim> $NPDFS <ParamStddev> 0.04" \
+      --set-learn-rate-coef 1=0
+  python -m kaldi_lstm_tpu.tools.run_recipe \
+      --tr-feats "scp:$dir/feats/tr.scp" \
+      --tr-targets "ark:$dir/targets/post.ark" \
+      --cv-feats "scp:$dir/feats/cv.scp" \
+      --cv-targets "ark:$dir/targets/post.ark" \
+      --dir "$dir/stack" \
+      --feature-transform "$dir/feats/feature_transform.nnet.txt" \
+      --scheduler newbob --learn-rate ${KLT_LR:-3e-4} \
+      --max-iters ${KLT_STACK_ITERS:-6} --min-iters ${KLT_STACK_ITERS:-6} \
+      --grad-clip ${KLT_GRAD_CLIP:-0} \
+      --num-stream $NSTREAM --batch-size 20 --targets-delay 0 \
+      --step-group $GROUP --bf16 true --dump-interval 2000000
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.nnet_edit \
+      "$dir/stack/final.nnet" "$dir/exp/nnet.init" \
+      --set-learn-rate-coef 1=1
+  log_stage "stack layer 2 on frozen trunk (FAQ Q2 flow)" "$t0"
+  touch "$dir/stack/.done"
 fi
 
 if [ ! -f "$dir/exp/.done" ]; then

@@ -795,6 +795,21 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
 STATS_FLUSH = 32  # batches of device stats fetched per host transfer
 
 
+@functools.lru_cache(maxsize=None)
+def _pack_aux(n: int):
+    """Jitted packer: n LossAux pytrees -> one [4, total] f32 array
+    (distinct n / entry shapes trace once each; shapes are part of the
+    jit signature so grouped [B] and scalar tail entries coexist)."""
+    @jax.jit
+    def pack(*auxs):
+        return jnp.concatenate(
+            [jnp.stack([a.xent, a.entropy,
+                        a.correct.astype(jnp.float32),
+                        a.frames.astype(jnp.float32)]).reshape(4, -1)
+             for a in auxs], axis=1)
+    return pack
+
+
 def _flush_stats(pending, stats: LossStats, scheduler,
                  total_frames: int) -> int:
     """Fetch buffered per-batch LossAux scalars in one transfer and feed
@@ -803,12 +818,12 @@ def _flush_stats(pending, stats: LossStats, scheduler,
     if not pending:
         return total_frames
     # each entry is a LossAux of scalars (plain step) or of [B] vectors
-    # (grouped step); flatten both to [total, 4] rows in step order
-    block = np.asarray(jnp.concatenate(
-        [jnp.stack([a.xent, a.entropy,
-                    a.correct.astype(jnp.float32),
-                    a.frames.astype(jnp.float32)]).reshape(4, -1)
-         for a in pending], axis=1)).T
+    # (grouped step); flatten both to [total, 4] rows in step order.
+    # The packing runs as ONE jitted dispatch + one fetch: building the
+    # block eagerly is ~4 tiny device ops per entry, each a multi-ms
+    # RPC on a tunneled device — measured 2-3 s/epoch, the largest
+    # host-side term left after the step cache (BENCH_NOTES round 3).
+    block = np.asarray(_pack_aux(len(pending))(*pending)).T
     pending.clear()
     for xent, ent, correct, frames in block:
         if not np.isfinite(xent):

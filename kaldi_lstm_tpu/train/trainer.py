@@ -795,21 +795,6 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
 STATS_FLUSH = 32  # batches of device stats fetched per host transfer
 
 
-@functools.lru_cache(maxsize=None)
-def _pack_aux(n: int):
-    """Jitted packer: n LossAux pytrees -> one [4, total] f32 array
-    (distinct n / entry shapes trace once each; shapes are part of the
-    jit signature so grouped [B] and scalar tail entries coexist)."""
-    @jax.jit
-    def pack(*auxs):
-        return jnp.concatenate(
-            [jnp.stack([a.xent, a.entropy,
-                        a.correct.astype(jnp.float32),
-                        a.frames.astype(jnp.float32)]).reshape(4, -1)
-             for a in auxs], axis=1)
-    return pack
-
-
 def _flush_stats(pending, stats: LossStats, scheduler,
                  total_frames: int) -> int:
     """Fetch buffered per-batch LossAux scalars in one transfer and feed
@@ -819,12 +804,18 @@ def _flush_stats(pending, stats: LossStats, scheduler,
         return total_frames
     # each entry is a LossAux of scalars (plain step) or of [B] vectors
     # (grouped step); flatten both to [total, 4] rows in step order.
-    # The packing runs as ONE jitted dispatch + one fetch: building the
-    # block eagerly is ~4 tiny device ops per entry, each a multi-ms
-    # RPC on a tunneled device — measured 2-3 s/epoch, the largest
-    # host-side term left after the step cache (BENCH_NOTES round 3).
-    block = np.asarray(_pack_aux(len(pending))(*pending)).T
+    # Fetch the raw leaves in ONE device_get and pack on the HOST:
+    # building the block with eager device ops costs ~4 tiny dispatches
+    # per entry (multi-ms each over a tunnel, measured 2-3 s/epoch),
+    # and a jitted packer re-compiles per distinct pending-count —
+    # plain transfers are the cheapest tunnel interaction.
+    vals = jax.device_get([(a.xent, a.entropy, a.correct, a.frames)
+                           for a in pending])
     pending.clear()
+    block = np.concatenate(
+        [np.stack([np.asarray(v, np.float64).reshape(-1) for v in entry],
+                  axis=1)
+         for entry in vals], axis=0)
     for xent, ent, correct, frames in block:
         if not np.isfinite(xent):
             raise FloatingPointError(

@@ -804,18 +804,20 @@ def _flush_stats(pending, stats: LossStats, scheduler,
         return total_frames
     # each entry is a LossAux of scalars (plain step) or of [B] vectors
     # (grouped step); flatten both to [total, 4] rows in step order.
-    # Fetch the raw leaves in ONE device_get and pack on the HOST:
-    # building the block with eager device ops costs ~4 tiny dispatches
-    # per entry (multi-ms each over a tunnel, measured 2-3 s/epoch),
-    # and a jitted packer re-compiles per distinct pending-count —
-    # plain transfers are the cheapest tunnel interaction.
-    vals = jax.device_get([(a.xent, a.entropy, a.correct, a.frames)
-                           for a in pending])
+    # Keep the eager concat + ONE fetch: on the axon tunnel this costs
+    # ~4 multi-ms dispatches per entry (2-3 s/epoch at the flagship
+    # shape) and both "obvious" optimizations measured WORSE on-chip —
+    # a jitted packer re-compiles per distinct pending-count (143 s of
+    # one-time compiles), and fetching the raw leaves with one
+    # device_get pays a ~30 s D2H synchronization PER SMALL ARRAY
+    # (1459 s/epoch!): individual transfers, not dispatches, are the
+    # expensive tunnel interaction.
+    block = np.asarray(jnp.concatenate(
+        [jnp.stack([a.xent, a.entropy,
+                    a.correct.astype(jnp.float32),
+                    a.frames.astype(jnp.float32)]).reshape(4, -1)
+         for a in pending], axis=1)).T
     pending.clear()
-    block = np.concatenate(
-        [np.stack([np.asarray(v, np.float64).reshape(-1) for v in entry],
-                  axis=1)
-         for entry in vals], axis=0)
     for xent, ent, correct, frames in block:
         if not np.isfinite(xent):
             raise FloatingPointError(

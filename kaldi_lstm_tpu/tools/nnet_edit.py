@@ -77,7 +77,15 @@ def main(argv=None) -> int:
             print(f"error: bad --set-learn-rate-coef {spec!r} "
                   f"(want IDX=COEF)", file=sys.stderr)
             return 1
-        c = nnet.components[idx % len(nnet.components)]
+        n = len(nnet.components)
+        if not -n <= idx < n:
+            # a typo'd index must not silently wrap onto another layer —
+            # a coef edit is invisible in the net summary (ADVICE r3);
+            # negative indexing (python semantics) stays supported
+            print(f"error: --set-learn-rate-coef index {idx} out of "
+                  f"range for {n} components", file=sys.stderr)
+            return 1
+        c = nnet.components[idx % n]
         if not getattr(c, "updatable", False):
             print(f"error: component {idx} ({c.token}) is not updatable",
                   file=sys.stderr)

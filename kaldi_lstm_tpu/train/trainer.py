@@ -350,7 +350,12 @@ def _cached_step(kind: str, nnet: Nnet, opts: TrainOptions,
     global matmul dtype, and (sharded) the mesh layout + stream count
     via `extra`. `build()` constructs the step on a miss."""
     from kaldi_lstm_tpu.models.components import get_matmul_dtype
-    key = (kind, _nnet_sig(nnet), _nnet_sig(transf), opts,
+    # learn_rate is a RUNTIME argument of the traced step (lr_eff =
+    # learn_rate * real), never a trace constant — normalize it out of
+    # the key so newbob LR halvings hit the cache instead of re-tracing
+    # every iteration (ADVICE r3).
+    key = (kind, _nnet_sig(nnet), _nnet_sig(transf),
+           opts._replace(learn_rate=0.0),
            bool(crossvalidate), str(get_matmul_dtype()), extra)
     fn = _STEP_CACHE.get(key)
     if fn is None:
@@ -394,22 +399,28 @@ def make_monitor_fn(nnet: Nnet, opts: TrainOptions,
                 lambda t, _c=c, _p=p, _s=s: _c.apply(_p, t, _s)[0], a)
             acts.append(a)
             vjps.append(vjp)
-        act_m = [_moms4(t) for t in acts]
+        # ONE stacked [N, 4] result (activation rows, then flattened
+        # grad-leaf rows, then backprop rows): the tunnel costs ~30 s of
+        # D2H synchronization PER SMALL ARRAY fetched (CLAUDE.md), so a
+        # pytree of 25-60 tiny [4] results would cost minutes per dump
+        # (ADVICE r3); a single transfer is device-bound.
+        rows = [_moms4(t) for t in acts]
         if crossvalidate:
-            return act_m, None, None
+            return jnp.stack(rows)
 
         def objective(p):
             logits, _ = nnet.propagate(p, acts[0], states, logits=True)
             return loss_fn(logits, ids, w, mask)[0]
 
         grad_m = jax.tree_util.tree_map(_moms4, jax.grad(objective)(params))
+        rows += jax.tree_util.tree_leaves(grad_m)
 
         cot = jax.grad(lambda y: loss_fn(y, ids, w, mask)[0])(acts[n_bp])
         bp_m = [None] * n_bp
         for i in range(n_bp - 1, -1, -1):
             cot = vjps[i](cot)[0]  # d loss / d acts[i] = input of comp i
             bp_m[i] = _moms4(cot)
-        return act_m, grad_m, bp_m
+        return jnp.stack(rows + bp_m)
 
     return monitor
 
@@ -426,10 +437,22 @@ def _monitor_first_batch(nnet, params, transf, transf_params, batch, opts,
         lambda: make_monitor_fn(nnet, opts, transf, crossvalidate))
     S, T = batch.feats.shape[:2]
     states = nnet.init_states(S)
-    act_m, grad_m, bp_m = jax.device_get(monitor(
+    # the monitor returns ONE [N, 4] device array; fetch it with a
+    # single transfer and split on host (row layout: activations,
+    # flattened grad leaves, backprop diffs — see make_monitor_fn)
+    packed = np.asarray(monitor(
         params, transf_params, jnp.asarray(batch.feats), states,
         jnp.asarray(batch.tgt_ids), jnp.asarray(batch.tgt_weights),
         jnp.asarray(batch.mask)))
+    n_act = len(nnet.components) + 1
+    act_m = list(packed[:n_act])
+    grad_m = bp_m = None
+    if not crossvalidate:
+        treedef = jax.tree_util.tree_structure(params)
+        n_grad = treedef.num_leaves
+        grad_m = jax.tree_util.tree_unflatten(
+            treedef, list(packed[n_act:n_act + n_grad]))
+        bp_m = list(packed[n_act + n_grad:])
 
     def stat(name, dim, m):
         return "  " + moment_statistics(

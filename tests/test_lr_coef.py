@@ -112,3 +112,11 @@ def test_nnet_edit_set_learn_rate_coef(tmp_path):
     # non-updatable target errors
     assert nnet_edit.main([f"{tmp_path}/a.nnet", f"{tmp_path}/c.nnet",
                            "--set-learn-rate-coef", "2=0"]) == 1
+    # out-of-range index is an ERROR, not a silent modulo wrap onto a
+    # different layer (ADVICE r3); negative indexing stays supported
+    assert nnet_edit.main([f"{tmp_path}/a.nnet", f"{tmp_path}/d.nnet",
+                           "--set-learn-rate-coef", "7=0"]) == 1
+    assert nnet_edit.main([f"{tmp_path}/a.nnet", f"{tmp_path}/e.nnet",
+                           "--set-learn-rate-coef=-3=0.5"]) == 0
+    n, _ = Nnet.read(f"{tmp_path}/e.nnet")
+    assert n.components[0].learn_rate_coef == 0.5

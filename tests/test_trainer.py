@@ -166,6 +166,13 @@ def test_step_cache_reuses_jit_across_invocations():
                          lambda: tr.make_train_step(nnet1, opts2))
     assert f3 is not f1
 
+    # learn_rate is a RUNTIME argument of the traced step — a newbob LR
+    # halving must HIT the cache, not re-trace (ADVICE r3)
+    opts_halved = opts._replace(learn_rate=opts.learn_rate * 0.5)
+    f4 = tr._cached_step("plain", nnet1, opts_halved, None, False,
+                         lambda: tr.make_train_step(nnet1, opts_halved))
+    assert f4 is f1
+
 
 def test_step_cache_epoch_results_identical():
     """Two epochs through run_epoch (which now consults the cache) give
@@ -203,8 +210,18 @@ def test_jitted_monitor_matches_eager_reference():
     states = nnet.init_states(S)
 
     mon = tr.make_monitor_fn(nnet, TrainOptions(), None, False)
-    act_m, grad_m, bp_m = jax.device_get(
-        mon(params, (), x, states, ids, w, mask))
+    packed = mon(params, (), x, states, ids, w, mask)
+    # contract: ONE stacked [N, 4] device array per call — a single D2H
+    # transfer on the tunnel (ADVICE r3), not a pytree of tiny arrays
+    assert isinstance(packed, jax.Array) and packed.ndim == 2 \
+        and packed.shape[1] == 4
+    packed = np.asarray(packed)
+    n_act = len(nnet.components) + 1
+    treedef = jax.tree_util.tree_structure(params)
+    act_m = list(packed[:n_act])
+    grad_m = jax.tree_util.tree_unflatten(
+        treedef, list(packed[n_act:n_act + treedef.num_leaves]))
+    bp_m = list(packed[n_act + treedef.num_leaves:])
 
     # eager reference: forward chain
     acts = [x]

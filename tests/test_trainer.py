@@ -192,6 +192,42 @@ def test_step_cache_epoch_results_identical():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_deferred_stats_epoch_identical(monkeypatch):
+    """KLT_STATS_DEFER=1 (the transport-bound mode: zero mid-epoch stats
+    transfers, one epoch-end fetch) must produce identical params AND
+    identical accumulated loss stats to the eager flush path, and a
+    non-finite loss must still raise (at epoch end)."""
+    nnet, params0 = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(5))
+    opts = TrainOptions(learn_rate=5e-3, momentum=0.9)
+    r_eager = run_epoch(nnet, jax.tree_util.tree_map(jnp.array, params0),
+                        make_sched(seed=13), opts)
+    monkeypatch.setenv("KLT_STATS_DEFER", "1")
+    r_defer = run_epoch(nnet, jax.tree_util.tree_map(jnp.array, params0),
+                        make_sched(seed=13), opts)
+    assert r_eager.stats.loss == r_defer.stats.loss
+    assert r_eager.stats.correct == r_defer.stats.correct
+    assert r_eager.total_frames == r_defer.total_frames
+    for a, b in zip(jax.tree_util.tree_leaves(r_eager.params),
+                    jax.tree_util.tree_leaves(r_defer.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # grouped epoch too (the production TPU configuration)
+    monkeypatch.delenv("KLT_STATS_DEFER")
+    r_eg = run_epoch(nnet, jax.tree_util.tree_map(jnp.array, params0),
+                     make_sched(seed=14), opts, step_group=3)
+    monkeypatch.setenv("KLT_STATS_DEFER", "1")
+    r_dg = run_epoch(nnet, jax.tree_util.tree_map(jnp.array, params0),
+                     make_sched(seed=14), opts, step_group=3)
+    assert r_eg.stats.loss == r_dg.stats.loss
+    assert r_eg.total_frames == r_dg.total_frames
+
+    # non-finite guard still fires (epoch-end in deferred mode)
+    import pytest as _pytest
+    with _pytest.raises(FloatingPointError):
+        run_epoch(nnet, jax.tree_util.tree_map(jnp.array, params0),
+                  make_sched(seed=15), TrainOptions(learn_rate=1e9))
+
+
 def test_jitted_monitor_matches_eager_reference():
     """The one-dispatch device monitor must reproduce the moments the
     old eager implementation computed: per-activation, per-grad-leaf,

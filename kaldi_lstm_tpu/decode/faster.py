@@ -255,8 +255,33 @@ def decode_faster(graph: DecodingGraph, loglik: np.ndarray,
     T = np.asarray(loglik).shape[0]
     ns = cg.ns
 
+    impl = os.environ.get("KLT_DECODE_IMPL", "auto")
+    # Large graphs: the dense [(T+1), ns] backpointer table blows up
+    # (3.6 GB/utterance at 1.5M states x 600 frames — VERDICT r3's
+    # predicted failure mode at 10-100x graph scale). The sparse native
+    # path stores O(T * active) and tracebacks in C++, bit-identical
+    # search semantics (tests/test_decode_sparse.py pins words AND
+    # scores against the dense path). KLT_DECODE_SPARSE=1/0 forces.
+    sparse_env = os.environ.get("KLT_DECODE_SPARSE", "")
+    use_sparse = (sparse_env == "1"
+                  or (sparse_env != "0"
+                      and (T + 1) * ns > 64_000_000))
+    if impl != "python" and use_sparse:
+        from kaldi_lstm_tpu.io.native import decode_faster_sparse_native
+        sres = decode_faster_sparse_native(
+            ns, cg.em_ptr, cg.em_dst, cg.em_pdf, cg.em_w,
+            cg.em_src, cg.em_word, cg.em_tid,
+            cg.eps_ptr, cg.eps_dst, cg.eps_w,
+            cg.eps_src, cg.eps_word,
+            np.ascontiguousarray(loglik, np.float64), cg.final,
+            acoustic_scale, beam, max_active, cg.start)
+        if sres is not None:
+            words, _tids, score, reached = sres
+            return DecodeResult(words=[int(w) for w in words],
+                                score=score, reached_final=reached)
+
     native_res = None
-    if os.environ.get("KLT_DECODE_IMPL", "auto") != "python":
+    if impl != "python":
         from kaldi_lstm_tpu.io.native import decode_faster_native
         native_res = decode_faster_native(
             ns, cg.em_ptr, cg.em_dst, cg.em_pdf, cg.em_w,

@@ -119,6 +119,17 @@ def _load() -> Optional[ctypes.CDLL]:
     except AttributeError:
         pass  # stale prebuilt .so in a read-only env; decoder falls back
     try:
+        lib.klt_decode_faster_sparse.restype = ctypes.c_int64
+        lib.klt_decode_faster_sparse.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            P64, PI, PI, PD, ctypes.c_int64,
+            P64, PI, PD,
+            PI, PI, PI, PI, PI,
+            PD, D, D, ctypes.c_int64, ctypes.c_int64, PD,
+            PD, PI, PI, ctypes.c_int64, PI]
+    except AttributeError:
+        pass  # stale prebuilt .so; large-graph decode uses dense path
+    try:
         lib.klt_stream_new.restype = ctypes.c_void_p
         lib.klt_stream_new.argtypes = [
             ctypes.c_int64, P64, PI, PI, PD,
@@ -237,6 +248,58 @@ def scan_posterior_ark(path: str, max_entries: int = 1):
         b = a + int(num_frames[i])
         out[key] = (ids[a:b], weights[a:b])
     return out
+
+
+def decode_faster_sparse_native(ns: int, em_ptr, em_dst, em_pdf, em_w,
+                                em_src, em_word, em_tid,
+                                eps_ptr, eps_dst, eps_w,
+                                eps_src, eps_word,
+                                loglik: np.ndarray, final_w: np.ndarray,
+                                acoustic_scale: float, beam: float,
+                                max_active: int, start: int):
+    """Large-graph Viterbi decode with SPARSE backpointers + in-C++
+    traceback (native/kltdecode.cc klt_decode_faster_sparse): memory is
+    O(T * active) instead of the dense path's O(T * num_states)
+    (3.6 GB/utterance at 1.5M states). Returns
+    (words int32[], tids int32[], score, reached) or None when
+    unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "klt_decode_faster_sparse"):
+        return None
+    T, K = loglik.shape
+    score = np.empty(1, np.float64)
+    reached = np.empty(1, np.int32)
+    tids = np.empty(T, np.int32)
+    cap = 4 * T + 64
+    for _ in range(4):
+        words = np.empty(cap, np.int32)
+        rc = lib.klt_decode_faster_sparse(
+            ns, T, K,
+            _ptr(em_ptr, ctypes.c_int64), _ptr(em_dst, ctypes.c_int),
+            _ptr(em_pdf, ctypes.c_int), _ptr(em_w, ctypes.c_double),
+            len(em_dst),
+            _ptr(eps_ptr, ctypes.c_int64), _ptr(eps_dst, ctypes.c_int),
+            _ptr(eps_w, ctypes.c_double),
+            _ptr(em_src, ctypes.c_int), _ptr(em_word, ctypes.c_int),
+            _ptr(em_tid, ctypes.c_int),
+            _ptr(eps_src, ctypes.c_int), _ptr(eps_word, ctypes.c_int),
+            _ptr(loglik, ctypes.c_double), float(acoustic_scale),
+            float(beam), int(max_active), int(start),
+            _ptr(final_w, ctypes.c_double),
+            _ptr(score, ctypes.c_double), _ptr(reached, ctypes.c_int),
+            _ptr(words, ctypes.c_int), cap, _ptr(tids, ctypes.c_int))
+        if rc == -1000001:
+            cap *= 8
+            continue
+        if rc == -1000000:
+            raise RuntimeError(
+                "decode_faster: broken backpointer chain (sparse)")
+        if rc < 0:
+            raise RuntimeError(
+                f"decode_faster: no tokens survived at frame {-rc - 1} "
+                "— beam too tight or loglik/graph mismatch")
+        return (words[:rc], tids, float(score[0]), bool(reached[0]))
+    raise RuntimeError("decode_faster: word path exceeds capacity")
 
 
 def decode_faster_native(ns: int, em_ptr, em_dst, em_pdf, em_w,

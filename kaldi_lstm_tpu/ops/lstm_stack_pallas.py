@@ -65,7 +65,13 @@ def _fwd2_kernel(x_ref, wxb1_ref, bias1_ref, wr1_ref, wcr1_ref, peep1_ref,
                  c01_ref, r01_ref, c02_ref, r02_ref,
                  gifo1_ref, c1_ref, r1_ref, gifo2_ref, c2_ref, r2_ref,
                  c1_s, r1_s, c2_s, r2_s, ring_s, *,
-                 cp: int, tb: int, K: int, cell_clip: float):
+                 cp: int, tb: int, K: int, cell_clip: float,
+                 phases: str = "both"):
+    """`phases` ('both' | 'l1' | 'l2') statically disables one phase —
+    an ABLATION knob for tools_dev/bench_wavefront.py only: if
+    t(both) = t(l1) + t(l2), Mosaic executes the two independent
+    phases strictly serially (no MXU/VPU overlap across them). Outputs
+    of a disabled phase are garbage."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -82,7 +88,7 @@ def _fwd2_kernel(x_ref, wxb1_ref, bias1_ref, wr1_ref, wcr1_ref, peep1_ref,
     # ---- layer-2 phase: time block k-1, r1 inputs from the ring slot
     # filled by layer 1 at grid step k-1. Independent of this step's
     # layer-1 phase.
-    @pl.when(k > 0)
+    @pl.when((k > 0) & (phases != "l1"))
     def _():
         slot = jax.lax.rem(k - 1, 2)
         r1_blk = ring_s[slot]                       # [tb, st, rp] f32
@@ -106,7 +112,7 @@ def _fwd2_kernel(x_ref, wxb1_ref, bias1_ref, wr1_ref, wcr1_ref, peep1_ref,
         r2_s[:] = r2
 
     # ---- layer-1 phase: time block k
-    @pl.when(k < K)
+    @pl.when((k < K) & (phases != "l2"))
     def _():
         slot = jax.lax.rem(k, 2)
         c1 = c1_s[:]
@@ -165,7 +171,7 @@ def _wave_specs(st, tb, cp, rp, ip, K):
 
 def _fwd2_call(x_p, ops1, ops2, c01, r01, c02, r02, *,
                st: int, tb: int, cell_clip: float, gifo_dtype,
-               interpret: bool):
+               interpret: bool, phases: str = "both"):
     """ops1 = (wxb1, bias1, wr1, wcr1, peep1) padded; ops2 likewise with
     wxb2 already [rp, 4cp]."""
     T, sp, ip = x_p.shape
@@ -198,7 +204,7 @@ def _fwd2_call(x_p, ops1, ops2, c01, r01, c02, r02, *,
     ]
     return pl.pallas_call(
         functools.partial(_fwd2_kernel, cp=cp, tb=tb, K=K,
-                          cell_clip=cell_clip),
+                          cell_clip=cell_clip, phases=phases),
         grid=grid,
         in_specs=_wave_specs(st, tb, cp, rp, ip, K),
         out_specs=out_specs,

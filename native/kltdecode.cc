@@ -204,6 +204,113 @@ extern "C" int64_t klt_decode_faster(
   return 0;
 }
 
+// Sparse-backpointer whole-utterance decode for LARGE graphs: the dense
+// [(T+1), ns] backpointer matrix of klt_decode_faster costs
+// T*ns*4 bytes (3.6 GB/utterance at 1.5M states, 600 frames — the
+// memory blowup VERDICT r3 predicted at 10-100x graph scale). Same
+// StreamCore search bit-for-bit; per frame the touched entries of one
+// reusable dense bp row are compacted into per-level (state, arc)
+// arenas — O(T * active) total — and the traceback runs HERE (last
+// write wins within a level, replicating the dense row's overwrite
+// order), returning the word/tid paths directly.
+//
+// Returns the word count (>= 0), -(t+1) when no token survived frame
+// t, -1000000 on a broken backpointer chain, -1000001 when words_cap
+// was too small (caller enlarges; tids_out needs exactly T slots).
+extern "C" int64_t klt_decode_faster_sparse(
+    int64_t ns, int64_t T, int64_t K,
+    const int64_t* em_ptr, const int32_t* em_dst, const int32_t* em_pdf,
+    const double* em_w, int64_t num_em,
+    const int64_t* eps_ptr, const int32_t* eps_dst, const double* eps_w,
+    const int32_t* em_src, const int32_t* em_word, const int32_t* em_tid,
+    const int32_t* eps_src, const int32_t* eps_word,
+    const double* loglik, double acoustic_scale, double beam,
+    int64_t max_active, int64_t start, const double* final_w /* [ns] */,
+    double* score_out, int32_t* reached_out,
+    int32_t* words_out, int64_t words_cap, int32_t* tids_out) {
+  StreamCore core(ns, em_ptr, em_dst, em_pdf, em_w, num_em, eps_ptr,
+                  eps_dst, eps_w, acoustic_scale, beam, max_active);
+  std::vector<int32_t> bp_row(ns, -1);
+
+  // per-level arenas: entries for level l at [lvl_ptr[l], lvl_ptr[l+1])
+  std::vector<int64_t> lvl_ptr(1, 0);
+  std::vector<int32_t> arena_state, arena_arc;
+
+  auto compact = [&](const std::vector<int32_t>& states) {
+    for (int32_t d : states) {
+      if (bp_row[d] != -1) {
+        arena_state.push_back(d);
+        arena_arc.push_back(bp_row[d]);
+        bp_row[d] = -1;
+      }
+    }
+  };
+  auto flush_level = [&]() {
+    lvl_ptr.push_back(static_cast<int64_t>(arena_state.size()));
+  };
+
+  core.init(start, bp_row.data());
+  compact(core.grown);
+  flush_level();
+  for (int64_t t = 0; t < T; ++t) {
+    if (!core.step(loglik + t * K, bp_row.data())) return -(t + 1);
+    // every touched dst (pre-pruning writes were reset to -1 by the
+    // pruning loop in the DENSE path; here pruned states keep their
+    // arena absence because step() resets bp[d] = -1 on prune)
+    compact(core.touched);
+    compact(core.grown);
+    flush_level();
+  }
+
+  // final-state selection (decode/faster.py lines after the frame loop)
+  double best_tot = kNeg, best_alpha = kNeg;
+  int64_t state_tot = 0, state_alpha = 0;
+  for (int64_t s = 0; s < ns; ++s) {
+    const double a = core.alpha[s];
+    if (a > best_alpha) { best_alpha = a; state_alpha = s; }
+    const double tot = a + final_w[s];
+    if (tot > best_tot) { best_tot = tot; state_tot = s; }
+  }
+  const bool reached = best_tot > kNeg / 2;
+  *reached_out = reached ? 1 : 0;
+  *score_out = reached ? best_tot : best_alpha;
+  int64_t state = reached ? state_tot : state_alpha;
+
+  // traceback (replicates _traceback_full, decode/faster.py)
+  auto lookup = [&](int64_t level, int64_t st) -> int32_t {
+    // last write wins within a level
+    for (int64_t i = lvl_ptr[level + 1] - 1; i >= lvl_ptr[level]; --i) {
+      if (arena_state[i] == st) return arena_arc[i];
+    }
+    return -1;
+  };
+  int64_t level = T;
+  int64_t n_words = 0, n_tids = 0;
+  std::vector<int32_t> words_rev, tids_rev;
+  while (!(level == 0 && state == start && lookup(0, state) == -1)) {
+    const int32_t arc = lookup(level, state);
+    if (arc < 0) return -1000000;  // broken backpointer chain
+    if (arc >= num_em) {
+      const int64_t e = arc - num_em;
+      if (eps_word[e]) words_rev.push_back(eps_word[e]);
+      state = eps_src[e];
+    } else {
+      if (em_word[arc]) words_rev.push_back(em_word[arc]);
+      tids_rev.push_back(em_tid[arc]);
+      state = em_src[arc];
+      --level;
+    }
+  }
+  n_words = static_cast<int64_t>(words_rev.size());
+  if (n_words > words_cap) return -1000001;
+  n_tids = static_cast<int64_t>(tids_rev.size());
+  for (int64_t i = 0; i < n_words; ++i)
+    words_out[i] = words_rev[n_words - 1 - i];
+  for (int64_t i = 0; i < n_tids; ++i)
+    tids_out[i] = tids_rev[n_tids - 1 - i];
+  return n_words;
+}
+
 // ---------------------------------------------------------------------------
 // Streaming session API (decode/online.py OnlineDecoder): the same
 // search state persists across chunk calls. The caller OWNS the graph

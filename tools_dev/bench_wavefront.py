@@ -62,6 +62,33 @@ def wave_fwd(x, tb):
     return r2[:, :S, :R], (gifo1, c1, gifo2, c2)
 
 
+def wave_fwd_phase(x, tb, phases):
+    """Ablation: run the wavefront kernel with one phase statically
+    disabled. t(both) ~= t(l1) + t(l2) proves the phases execute
+    strictly serially (no cross-phase MXU/VPU overlap); t(both) well
+    below the sum would show partial overlap. Chain on the live
+    phase's output."""
+    d = _plan_dims(S, T, I, C, R)._replace(tb=tb)
+    xp, ops1, ops2, c01, r01, c02, r02 = w2._prep2(
+        p1, p2, x, s1, s2, d, True)
+    gifo1, c1, r1, gifo2, c2, r2 = w2._fwd2_call(
+        xp, ops1, ops2, c01, r01, c02, r02, st=d.st, tb=tb,
+        cell_clip=CLIP, gifo_dtype=ops1[2].dtype, interpret=INTERPRET,
+        phases=phases)
+    out = r1 if phases == "l1" else r2
+    return out[:, :S, :R], ()
+
+
+def serial_one_layer(x, tb_max):
+    """Single layer-1 train-fwd kernel alone (the reference point for
+    the ablation sums)."""
+    d1 = _plan_dims(S, T, I, C, R, max_time_block=tb_max)
+    ops = w1._prepare(p1, x, s1, d1, True)
+    gifo1, c1, r1 = w1._fwd_call(*ops[:-1], st=d1.st, tb=d1.tb,
+                                 cell_clip=CLIP, interpret=INTERPRET)
+    return r1[:, :S, :R], ()
+
+
 def serial_infer(x, tb_max):
     d1 = _plan_dims(S, T, I, C, R, max_time_block=tb_max)
     ops = w1._prepare(p1, x, s1, d1, True)
@@ -116,22 +143,43 @@ def bench(name, fn, *args):
         return float("nan")
 
 
-print(f"backend={jax.default_backend()} S={S} G={G} reps={REPS}",
-      flush=True)
-for dt_name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
-    set_matmul_dtype(dt)
-    try:
-        base = bench(f"serial fwd {dt_name} tb5", serial_fwd, 5)
-        for tb in (5, 4, 2):
-            m = bench(f"wave   fwd {dt_name} tb{tb}", wave_fwd, tb)
-            if m == m and base == base:
-                print(f"  -> wavefront speedup {base / m:.3f}x",
-                      flush=True)
-        base = bench(f"serial infer {dt_name} tb5", serial_infer, 5)
-        for tb in (5, 4):
-            m = bench(f"wave   infer {dt_name} tb{tb}", wave_infer, tb)
-            if m == m and base == base:
-                print(f"  -> wavefront speedup {base / m:.3f}x",
-                      flush=True)
-    finally:
-        set_matmul_dtype(None)
+def main():
+    MODE = sys.argv[4] if len(sys.argv) > 4 else "ab"
+    print(f"backend={jax.default_backend()} S={S} G={G} reps={REPS} "
+          f"mode={MODE}", flush=True)
+
+    if MODE == "ablate":
+        # phase-serialization ablation (f32, tb5): does t(both) equal
+        # t(l1) + t(l2)?
+        tl1 = bench("wave fwd PHASE l1-only tb5", wave_fwd_phase, 5, "l1")
+        tl2 = bench("wave fwd PHASE l2-only tb5", wave_fwd_phase, 5, "l2")
+        tb_ = bench("wave fwd both tb5", wave_fwd, 5)
+        t1 = bench("serial ONE layer tb5", serial_one_layer, 5)
+        print(f"sum(l1, l2) = {tl1 + tl2:.3f} ms vs both {tb_:.3f} ms "
+              f"(overlap fraction "
+              f"{(tl1 + tl2 - tb_) / min(tl1, tl2):.2f}); "
+              f"single-layer kernel {t1:.3f} ms", flush=True)
+        return
+
+    for dt_name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        set_matmul_dtype(dt)
+        try:
+            base = bench(f"serial fwd {dt_name} tb5", serial_fwd, 5)
+            for tb in (5, 4, 2):
+                m = bench(f"wave   fwd {dt_name} tb{tb}", wave_fwd, tb)
+                if m == m and base == base:
+                    print(f"  -> wavefront speedup {base / m:.3f}x",
+                          flush=True)
+            base = bench(f"serial infer {dt_name} tb5", serial_infer, 5)
+            for tb in (5, 4):
+                m = bench(f"wave   infer {dt_name} tb{tb}", wave_infer,
+                          tb)
+                if m == m and base == base:
+                    print(f"  -> wavefront speedup {base / m:.3f}x",
+                          flush=True)
+        finally:
+            set_matmul_dtype(None)
+
+
+if __name__ == "__main__":
+    main()

@@ -108,12 +108,26 @@ def decode_lattice_faster(graph: DecodingGraph, loglik: np.ndarray,
 
     native = None
     if os.environ.get("KLT_DECODE_IMPL", "auto") != "python":
-        from kaldi_lstm_tpu.io.native import decode_lattice_native
-        native = decode_lattice_native(
-            ns, cg.em_ptr, cg.em_dst, cg.em_pdf, cg.em_w,
-            cg.eps_ptr, cg.eps_dst, cg.eps_w,
-            np.ascontiguousarray(em), beam, lattice_beam, max_active,
-            cg.start)
+        # sparse-alpha forward by default: the dense [(T+1), ns]
+        # snapshot cost ~7 s/utterance of page-fault fill at 576k
+        # states (KLT_LATGEN_PROF attribution) vs 5 ms of search;
+        # KLT_LATGEN_DENSE=1 forces the old path for A/B
+        from kaldi_lstm_tpu.io.native import (
+            decode_lattice2_native,
+            decode_lattice_native,
+        )
+        if os.environ.get("KLT_LATGEN_DENSE", "") != "1":
+            native = decode_lattice2_native(
+                ns, cg.em_ptr, cg.em_dst, cg.em_pdf, cg.em_w,
+                cg.eps_ptr, cg.eps_dst, cg.eps_w,
+                np.ascontiguousarray(em), beam, lattice_beam,
+                max_active, cg.start)
+        if native is None:
+            native = decode_lattice_native(
+                ns, cg.em_ptr, cg.em_dst, cg.em_pdf, cg.em_w,
+                cg.eps_ptr, cg.eps_dst, cg.eps_w,
+                np.ascontiguousarray(em), beam, lattice_beam,
+                max_active, cg.start)
     if native is not None:
         alphas, em_kept, eps_kept = native
     else:
@@ -160,7 +174,9 @@ def decode_lattice_faster(graph: DecodingGraph, loglik: np.ndarray,
     # only two beta rows live at a time (levels t and t+1): a full
     # [(T+1), ns] table cost more to ALLOCATE than the native forward
     # pass takes (profiled ~60 ms/utterance in np.full)
-    alpha_T = alphas[T]
+    from kaldi_lstm_tpu.io.native import SparseAlphas
+    alpha_T = (alphas[T].to_dense(ns)
+               if isinstance(alphas, SparseAlphas) else alphas[T])
     beta = np.full(ns, NEG)
     fin_active = (alpha_T > NEG / 2) & (cg.final > NEG / 2)
     reached_final = bool(fin_active.any())

@@ -154,6 +154,17 @@ def _load() -> Optional[ctypes.CDLL]:
             PD, P64, ctypes.c_int64, P64, P64, ctypes.c_int64, P64]
     except AttributeError:
         pass
+    try:
+        lib.klt_decode_lattice2.restype = ctypes.c_int64
+        lib.klt_decode_lattice2.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            P64, PI, PI, PD, ctypes.c_int64,
+            P64, PI, PD,
+            PD, D, D, ctypes.c_int64, ctypes.c_int64,
+            PI, PD, ctypes.c_int64, P64,
+            P64, ctypes.c_int64, P64, P64, ctypes.c_int64, P64]
+    except AttributeError:
+        pass
     return lib
 
 
@@ -385,6 +396,107 @@ def decode_lattice_native(ns: int, em_ptr, em_dst, em_pdf, em_w,
     eps_kept = [eps_ids[eps_out_ptr[l]:eps_out_ptr[l + 1]].copy()
                 for l in range(T + 1)]
     return alphas, em_kept, eps_kept
+
+
+class SparseAlphas:
+    """Per-level sparse alpha snapshots from klt_decode_lattice2:
+    `self[level]` returns a lookup object supporting fancy indexing
+    (searchsorted over the level's SORTED state ids; absent states
+    read as NEG). Drop-in for the dense [(T+1), ns] table in
+    decode_lattice_faster's backward pruning, which only reads alpha
+    at recorded-arc endpoints."""
+
+    NEG = -1e30
+
+    class _Level:
+        __slots__ = ("states", "vals")
+
+        def __init__(self, states, vals):
+            self.states = states
+            self.vals = vals
+
+        def __getitem__(self, idx):
+            idx = np.asarray(idx)
+            pos = np.searchsorted(self.states, idx)
+            pos_c = np.minimum(pos, len(self.states) - 1) \
+                if len(self.states) else pos * 0
+            out = np.full(idx.shape, SparseAlphas.NEG)
+            if len(self.states):
+                hit = self.states[pos_c] == idx
+                out[hit] = self.vals[pos_c[hit]]
+            return out
+
+        def to_dense(self, ns: int) -> np.ndarray:
+            d = np.full(ns, SparseAlphas.NEG)
+            d[self.states] = self.vals
+            return d
+
+    def __init__(self, states, vals, lvl_ptr):
+        self._states = states
+        self._vals = vals
+        self._ptr = lvl_ptr
+
+    def __getitem__(self, level: int):
+        a, b = int(self._ptr[level]), int(self._ptr[level + 1])
+        return self._Level(self._states[a:b], self._vals[a:b])
+
+
+def decode_lattice2_native(ns: int, em_ptr, em_dst, em_pdf, em_w,
+                           eps_ptr, eps_dst, eps_w, em: np.ndarray,
+                           beam: float, lattice_beam: float,
+                           max_active: int, start: int):
+    """Sparse-alpha lattice forward (klt_decode_lattice2): the dense
+    [(T+1), ns] snapshot table cost ~7 s/utterance of page-fault fill
+    at 576k states (KLT_LATGEN_PROF) against 5 ms of search. Returns
+    (SparseAlphas, em_kept, eps_kept) or None when unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "klt_decode_lattice2"):
+        return None
+    T, K = em.shape
+    em_out_ptr = np.zeros(T + 1, np.int64)
+    eps_out_ptr = np.zeros(T + 2, np.int64)
+    alev_ptr = np.zeros(T + 2, np.int64)
+    em_cap, eps_cap = 64 * T + 4096, 64 * (T + 2) + 4096
+    alev_cap = (T + 2) * max(1024, 2 * max_active if max_active else 8192)
+    while True:
+        em_ids = np.empty(em_cap, np.int64)
+        eps_ids = np.empty(eps_cap, np.int64)
+        alev_states = np.empty(alev_cap, np.int32)
+        alev_vals = np.empty(alev_cap, np.float64)
+        rc = lib.klt_decode_lattice2(
+            ns, T, K,
+            _ptr(em_ptr, ctypes.c_int64), _ptr(em_dst, ctypes.c_int),
+            _ptr(em_pdf, ctypes.c_int), _ptr(em_w, ctypes.c_double),
+            len(em_dst),
+            _ptr(eps_ptr, ctypes.c_int64), _ptr(eps_dst, ctypes.c_int),
+            _ptr(eps_w, ctypes.c_double),
+            _ptr(em, ctypes.c_double), float(beam), float(lattice_beam),
+            int(max_active), int(start),
+            _ptr(alev_states, ctypes.c_int),
+            _ptr(alev_vals, ctypes.c_double), alev_cap,
+            _ptr(alev_ptr, ctypes.c_int64),
+            _ptr(em_ids, ctypes.c_int64), em_cap,
+            _ptr(em_out_ptr, ctypes.c_int64),
+            _ptr(eps_ids, ctypes.c_int64), eps_cap,
+            _ptr(eps_out_ptr, ctypes.c_int64))
+        if rc == 1:  # capacity exceeded; ptr arrays carry true counts
+            em_cap = max(em_cap, int(em_out_ptr[T]) + 1)
+            eps_cap = max(eps_cap, int(eps_out_ptr[T + 1]) + 1)
+            alev_cap = max(alev_cap, int(alev_ptr[T + 1]) + 1)
+            continue
+        if rc < 0:
+            raise RuntimeError(
+                f"decode_lattice_faster: no tokens survived at frame "
+                f"{-rc - 1} — beam too tight or loglik/graph mismatch")
+        break
+    em_kept = [em_ids[em_out_ptr[t]:em_out_ptr[t + 1]].copy()
+               for t in range(T)]
+    eps_kept = [eps_ids[eps_out_ptr[l]:eps_out_ptr[l + 1]].copy()
+                for l in range(T + 1)]
+    n = int(alev_ptr[T + 1])
+    return (SparseAlphas(alev_states[:n].copy(), alev_vals[:n].copy(),
+                         alev_ptr.copy()),
+            em_kept, eps_kept)
 
 
 class NativeStreamSession:

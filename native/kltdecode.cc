@@ -15,7 +15,10 @@
 // (ProcessEmitting/ProcessNonemitting); see decode/faster.py.
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -385,7 +388,20 @@ extern "C" int64_t klt_decode_lattice(
   int64_t em_n = 0, eps_n = 0;
   bool overflow = false;
 
+  // KLT_LATGEN_PROF=1: phase attribution to stderr (fill / relax+prune
+  // / eps / record) — the diagnostic that located the O(ns)-per-frame
+  // cost at LVCSR graph scale
+  const bool prof = std::getenv("KLT_LATGEN_PROF") != nullptr;
+  using clk = std::chrono::steady_clock;
+  double t_fill = 0, t_relax = 0, t_eps = 0, t_rec = 0;
+  auto now = [] { return clk::now(); };
+  auto ms = [](clk::time_point a, clk::time_point b) {
+    return std::chrono::duration<double, std::milli>(b - a).count();
+  };
+
+  auto tf0 = now();
   std::fill(alphas, alphas + (T + 1) * ns, kNeg);
+  if (prof) t_fill += ms(tf0, now());
   double* alpha = alphas;
   alpha[start] = 0.0;
   active.push_back(static_cast<int32_t>(start));
@@ -426,6 +442,7 @@ extern "C" int64_t klt_decode_lattice(
     prev_active = active;
     touched.clear();
     ++epoch;
+    auto tr0 = now();
     for (int32_t s : prev_active) {
       const double base = alpha_prev[s];
       for (int64_t a = em_ptr_csr[s]; a < em_ptr_csr[s + 1]; ++a) {
@@ -435,6 +452,175 @@ extern "C" int64_t klt_decode_lattice(
         if (stamp[d] != epoch) {
           stamp[d] = epoch;
           touched.push_back(d);
+        }
+      }
+    }
+    if (touched.empty()) return -(t + 1);
+
+    double best = kNeg;
+    for (int32_t d : touched) best = std::max(best, alpha_new[d]);
+    double cutoff = best - beam;
+    if (max_active > 0) {
+      int64_t above = 0;
+      for (int32_t d : touched)
+        if (alpha_new[d] > cutoff) ++above;
+      if (above > max_active) {
+        scores.clear();
+        for (int32_t d : touched) scores.push_back(alpha_new[d]);
+        std::nth_element(scores.begin(),
+                         scores.end() - max_active, scores.end());
+        cutoff = std::max(cutoff, *(scores.end() - max_active));
+      }
+    }
+    active.clear();
+    for (int32_t d : touched) {
+      if (alpha_new[d] < cutoff) {
+        alpha_new[d] = kNeg;
+      } else if (alpha_new[d] > kNeg / 2) {
+        active.push_back(d);
+      }
+    }
+    std::sort(active.begin(), active.end());
+    if (prof) { t_relax += ms(tr0, now()); tr0 = now(); }
+    grown.clear();
+    {
+      std::vector<int32_t> frontier = active;
+      EpsClosure::run(ns, eps_ptr_csr, eps_dst, eps_w, num_em,
+                      alpha_new, nullptr, frontier, cutoff, grown,
+                      stamp, epoch);
+    }
+    if (!grown.empty()) {
+      for (int32_t s : grown) active.push_back(s);
+      std::sort(active.begin(), active.end());
+      active.erase(std::unique(active.begin(), active.end()),
+                   active.end());
+    }
+    if (prof) { t_eps += ms(tr0, now()); tr0 = now(); }
+    // record emitting arcs from the PREVIOUS level's frontier landing
+    // within lattice_beam of the destination's post-pruning score
+    em_ptr[t] = em_n;
+    for (int32_t s : prev_active) {
+      const double base = alpha_prev[s];
+      for (int64_t a = em_ptr_csr[s]; a < em_ptr_csr[s + 1]; ++a) {
+        const int32_t d = em_dst[a];
+        const double ds = alpha_new[d];
+        if (ds <= kNeg / 2) continue;
+        if (base + em_w[a] + em_t[em_pdf[a]] >= ds - lattice_beam) {
+          if (em_n < em_cap) em_ids[em_n] = a;
+          else overflow = true;
+          ++em_n;
+        }
+      }
+    }
+    em_ptr[t + 1] = em_n;
+    record_eps(alpha_new, t + 1);
+    if (prof) t_rec += ms(tr0, now());
+  }
+  if (prof) {
+    std::fprintf(stderr,
+                 "klt_decode_lattice prof: fill %.0f ms, relax+prune "
+                 "%.0f ms, eps %.0f ms, record %.0f ms (T=%lld, "
+                 "ns=%lld)\n",
+                 t_fill, t_relax, t_eps, t_rec,
+                 static_cast<long long>(T), static_cast<long long>(ns));
+  }
+  return overflow ? 1 : 0;
+}
+
+// Sparse-alpha lattice forward: identical search + recording to
+// klt_decode_lattice, but alpha lives in TWO rolling [ns] rows and each
+// level's surviving (state, alpha) pairs stream out sparsely — the
+// dense [(T+1), ns] float64 snapshot table cost 6.9 s of page-fault
+// fill per utterance at 576k states (KLT_LATGEN_PROF attribution)
+// against 5 ms of actual search. Level l's states (SORTED) are at
+// alev_states[alev_ptr[l] : alev_ptr[l+1]] with values in alev_vals.
+// Returns 0, 1 on any capacity overflow (caller enlarges + retries),
+// -(t+1) when no token survived frame t.
+extern "C" int64_t klt_decode_lattice2(
+    int64_t ns, int64_t T, int64_t K,
+    const int64_t* em_ptr_csr, const int32_t* em_dst,
+    const int32_t* em_pdf, const double* em_w, int64_t num_em,
+    const int64_t* eps_ptr_csr, const int32_t* eps_dst,
+    const double* eps_w,
+    const double* em /* [T, K] pre-scaled */, double beam,
+    double lattice_beam, int64_t max_active, int64_t start,
+    int32_t* alev_states, double* alev_vals, int64_t alev_cap,
+    int64_t* alev_ptr /* [T+2] */,
+    int64_t* em_ids, int64_t em_cap, int64_t* em_ptr /* [T+1] */,
+    int64_t* eps_ids, int64_t eps_cap, int64_t* eps_ptr /* [T+2] */) {
+  std::vector<int32_t> active, touched, grown, stamp(ns, 0);
+  std::vector<double> scores;
+  std::vector<double> alpha_buf(ns, kNeg), alpha_next_buf(ns, kNeg);
+  double* alpha = alpha_buf.data();
+  double* alpha_new = alpha_next_buf.data();
+  int32_t epoch = 0;
+  int64_t em_n = 0, eps_n = 0, alev_n = 0;
+  bool overflow = false;
+
+  auto emit_level = [&](const double* a, int64_t level) {
+    alev_ptr[level] = alev_n;
+    for (int32_t s : active) {
+      if (a[s] <= kNeg / 2) continue;
+      if (alev_n < alev_cap) {
+        alev_states[alev_n] = s;
+        alev_vals[alev_n] = a[s];
+      } else {
+        overflow = true;
+      }
+      ++alev_n;
+    }
+    alev_ptr[level + 1] = alev_n;
+  };
+
+  alpha[start] = 0.0;
+  active.push_back(static_cast<int32_t>(start));
+  grown.clear();
+  {
+    std::vector<int32_t> frontier = active;
+    EpsClosure::run(ns, eps_ptr_csr, eps_dst, eps_w, num_em, alpha,
+                    nullptr, frontier, kNeg, grown, stamp, epoch);
+  }
+  for (int32_t s : grown)
+    if (alpha[s] > kNeg / 2) active.push_back(s);
+  std::sort(active.begin(), active.end());
+  active.erase(std::unique(active.begin(), active.end()), active.end());
+
+  auto record_eps = [&](const double* a, int64_t level) {
+    eps_ptr[level] = eps_n;
+    for (int32_t s : active) {
+      if (a[s] <= kNeg / 2) continue;
+      for (int64_t e = eps_ptr_csr[s]; e < eps_ptr_csr[s + 1]; ++e) {
+        const int32_t d = eps_dst[e];
+        if (a[d] <= kNeg / 2) continue;
+        if (a[s] + eps_w[e] >= a[d] - lattice_beam) {
+          if (eps_n < eps_cap) eps_ids[eps_n] = e;
+          else overflow = true;
+          ++eps_n;
+        }
+      }
+    }
+    eps_ptr[level + 1] = eps_n;
+  };
+  emit_level(alpha, 0);
+  record_eps(alpha, 0);
+
+  std::vector<int32_t> prev_active;
+  for (int64_t t = 0; t < T; ++t) {
+    const double* em_t = em + t * K;
+    prev_active = active;
+    touched.clear();
+    ++epoch;
+    for (int32_t s : prev_active) {
+      const double base = alpha[s];
+      for (int64_t a = em_ptr_csr[s]; a < em_ptr_csr[s + 1]; ++a) {
+        const double cand = base + em_w[a] + em_t[em_pdf[a]];
+        const int32_t d = em_dst[a];
+        if (stamp[d] != epoch) {
+          stamp[d] = epoch;
+          touched.push_back(d);
+          alpha_new[d] = cand;
+        } else if (cand > alpha_new[d]) {
+          alpha_new[d] = cand;
         }
       }
     }
@@ -477,11 +663,9 @@ extern "C" int64_t klt_decode_lattice(
       active.erase(std::unique(active.begin(), active.end()),
                    active.end());
     }
-    // record emitting arcs from the PREVIOUS level's frontier landing
-    // within lattice_beam of the destination's post-pruning score
     em_ptr[t] = em_n;
     for (int32_t s : prev_active) {
-      const double base = alpha_prev[s];
+      const double base = alpha[s];
       for (int64_t a = em_ptr_csr[s]; a < em_ptr_csr[s + 1]; ++a) {
         const int32_t d = em_dst[a];
         const double ds = alpha_new[d];
@@ -494,7 +678,13 @@ extern "C" int64_t klt_decode_lattice(
       }
     }
     em_ptr[t + 1] = em_n;
+    emit_level(alpha_new, t + 1);
     record_eps(alpha_new, t + 1);
+
+    // roll: clear ONLY the previous level's live entries (O(active),
+    // not O(ns)) and swap the rows
+    for (int32_t s : prev_active) alpha[s] = kNeg;
+    std::swap(alpha, alpha_new);
   }
   return overflow ? 1 : 0;
 }

@@ -247,3 +247,82 @@ class OnlineRecognizer:
     def finalize(self) -> DecodeResult:
         self._score(self.shift.flush())
         return self.decoder.finalize()
+
+
+class OnlineBatchScorer:
+    """Batched streaming AM scoring for MANY concurrent sessions — the
+    TPU serving shape. One chip runs N carried-state streams in
+    lock-step chunks (the trainer's multi-stream batching applied to
+    inference, google/README.md:5-16 machinery); the per-session Viterbi
+    search stays on the host (decode_faster / OnlineDecoder), consuming
+    the batch-fetched log-likelihood rows.
+
+    * `score(feats [N, t, D])` -> [N, t, num_pdfs] log-likelihoods
+      (minus log-prior when given): ONE device dispatch + ONE D2H
+      transfer per chunk tick.
+    * `reset(session_ids)` zeroes individual sessions' LSTM state
+      (mask multiply — no recompilation, same mechanism as the
+      trainer's per-stream reset).
+    * `fetch_dtype` (e.g. jnp.bfloat16) halves the D2H payload — at
+      N=512, K=8000, chunk=20 the f32 posterior block is 327 MB/chunk,
+      which is the serving bottleneck on a narrow host link.
+    """
+
+    def __init__(self, nnet: Nnet, params, n_sessions: int, *,
+                 transf: Optional[Nnet] = None, transf_params=None,
+                 log_prior: Optional[np.ndarray] = None,
+                 fetch_dtype=None):
+        comps = list(nnet.components)
+        plist = list(params)
+        if any(isinstance(c, BLstmProjectedStreams) for c in comps):
+            raise ValueError("bidirectional nets cannot stream")
+        if comps and isinstance(comps[0], TimeShift):
+            raise ValueError("strip the TimeShift and buffer lookahead "
+                             "per session (OnlineRecognizer semantics)")
+        self.nnet = Nnet(comps).to_streams()
+        self.params = tuple(plist)
+        self.n = int(n_sessions)
+        self._softmax = bool(comps) and isinstance(comps[-1], Softmax)
+        self.transf = transf
+        self.transf_params = transf_params
+        lp = (None if log_prior is None
+              else jnp.asarray(log_prior, jnp.float32))
+        self.states = self.nnet.init_states(self.n)
+        softmax = self._softmax
+        model = self.nnet
+        tr = transf
+
+        def am_step(p, tp, x, states):
+            if tr is not None:
+                x = tr.feedforward(tp, x)
+            y, new_states = model.propagate(p, x, states, logits=True)
+            if softmax:
+                y = jax.nn.log_softmax(y, axis=-1)
+            if lp is not None:
+                y = y - lp
+            if fetch_dtype is not None:
+                y = y.astype(fetch_dtype)
+            return y, new_states
+
+        self._am_step = jax.jit(am_step)
+
+        def reset_fn(states, flags):
+            return model.reset_states(states, flags)
+
+        self._reset = jax.jit(reset_fn)
+
+    def score(self, feats: np.ndarray) -> np.ndarray:
+        """[N, t, D] feature chunk tick -> [N, t, num_pdfs] scaled
+        log-likelihoods on host (one dispatch, one transfer)."""
+        assert feats.shape[0] == self.n
+        y, self.states = self._am_step(
+            self.params, self.transf_params,
+            jnp.asarray(feats, jnp.float32), self.states)
+        return np.asarray(y)
+
+    def reset(self, session_ids) -> None:
+        """Zero the carried state of the given sessions (stream ended /
+        new utterance bound to the slot)."""
+        flags = np.zeros(self.n, np.int32)
+        flags[np.asarray(session_ids, np.int64)] = 1
+        self.states = self._reset(self.states, jnp.asarray(flags))

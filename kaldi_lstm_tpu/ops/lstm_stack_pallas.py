@@ -134,10 +134,16 @@ def _fwd2_kernel(x_ref, wxb1_ref, bias1_ref, wr1_ref, wcr1_ref, peep1_ref,
 
 def _wave_specs(st, tb, cp, rp, ip, K):
     """Input block specs for both wavefront kernels (weights + x + four
-    initial-state blocks). The x index clamps at the extra final grid
-    step (layer 1 is compute-guarded there)."""
+    initial-state blocks). Every time-dependent index map is the
+    IDENTITY (k, s, 0): x arrives padded with one trailing dummy block
+    so grid step K reads real memory, and outputs carry one dummy
+    boundary block each (layer 1 trailing, layer 2 leading). Clamped
+    min/max index maps measurably inflated per-phase cost ~30-60%
+    (profiled round 4: l1-only 0.55 ms vs 0.335 ms for the identical
+    serial kernel) — plausibly by defeating Mosaic's block
+    double-buffering."""
     def idx_x(s, k):
-        return (jnp.minimum(k, K - 1), s, 0)
+        return (k, s, 0)
 
     def idx_const(s, k):
         return (0, 0)
@@ -173,34 +179,39 @@ def _fwd2_call(x_p, ops1, ops2, c01, r01, c02, r02, *,
                st: int, tb: int, cell_clip: float, gifo_dtype,
                interpret: bool, phases: str = "both"):
     """ops1 = (wxb1, bias1, wr1, wcr1, peep1) padded; ops2 likewise with
-    wxb2 already [rp, 4cp]."""
-    T, sp, ip = x_p.shape
+    wxb2 already [rp, 4cp].
+
+    `x_p` must carry one trailing dummy time block ([T + tb, sp, ip];
+    _prep2 pads it). Outputs are [T + tb, sp, .] with IDENTITY index
+    maps: layer-1 arrays valid at [:T] (block K is dummy — the guarded
+    final grid step), layer-2 arrays valid at [tb:T + tb] (block 0 is
+    dummy — the guarded first step). Callers slice; the backward reads
+    the padded layout directly."""
+    Tp, sp, ip = x_p.shape
+    T = Tp - tb
     cp = ops1[0].shape[1] // 4
     rp = ops1[2].shape[0]
     K = T // tb
     grid = (sp // st, K + 1)
 
-    def idx_l1(s, k):
-        return (jnp.minimum(k, K - 1), s, 0)
-
-    def idx_l2(s, k):
-        return (jnp.maximum(k - 1, 0), s, 0)
+    def idx(s, k):
+        return (k, s, 0)
 
     out_specs = [
-        pl.BlockSpec((tb, st, 4 * cp), idx_l1, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tb, st, cp), idx_l1, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tb, st, rp), idx_l1, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tb, st, 4 * cp), idx_l2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tb, st, cp), idx_l2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tb, st, rp), idx_l2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, st, 4 * cp), idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, st, cp), idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, st, rp), idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, st, 4 * cp), idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, st, cp), idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, st, rp), idx, memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((T, sp, 4 * cp), gifo_dtype),
-        jax.ShapeDtypeStruct((T, sp, cp), jnp.float32),
-        jax.ShapeDtypeStruct((T, sp, rp), jnp.float32),
-        jax.ShapeDtypeStruct((T, sp, 4 * cp), gifo_dtype),
-        jax.ShapeDtypeStruct((T, sp, cp), jnp.float32),
-        jax.ShapeDtypeStruct((T, sp, rp), jnp.float32),
+        jax.ShapeDtypeStruct((Tp, sp, 4 * cp), gifo_dtype),
+        jax.ShapeDtypeStruct((Tp, sp, cp), jnp.float32),
+        jax.ShapeDtypeStruct((Tp, sp, rp), jnp.float32),
+        jax.ShapeDtypeStruct((Tp, sp, 4 * cp), gifo_dtype),
+        jax.ShapeDtypeStruct((Tp, sp, cp), jnp.float32),
+        jax.ShapeDtypeStruct((Tp, sp, rp), jnp.float32),
     ]
     return pl.pallas_call(
         functools.partial(_fwd2_kernel, cp=cp, tb=tb, K=K,
@@ -288,14 +299,15 @@ def _infer2_kernel(x_ref, wxb1_ref, bias1_ref, wr1_ref, wcr1_ref,
 
 def _infer2_call(x_p, ops1, ops2, c01, r01, c02, r02, *,
                  st: int, tb: int, cell_clip: float, interpret: bool):
-    T, sp, ip = x_p.shape
+    Tp, sp, ip = x_p.shape
+    T = Tp - tb
     cp = ops1[0].shape[1] // 4
     rp = ops1[2].shape[0]
     K = T // tb
     grid = (sp // st, K + 1)
 
-    def idx_l2(s, k):
-        return (jnp.maximum(k - 1, 0), s, 0)
+    def idx(s, k):
+        return (k, s, 0)
 
     def idx_s(s, k):
         return (s, 0)
@@ -306,13 +318,13 @@ def _infer2_call(x_p, ops1, ops2, c01, r01, c02, r02, *,
         grid=grid,
         in_specs=_wave_specs(st, tb, cp, rp, ip, K),
         out_specs=[
-            pl.BlockSpec((tb, st, rp), idx_l2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, st, rp), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((st, cp), idx_s, memory_space=pltpu.VMEM),
             pl.BlockSpec((st, rp), idx_s, memory_space=pltpu.VMEM),
             pl.BlockSpec((st, cp), idx_s, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, sp, rp), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, sp, rp), jnp.float32),
             jax.ShapeDtypeStruct((sp, cp), jnp.float32),
             jax.ShapeDtypeStruct((sp, rp), jnp.float32),
             jax.ShapeDtypeStruct((sp, cp), jnp.float32),
@@ -350,6 +362,9 @@ def _prep2(params1: LstmParams, params2: LstmParams, x,
     mm_dt = get_matmul_dtype()
     x_p, wxb1, bias1, wr1, wcr1, peep1, c01, r01, _ = _prepare(
         params1, x, s1, d, time_major)
+    # one trailing dummy time block: grid step K's (guarded) layer-1
+    # phase reads real memory so every index map stays the identity
+    x_p = jnp.pad(x_p, ((0, d.tb), (0, 0), (0, 0)))
     wxb2 = _pad_gate_mat(params2.w_gifo_x, d.cp)        # [4cp, R]
     wxb2 = _pad2(wxb2, 4 * d.cp, d.rp).T                # [rp, 4cp]
     wr2 = _pad_gate_mat(params2.w_gifo_r, d.cp)

@@ -59,7 +59,7 @@ def wave_fwd(x, tb):
     gifo1, c1, r1, gifo2, c2, r2 = w2._fwd2_call(
         xp, ops1, ops2, c01, r01, c02, r02, st=d.st, tb=tb,
         cell_clip=CLIP, gifo_dtype=ops1[2].dtype, interpret=INTERPRET)
-    return r2[:, :S, :R], (gifo1, c1, gifo2, c2)
+    return r2[tb:tb + T, :S, :R], (gifo1, c1, gifo2, c2)
 
 
 def wave_fwd_phase(x, tb, phases):
@@ -75,7 +75,7 @@ def wave_fwd_phase(x, tb, phases):
         xp, ops1, ops2, c01, r01, c02, r02, st=d.st, tb=tb,
         cell_clip=CLIP, gifo_dtype=ops1[2].dtype, interpret=INTERPRET,
         phases=phases)
-    out = r1 if phases == "l1" else r2
+    out = r1[:T] if phases == "l1" else r2[tb:tb + T]
     return out[:, :S, :R], ()
 
 
@@ -109,7 +109,7 @@ def wave_infer(x, tb):
     r2, c1T, r1T, c2T = w2._infer2_call(
         xp, ops1, ops2, c01, r01, c02, r02, st=d.st, tb=tb,
         cell_clip=CLIP, interpret=INTERPRET)
-    return r2[:, :S, :R], (c2T,)
+    return r2[tb:tb + T, :S, :R], (c2T,)
 
 
 def bench(name, fn, *args):

@@ -266,12 +266,20 @@ class OnlineBatchScorer:
     * `fetch_dtype` (e.g. jnp.bfloat16) halves the D2H payload — at
       N=512, K=8000, chunk=20 the f32 posterior block is 327 MB/chunk,
       which is the serving bottleneck on a narrow host link.
+    * `top_p` > 0 prunes the fetch ON DEVICE: only the top-P
+      log-likelihoods per frame (values + int32 pdf indices) cross the
+      link — 10-30x smaller — and `score` reconstructs dense rows on
+      host with the per-frame floor `min(top values) - floor_margin`
+      for unfetched pdfs. Beam search over floored scores is an
+      approximation; tests pin decode-result parity at P well under K
+      on the synthetic task (tests/test_online_batched.py).
     """
 
     def __init__(self, nnet: Nnet, params, n_sessions: int, *,
                  transf: Optional[Nnet] = None, transf_params=None,
                  log_prior: Optional[np.ndarray] = None,
-                 fetch_dtype=None):
+                 fetch_dtype=None, top_p: int = 0,
+                 floor_margin: float = 10.0):
         comps = list(nnet.components)
         plist = list(params)
         if any(isinstance(c, BLstmProjectedStreams) for c in comps):
@@ -288,9 +296,13 @@ class OnlineBatchScorer:
         lp = (None if log_prior is None
               else jnp.asarray(log_prior, jnp.float32))
         self.states = self.nnet.init_states(self.n)
+        self.top_p = int(top_p)
+        self.floor_margin = float(floor_margin)
+        self.num_pdfs = self.nnet.output_dim
         softmax = self._softmax
         model = self.nnet
         tr = transf
+        P = self.top_p
 
         def am_step(p, tp, x, states):
             if tr is not None:
@@ -300,6 +312,11 @@ class OnlineBatchScorer:
                 y = jax.nn.log_softmax(y, axis=-1)
             if lp is not None:
                 y = y - lp
+            if P > 0:
+                vals, idx = jax.lax.top_k(y, P)
+                if fetch_dtype is not None:
+                    vals = vals.astype(fetch_dtype)
+                return (vals, idx.astype(jnp.int32)), new_states
             if fetch_dtype is not None:
                 y = y.astype(fetch_dtype)
             return y, new_states
@@ -313,12 +330,21 @@ class OnlineBatchScorer:
 
     def score(self, feats: np.ndarray) -> np.ndarray:
         """[N, t, D] feature chunk tick -> [N, t, num_pdfs] scaled
-        log-likelihoods on host (one dispatch, one transfer)."""
+        log-likelihoods on host (one dispatch; one transfer, two with
+        top_p). With top_p, unfetched pdfs read the per-frame floor."""
         assert feats.shape[0] == self.n
         y, self.states = self._am_step(
             self.params, self.transf_params,
             jnp.asarray(feats, jnp.float32), self.states)
-        return np.asarray(y)
+        if self.top_p <= 0:
+            return np.asarray(y)
+        vals = np.asarray(y[0], np.float32)          # [N, t, P]
+        idx = np.asarray(y[1])                       # [N, t, P] int32
+        floor = vals.min(axis=-1, keepdims=True) - self.floor_margin
+        out = np.broadcast_to(
+            floor, vals.shape[:2] + (self.num_pdfs,)).copy()
+        np.put_along_axis(out, idx.astype(np.int64), vals, axis=-1)
+        return out
 
     def reset(self, session_ids) -> None:
         """Zero the carried state of the given sessions (stream ended /

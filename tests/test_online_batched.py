@@ -71,6 +71,77 @@ def test_reset_zeroes_only_requested_sessions():
     assert np.abs(got[2] - fresh[2]).max() > 1e-6
 
 
+def test_top_p_reconstruction():
+    """top_p == num_pdfs must reconstruct the dense block exactly; a
+    moderate top_p must keep every fetched value exact and floor the
+    rest strictly below the fetched minimum."""
+    nnet, params = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(3))
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 4, 6).astype(np.float32)
+    dense = OnlineBatchScorer(nnet, params, 2).score(x)
+    full = OnlineBatchScorer(nnet, params, 2, top_p=10).score(x)
+    np.testing.assert_allclose(full, dense, rtol=1e-6, atol=1e-6)
+    part = OnlineBatchScorer(nnet, params, 2, top_p=4,
+                             floor_margin=5.0).score(x)
+    # fetched entries exact
+    order = np.argsort(-dense, axis=-1)
+    top4 = np.take_along_axis(dense, order[..., :4], axis=-1)
+    got4 = np.take_along_axis(part, order[..., :4], axis=-1)
+    np.testing.assert_allclose(got4, top4, rtol=1e-6, atol=1e-6)
+    # the rest sit at the per-frame floor, strictly below the top-4 min
+    rest = np.take_along_axis(part, order[..., 4:], axis=-1)
+    floor = top4.min(axis=-1, keepdims=True) - 5.0
+    np.testing.assert_allclose(rest, np.broadcast_to(floor, rest.shape),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_top_p_decode_parity():
+    """Word-decode on top-P floored log-likelihoods must match the
+    full-posterior decode in the regime the pruned fetch targets:
+    PEAKED (trained-AM-like) posteriors, where the tail mass the floor
+    replaces never enters the beam. (Scorer top-k exactness is pinned
+    by test_top_p_reconstruction; this validates the serving
+    approximation end-to-end through the decoder.)"""
+    from kaldi_lstm_tpu.decode.faster import decode_faster
+    from kaldi_lstm_tpu.decode.graph import build_decoding_graph
+    from kaldi_lstm_tpu.io.arpa import uniform_unigram
+    from kaldi_lstm_tpu.io.transition_model import \
+        make_monophone_transition_model
+
+    rng = np.random.RandomState(7)
+    nph, sps = 12, 2
+    npdfs = nph * sps
+    tm = make_monophone_transition_model(nph, sps)
+    lex = {f"w{i}": [[int(p) for p in rng.randint(2, nph + 1,
+                                                  rng.randint(2, 4))]]
+           for i in range(8)}
+    vocab = sorted(lex)
+    graph = build_decoding_graph(tm, lex, uniform_unigram(vocab))
+    means = np.random.RandomState(8).randn(npdfs, 6)
+    for trial in range(4):
+        pdfs = []
+        for w in [vocab[rng.randint(len(vocab))] for _ in range(3)]:
+            for ph in lex[w][0]:
+                for s in range(sps):
+                    pdf = (ph - 1) * sps + s
+                    pdfs.append(pdf)
+                    if rng.rand() < 0.5:
+                        pdfs.append(pdf)
+        feats = means[pdfs] + rng.randn(len(pdfs), 6) * 0.5
+        llk = -0.5 * ((feats[:, None, :] - means[None, :, :]) ** 2) \
+            .sum(-1)
+        # the serving transform: keep top-P per frame, floor the rest
+        P = 8
+        order = np.argsort(-llk, axis=-1)
+        keep = np.take_along_axis(llk, order[:, :P], axis=-1)
+        floored = np.broadcast_to(
+            keep.min(-1, keepdims=True) - 10.0, llk.shape).copy()
+        np.put_along_axis(floored, order[:, :P], keep, axis=-1)
+        a = decode_faster(graph, llk, 1.0, 16.0)
+        b = decode_faster(graph, floored, 1.0, 16.0)
+        assert a.words == b.words, f"trial {trial}"
+
+
 def test_log_prior_and_fetch_dtype():
     nnet, params = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(2))
     rng = np.random.RandomState(2)

@@ -44,6 +44,7 @@ def main():
 
     n_chunks = int(sys.argv[1]) if len(sys.argv) > 1 else 25
     search_n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    mode = sys.argv[3] if len(sys.argv) > 3 else "full"
     print("devices:", jax.devices(), flush=True)
 
     nphones, sps = 2666, 3
@@ -60,11 +61,20 @@ def main():
     log_prior = np.log(np.full(npdfs, 1.0 / npdfs, np.float32))
 
     # ---- chip side: AM chunk latency vs N -------------------------------
-    for N in (64, 128, 256, 512):
-        for fetch_name, fetch_dt in (("f32", None), ("bf16",
-                                                     jnp.bfloat16)):
+    if mode == "topp":
+        # pruned-fetch serving configs: device-side top-P + bf16 values
+        # — the posterior transfer was measured transport-bound (~30
+        # MB/s tunnel), so the payload is the whole game
+        configs = [(N, f"top{P}-bf16", dict(fetch_dtype=jnp.bfloat16,
+                                            top_p=P))
+                   for N in (64, 256, 512) for P in (512, 128)]
+    else:
+        configs = [(N, nm, dict(fetch_dtype=dt))
+                   for N in (64, 128, 256, 512)
+                   for nm, dt in (("f32", None), ("bf16", jnp.bfloat16))]
+    for N, fetch_name, kw in configs:
             sc = OnlineBatchScorer(nnet, params, N, log_prior=log_prior,
-                                   fetch_dtype=fetch_dt)
+                                   **kw)
             feats = rng.randn(N, chunk, 40).astype(np.float32)
             sc.score(feats)  # compile + settle
             lat = []
@@ -76,12 +86,17 @@ def main():
             lat = lat[2:]
             p50 = pct(lat, 50)
             audio = N * chunk * 10e-3 / (p50 * 1e-3)
+            P = kw.get("top_p", 0)
+            vb = np.dtype(np.float32).itemsize \
+                if kw.get("fetch_dtype") is None else 2
+            payload = (N * chunk * P * (vb + 4) if P
+                       else N * chunk * npdfs * vb)
             print(f"AM N={N:4d} fetch={fetch_name}: per-chunk p50 "
                   f"{p50:7.1f} ms p90 {pct(lat, 90):7.1f} p99 "
                   f"{pct(lat, 99):7.1f} (budget 200 ms "
                   f"{'OK' if p50 < 200 else 'OVER'}), sustained "
                   f"{audio:7.0f} audio-s/s, payload "
-                  f"{ll.nbytes / 1e6:.0f} MB/chunk (chk {checksum:.1f})",
+                  f"{payload / 1e6:.0f} MB/chunk (chk {checksum:.1f})",
                   flush=True)
 
     # ---- host side: N native search sessions per tick -------------------

@@ -58,31 +58,61 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _cell_forward(xw_t, c_prev, r_prev, wr_ref, wcr_ref, peep_ref, *,
-                  cp: int, cell_clip: float):
+                  cp: int, cell_clip: float, gate_dtype=None):
     """One timestep of the LSTMP cell on VMEM-resident operands.
 
     Math is bd-nnet-lstm-projected-streams.h:261-325: fused gifo
     pre-activation, i/f peepholes from c(t-1), cell clip, o peephole from
-    clipped c(t), projection. Returns (g, i, f, o, c, r)."""
+    clipped c(t), projection. Returns (g, i, f, o, c, r).
+
+    `gate_dtype` (ablation knob, KLT_LSTM_GATE_DTYPE=bf16): run the
+    elementwise gate chain — ~45% of fwd kernel time, VPU-bound
+    (BENCH_NOTES "Recurrence bound established") — in bf16 to probe
+    whether the VPU packs half-width ops at 2x. Timing probe first;
+    numerics gates (convergence parity) required before any default."""
     wdt = wr_ref.dtype  # bf16 weights -> bf16 MXU dots, f32 accumulation
     gifo = xw_t + jnp.dot(r_prev.astype(wdt), wr_ref[:],
                           preferred_element_type=jnp.float32)
+    if gate_dtype is not None:
+        gifo = gifo.astype(gate_dtype)
+        c_prev = c_prev.astype(gate_dtype)
+        peep = peep_ref[:].astype(gate_dtype)
+    else:
+        peep = peep_ref[:]
     g = jnp.tanh(gifo[:, 0 * cp:1 * cp])
-    i = jax.nn.sigmoid(gifo[:, 1 * cp:2 * cp] + c_prev * peep_ref[0:1, :])
-    f = jax.nn.sigmoid(gifo[:, 2 * cp:3 * cp] + c_prev * peep_ref[1:2, :])
+    i = jax.nn.sigmoid(gifo[:, 1 * cp:2 * cp] + c_prev * peep[0:1, :])
+    f = jax.nn.sigmoid(gifo[:, 2 * cp:3 * cp] + c_prev * peep[1:2, :])
     c = g * i + c_prev * f
     if cell_clip > 0:
-        c = jnp.clip(c, -cell_clip, cell_clip)
+        c = jnp.clip(c, jnp.asarray(-cell_clip, c.dtype),
+                     jnp.asarray(cell_clip, c.dtype))
     h = jnp.tanh(c)
-    o = jax.nn.sigmoid(gifo[:, 3 * cp:4 * cp] + c * peep_ref[2:3, :])
+    o = jax.nn.sigmoid(gifo[:, 3 * cp:4 * cp] + c * peep[2:3, :])
     r = jnp.dot((h * o).astype(wdt), wcr_ref[:],
                 preferred_element_type=jnp.float32)
+    if gate_dtype is not None:
+        c = c.astype(jnp.float32)
     return g, i, f, o, c, r
+
+
+def _hoisted_xw(x_ref, wxb_ref, tb: int, st: int, cp: int):
+    """Block-hoisted input projection: the per-t xw GEMMs have no
+    sequential dependence, so ONE [tb*st, ip] x [ip, 4cp] MXU op per
+    grid step replaces tb small ones — bigger tiles, and the MXU work
+    moves off the recurrence's serial chain (matters most for stacked
+    layers where ip == rp, e.g. the deep config's layer 2 whose
+    per-timestep projection made it 47% slower than layer 1 on-device,
+    BENCH_NOTES round 4)."""
+    wdt = wxb_ref.dtype
+    xw = jnp.dot(x_ref[:].reshape(tb * st, x_ref.shape[2]).astype(wdt),
+                 wxb_ref[:], preferred_element_type=jnp.float32)
+    return xw.reshape(tb, st, 4 * cp)
 
 
 def _fwd_kernel(x_ref, wxb_ref, bias_ref, wr_ref, wcr_ref, peep_ref,
                 c0_ref, r0_ref, *rest, cp: int, tb: int,
-                cell_clip: float, has_mask: bool, inv_keep: float):
+                cell_clip: float, has_mask: bool, inv_keep: float,
+                hoist_xw: bool = False, gate_dtype=None):
     """Training forward with the input projection FUSED: xw(t) is
     computed in VMEM from the (small) x block and the resident
     W_gifo_x^T — the [T, S, 4C] pre-activation stream (reference's
@@ -102,9 +132,15 @@ def _fwd_kernel(x_ref, wxb_ref, bias_ref, wr_ref, wcr_ref, peep_ref,
     wdt = wr_ref.dtype
     c = c_s[:]
     r = r_s[:]
+    st = c_s.shape[0]
+    xw_all = _hoisted_xw(x_ref, wxb_ref, tb, st, cp) if hoist_xw \
+        else None
     for k in range(tb):
-        xw = jnp.dot(x_ref[k].astype(wdt), wxb_ref[:],
-                     preferred_element_type=jnp.float32)
+        if hoist_xw:
+            xw = xw_all[k]
+        else:
+            xw = jnp.dot(x_ref[k].astype(wdt), wxb_ref[:],
+                         preferred_element_type=jnp.float32)
         if has_mask:
             # inverted gate dropout on the input projection, pre-bias
             # (lstm_cell.lstm_scan order; reference stubs this at
@@ -113,7 +149,8 @@ def _fwd_kernel(x_ref, wxb_ref, bias_ref, wr_ref, wcr_ref, peep_ref,
         xw = xw + bias_ref[0:1, :]
         g, i, f, o, c, r = _cell_forward(xw, c, r, wr_ref, wcr_ref,
                                          peep_ref, cp=cp,
-                                         cell_clip=cell_clip)
+                                         cell_clip=cell_clip,
+                                         gate_dtype=gate_dtype)
         # gate residuals stream out in the weights' dtype (bf16 mode
         # halves this ~75 MB/chunk write + the backward's re-read)
         gifo_ref[k] = jnp.concatenate([g, i, f, o],
@@ -153,12 +190,14 @@ def _fwd_in_specs(st, tb, cp, rp, ip, mask):
 
 def _fwd_call(x_p, wxb, bias, wr, wcr, peep, c0, r0, mask_p=None, *,
               st: int, tb: int, cell_clip: float, inv_keep: float = 1.0,
-              interpret: bool):
+              interpret: bool, hoist_xw: bool | None = None):
     T, sp, ip = x_p.shape
     c4p = wxb.shape[1]
     cp = c4p // 4
     rp = wr.shape[0]
     grid = (sp // st, T // tb)
+    if hoist_xw is None:
+        hoist_xw = _HOIST_XW
 
     def idx_tsx(s, t):
         return (t, s, 0)
@@ -168,7 +207,8 @@ def _fwd_call(x_p, wxb, bias, wr, wcr, peep, c0, r0, mask_p=None, *,
         operands.append(mask_p)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, cp=cp, tb=tb, cell_clip=cell_clip,
-                          has_mask=mask_p is not None, inv_keep=inv_keep),
+                          has_mask=mask_p is not None, inv_keep=inv_keep,
+                          hoist_xw=hoist_xw, gate_dtype=_gate_dtype()),
         grid=grid,
         in_specs=_fwd_in_specs(st, tb, cp, rp, ip, mask_p is not None),
         out_specs=[
@@ -194,7 +234,8 @@ def _fwd_call(x_p, wxb, bias, wr, wcr, peep, c0, r0, mask_p=None, *,
 
 def _infer_kernel(x_ref, wxb_ref, bias_ref, wr_ref, wcr_ref, peep_ref,
                   c0_ref, r0_ref, *rest, cp: int, tb: int,
-                  cell_clip: float, has_mask: bool, inv_keep: float):
+                  cell_clip: float, has_mask: bool, inv_keep: float,
+                  hoist_xw: bool = False, gate_dtype=None):
     """Inference-only forward: fused input projection, no gate/cell
     residual writes (those cost ~5x the r output in HBM bandwidth)."""
     if has_mask:
@@ -211,15 +252,22 @@ def _infer_kernel(x_ref, wxb_ref, bias_ref, wr_ref, wcr_ref, peep_ref,
     wdt = wr_ref.dtype
     c = c_s[:]
     r = r_s[:]
+    st = c_s.shape[0]
+    xw_all = _hoisted_xw(x_ref, wxb_ref, tb, st, cp) if hoist_xw \
+        else None
     for k in range(tb):
-        xw = jnp.dot(x_ref[k].astype(wdt), wxb_ref[:],
-                     preferred_element_type=jnp.float32)
+        if hoist_xw:
+            xw = xw_all[k]
+        else:
+            xw = jnp.dot(x_ref[k].astype(wdt), wxb_ref[:],
+                         preferred_element_type=jnp.float32)
         if has_mask:
             xw = xw * (mask_ref[k].astype(jnp.float32) * inv_keep)
         xw = xw + bias_ref[0:1, :]
         _, _, _, _, c, r = _cell_forward(xw, c, r, wr_ref, wcr_ref,
                                          peep_ref, cp=cp,
-                                         cell_clip=cell_clip)
+                                         cell_clip=cell_clip,
+                                         gate_dtype=gate_dtype)
         r_ref[k] = r
     cT_ref[:] = c
     c_s[:] = c
@@ -228,11 +276,14 @@ def _infer_kernel(x_ref, wxb_ref, bias_ref, wr_ref, wcr_ref, peep_ref,
 
 def _infer_call(x_p, wxb, bias, wr, wcr, peep, c0, r0, mask_p=None, *,
                 st: int, tb: int, cell_clip: float,
-                inv_keep: float = 1.0, interpret: bool):
+                inv_keep: float = 1.0, interpret: bool,
+                hoist_xw: bool | None = None):
     T, sp, ip = x_p.shape
     c4p = wxb.shape[1]
     cp = c4p // 4
     rp = wr.shape[0]
+    if hoist_xw is None:
+        hoist_xw = _HOIST_XW
 
     operands = [x_p, wxb, bias, wr, wcr, peep, c0, r0]
     if mask_p is not None:
@@ -240,7 +291,8 @@ def _infer_call(x_p, wxb, bias, wr, wcr, peep, c0, r0, mask_p=None, *,
     return pl.pallas_call(
         functools.partial(_infer_kernel, cp=cp, tb=tb,
                           cell_clip=cell_clip,
-                          has_mask=mask_p is not None, inv_keep=inv_keep),
+                          has_mask=mask_p is not None, inv_keep=inv_keep,
+                          hoist_xw=hoist_xw, gate_dtype=_gate_dtype()),
         grid=(sp // st, T // tb),
         in_specs=_fwd_in_specs(st, tb, cp, rp, ip, mask_p is not None),
         out_specs=[
@@ -511,6 +563,17 @@ _DEFAULT_STREAM_TILE = int(os.environ.get("KLT_LSTM_STREAM_TILE", "128"))
 _DEFAULT_TIME_BLOCK = int(os.environ.get("KLT_LSTM_TIME_BLOCK", "5"))
 _VMEM_LIMIT = int(os.environ.get("KLT_LSTM_VMEM_LIMIT",
                                  str(100 * 1024 * 1024)))
+# Block-hoisted input projection inside the fwd/infer kernels (one
+# [tb*st, ip] GEMM per grid step instead of tb per-timestep dots);
+# KLT_LSTM_HOIST_XW=1/0 forces — A/B'd in tools_dev/bench_lstm_variants.
+_HOIST_XW = os.environ.get("KLT_LSTM_HOIST_XW", "0") == "1"
+
+
+def _gate_dtype():
+    """KLT_LSTM_GATE_DTYPE=bf16: timing-ablation knob for the gate
+    elementwise chain (see _cell_forward)."""
+    v = os.environ.get("KLT_LSTM_GATE_DTYPE", "")
+    return jnp.bfloat16 if v in ("bf16", "bfloat16") else None
 
 
 def _plan_time_block(T: int, max_tb: int) -> int:

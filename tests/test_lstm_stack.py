@@ -89,3 +89,43 @@ def test_stack_compatible():
     assert w2.stack_compatible(p1, p2)
     p3 = init_lstm_params(jax.random.PRNGKey(9), I, C + 8, R, 0.3)
     assert not w2.stack_compatible(p1, p3)
+
+
+def test_hoist_xw_exact_parity():
+    """Block-hoisted input projection (KLT_LSTM_HOIST_XW) must produce
+    EXACTLY the per-timestep kernel's outputs — the same row-dot with
+    the same accumulation order, just batched."""
+    import jax.numpy as jnp
+    from kaldi_lstm_tpu.ops import lstm_pallas as w1
+    p1, p2, x, s1, s2 = _setup(seed=2)
+    d = _plan_dims(S, T, I, C, R)
+    ops = w1._prepare(p1, x.swapaxes(0, 1), s1, d, True)
+    a = w1._fwd_call(*ops[:-1], st=d.st, tb=d.tb, cell_clip=CLIP,
+                     interpret=True, hoist_xw=False)
+    b = w1._fwd_call(*ops[:-1], st=d.st, tb=d.tb, cell_clip=CLIP,
+                     interpret=True, hoist_xw=True)
+    for x1, x2 in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    ia = w1._infer_call(*ops[:-1], st=d.st, tb=d.tb, cell_clip=CLIP,
+                        interpret=True, hoist_xw=False)
+    ib = w1._infer_call(*ops[:-1], st=d.st, tb=d.tb, cell_clip=CLIP,
+                        interpret=True, hoist_xw=True)
+    for x1, x2 in zip(ia, ib):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_gate_dtype_bf16_close(monkeypatch):
+    """The bf16 gate-chain ablation stays numerically close to f32 (a
+    timing probe, not a default — convergence gates would come first)."""
+    import jax.numpy as jnp
+    from kaldi_lstm_tpu.ops import lstm_pallas as w1
+    p1, p2, x, s1, s2 = _setup(seed=3)
+    d = _plan_dims(S, T, I, C, R)
+    ops = w1._prepare(p1, x.swapaxes(0, 1), s1, d, True)
+    ref = w1._infer_call(*ops[:-1], st=d.st, tb=d.tb, cell_clip=CLIP,
+                         interpret=True)
+    monkeypatch.setenv("KLT_LSTM_GATE_DTYPE", "bf16")
+    got = w1._infer_call(*ops[:-1], st=d.st, tb=d.tb, cell_clip=CLIP,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=0.1, atol=0.05)

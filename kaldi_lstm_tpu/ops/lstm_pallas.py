@@ -329,7 +329,7 @@ def _contract0(a, b):
 def _bwd_kernel(gifo_ref, c_ref, cbnd_ref, gr_ref, x_ref, r_ref,
                 rbnd_ref, wgr_ref, wrm_ref, wxp_ref, peep_ref, gcT_ref,
                 *rest, cp: int, tb: int, has_mask: bool, inv_keep: float,
-                need_dx: bool):
+                need_dx: bool, batch_grads: bool = False):
     """Reverse recurrence with IN-VMEM weight-gradient accumulation.
 
     The reference (and kernel v1/v2) materializes per-t gate gradients to
@@ -384,6 +384,12 @@ def _bwd_kernel(gifo_ref, c_ref, cbnd_ref, gr_ref, x_ref, r_ref,
     acc_dpi = jnp.zeros((1, cp), jnp.float32)
     acc_dpf = jnp.zeros((1, cp), jnp.float32)
     acc_dpo = jnp.zeros((1, cp), jnp.float32)
+    # batch_grads (KLT_LSTM_BATCH_GRADS): collect per-t cotangent
+    # slices and run each weight-gradient contraction ONCE per grid
+    # step over [tb*st] rows instead of tb times over [st] — fewer,
+    # better-shaped MXU ops off the sequential chain (same hypothesis
+    # as the fwd hoist_xw; identical FLOPs, f32 sum order changes)
+    stks: dict = {"dxw": [], "dgifo": [], "drt": [], "ho": []}
     for k in reversed(range(tb)):
         g = gifo_ref[k, :, 0 * cp:1 * cp].astype(jnp.float32)
         i = gifo_ref[k, :, 1 * cp:2 * cp].astype(jnp.float32)
@@ -420,16 +426,50 @@ def _bwd_kernel(gifo_ref, c_ref, cbnd_ref, gr_ref, x_ref, r_ref,
             dxw = dgifo * (mask_ref[k].astype(jnp.float32) * inv_keep)
         else:
             dxw = dgifo
-        if need_dx:
-            dx_ref[k] = jnp.dot(dxw.astype(wdt), wxp_ref[:],
-                                preferred_element_type=jnp.float32)
-        acc_dwx += _contract0(dxw.astype(wdt), x_ref[k].astype(wdt))
-        acc_dwr += _contract0(dgifo.astype(wdt), r_prev.astype(wdt))
-        acc_dwrm += _contract0(dr_total.astype(wdt), (h * o).astype(wdt))
+        if batch_grads:
+            stks["dxw"].append(dxw)
+            stks["dgifo"].append(dgifo)
+            stks["drt"].append(dr_total)
+            stks["ho"].append(h * o)
+        else:
+            if need_dx:
+                dx_ref[k] = jnp.dot(dxw.astype(wdt), wxp_ref[:],
+                                    preferred_element_type=jnp.float32)
+            acc_dwx += _contract0(dxw.astype(wdt), x_ref[k].astype(wdt))
+            acc_dwr += _contract0(dgifo.astype(wdt),
+                                  r_prev.astype(wdt))
+            acc_dwrm += _contract0(dr_total.astype(wdt),
+                                   (h * o).astype(wdt))
         acc_dbias += jnp.sum(dgifo, axis=0, keepdims=True)
         acc_dpi += jnp.sum(di * c_prev, axis=0, keepdims=True)
         acc_dpf += jnp.sum(df * c_prev, axis=0, keepdims=True)
         acc_dpo += jnp.sum(do * c, axis=0, keepdims=True)
+
+    if batch_grads:
+        st = dc_s.shape[0]
+        rp = dr_s.shape[1]
+        ip = x_ref.shape[2]
+        # slices were appended in REVERSED k order; contraction sums are
+        # order-independent, only dx must land at the right rows
+        dxw_all = jnp.stack(stks["dxw"][::-1]).reshape(tb * st, 4 * cp)
+        dgifo_all = jnp.stack(stks["dgifo"][::-1]) \
+            .reshape(tb * st, 4 * cp)
+        drt_all = jnp.stack(stks["drt"][::-1]).reshape(tb * st, rp)
+        ho_all = jnp.stack(stks["ho"][::-1]).reshape(tb * st, cp)
+        if need_dx:
+            dx_ref[:] = jnp.dot(
+                dxw_all.astype(wdt), wxp_ref[:],
+                preferred_element_type=jnp.float32) \
+                .reshape(tb, st, ip)
+        x_all = x_ref[:].reshape(tb * st, ip)
+        # r_prev rows for the block: boundary row then r[0..tb-2]
+        rprev_all = jnp.concatenate(
+            [rbnd_ref[:], r_ref[0:tb - 1]] if tb > 1
+            else [rbnd_ref[:]], axis=0).reshape(tb * st, rp)
+        acc_dwx = _contract0(dxw_all.astype(wdt), x_all.astype(wdt))
+        acc_dwr = _contract0(dgifo_all.astype(wdt),
+                             rprev_all.astype(wdt))
+        acc_dwrm = _contract0(drt_all.astype(wdt), ho_all.astype(wdt))
 
     dc_s[:] = dc
     dr_s[:] = dr
@@ -516,7 +556,8 @@ def _bwd_call(gifo, c_seq, c_bnd, g_r, x_pad, r_seq, r_bnd, wgr, wrm,
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, cp=cp, tb=tb,
                           has_mask=keep_mask is not None,
-                          inv_keep=inv_keep, need_dx=need_dx),
+                          inv_keep=inv_keep, need_dx=need_dx,
+                          batch_grads=_batch_grads()),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -567,6 +608,14 @@ _VMEM_LIMIT = int(os.environ.get("KLT_LSTM_VMEM_LIMIT",
 # [tb*st, ip] GEMM per grid step instead of tb per-timestep dots);
 # KLT_LSTM_HOIST_XW=1/0 forces — A/B'd in tools_dev/bench_lstm_variants.
 _HOIST_XW = os.environ.get("KLT_LSTM_HOIST_XW", "0") == "1"
+
+
+def _batch_grads() -> bool:
+    # Block-batched backward weight-gradient contractions (one [tb*st]
+    # contraction per grid step instead of tb per-t ones) —
+    # experimental knob, A/B'd with the fwd hoist (read at trace time
+    # so tests can toggle).
+    return os.environ.get("KLT_LSTM_BATCH_GRADS", "0") == "1"
 
 
 def _gate_dtype():

@@ -129,3 +129,27 @@ def test_gate_dtype_bf16_close(monkeypatch):
                          interpret=True)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
                                rtol=0.1, atol=0.05)
+
+
+def test_batch_grads_matches_per_t(monkeypatch):
+    """KLT_LSTM_BATCH_GRADS (block-batched weight-grad contractions)
+    must reproduce the per-timestep backward's gradients (same FLOPs,
+    different f32 summation order -> allclose, not bit-equal)."""
+    import jax
+    import jax.numpy as jnp
+    from kaldi_lstm_tpu.ops.lstm_pallas import lstm_scan_pallas
+    p1, _, x, s1, _ = _setup(seed=4)
+
+    def loss(params, xx, st):
+        out, fin = lstm_scan_pallas(params, xx, st, CLIP,
+                                    interpret=True)
+        return (jnp.sum(out * out) + jnp.sum(fin.c) +
+                jnp.sum(fin.r * 0.5))
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(p1, x, s1)
+    monkeypatch.setenv("KLT_LSTM_BATCH_GRADS", "1")
+    g_bat = jax.grad(loss, argnums=(0, 1, 2))(p1, x, s1)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_bat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)

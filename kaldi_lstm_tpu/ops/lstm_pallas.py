@@ -77,17 +77,25 @@ def _cell_forward(xw_t, c_prev, r_prev, wr_ref, wcr_ref, peep_ref, *,
         gifo = gifo.astype(gate_dtype)
         c_prev = c_prev.astype(gate_dtype)
         peep = peep_ref[:].astype(gate_dtype)
+        # explicit logistic with dtype-matched constants: jax.nn.sigmoid
+        # on bf16 trips a Mosaic verifier bug ('vector.broadcast' of an
+        # f32 scalar into a bf16 vector)
+        one = jnp.asarray(1.0, gate_dtype)
+
+        def sigmoid(v):
+            return one / (one + jnp.exp(-v))
     else:
         peep = peep_ref[:]
+        sigmoid = jax.nn.sigmoid
     g = jnp.tanh(gifo[:, 0 * cp:1 * cp])
-    i = jax.nn.sigmoid(gifo[:, 1 * cp:2 * cp] + c_prev * peep[0:1, :])
-    f = jax.nn.sigmoid(gifo[:, 2 * cp:3 * cp] + c_prev * peep[1:2, :])
+    i = sigmoid(gifo[:, 1 * cp:2 * cp] + c_prev * peep[0:1, :])
+    f = sigmoid(gifo[:, 2 * cp:3 * cp] + c_prev * peep[1:2, :])
     c = g * i + c_prev * f
     if cell_clip > 0:
         c = jnp.clip(c, jnp.asarray(-cell_clip, c.dtype),
                      jnp.asarray(cell_clip, c.dtype))
     h = jnp.tanh(c)
-    o = jax.nn.sigmoid(gifo[:, 3 * cp:4 * cp] + c * peep[2:3, :])
+    o = sigmoid(gifo[:, 3 * cp:4 * cp] + c * peep[2:3, :])
     r = jnp.dot((h * o).astype(wdt), wcr_ref[:],
                 preferred_element_type=jnp.float32)
     if gate_dtype is not None:

@@ -23,7 +23,23 @@ def corpus(tmp_path_factory):
 <Softmax> <InputDim> 10 <OutputDim> 10
 </NnetProto>"""
     nnet, params = Nnet.init_from_proto(proto, jax.random.PRNGKey(0))
-    nnet.write(f"{d}/final.nnet", params, binary=True)
+    nnet.write(f"{d}/nnet.iter0", params, binary=True)
+    # a TRAINED (peaked-posterior) model: the top-P serving fetch is
+    # specified for that regime, and it sharpens every parity check
+    from kaldi_lstm_tpu.tools.ali_to_pdf import main as ali_to_pdf
+    from kaldi_lstm_tpu.tools.ali_to_post import main as ali_to_post
+    from kaldi_lstm_tpu.tools.train_lstm_streams import main as train
+    assert ali_to_pdf([f"{d}/final.mdl", f"ark:{d}/ali.ark",
+                       f"ark:{d}/pdf_ali.ark"]) == 0
+    assert ali_to_post([f"ark:{d}/pdf_ali.ark",
+                        f"ark:{d}/post.ark"]) == 0
+    for i in range(4):
+        assert train([f"scp:{d}/feats.scp", f"ark:{d}/post.ark",
+                      f"{d}/nnet.iter{i}", f"{d}/nnet.iter{i+1}",
+                      "--learn-rate=5e-3", "--num-stream=4",
+                      "--targets-delay=0"]) == 0
+    import shutil
+    shutil.copy(f"{d}/nnet.iter4", f"{d}/final.nnet")
     return d
 
 
@@ -86,3 +102,16 @@ def test_serve_batch_single_session_and_big_chunk(corpus):
     off = _offline_hyps(corpus)
     srv = _serve_hyps(corpus, n_sessions=1, chunk=1000)
     assert srv == off
+
+
+def test_serve_batch_top_p(corpus):
+    """top_p = num_pdfs is exact reconstruction -> identical
+    hypotheses; a moderate top_p on this separable task must match
+    too (the serving approximation's operating regime)."""
+    off = _offline_hyps(corpus)
+    srv_full = _serve_hyps(corpus, n_sessions=3, chunk=9,
+                           extra=["--top-p", "10"])
+    assert srv_full == off
+    srv_p = _serve_hyps(corpus, n_sessions=3, chunk=9,
+                        extra=["--top-p", "6"])
+    assert srv_p == off

@@ -279,4 +279,40 @@ print(f"latgen beam 13/7 + determinize: {dt:.1f}s total "
       f"(determinize {t_det:.1f}s) RTF {dt / audio_s:.3f}, "
       f"%WER {wer_of(hyps):.2f}, raw-lat arcs {lat_arcs}, "
       f"det-lat states {det_states}, RSS {rss_gb():.1f} GB", flush=True)
+
+# ---------------------------------------------------------------------------
+# the classic LVCSR flow at scale: decode+latgen through the STEP-DOWN
+# BIGRAM graph, then exact trigram lattice rescore — vs direct trigram
+# ---------------------------------------------------------------------------
+
+from kaldi_lstm_tpu.decode.graph import build_decoding_graph
+from kaldi_lstm_tpu.io.arpa import ArpaBigram, ArpaLM
+from kaldi_lstm_tpu.io.lattice import lattice_best_path, lattice_lmrescore
+
+lm_full = ArpaLM.load(arpa_path)
+lm_bi = ArpaBigram()
+lm_bi.unigram = {w: v for (w,), v in lm_full.ngrams.get(1, {}).items()}
+lm_bi.bigram = {k: lp for k, (lp, _bo) in lm_full.ngrams.get(2, {}).items()}
+t0 = time.perf_counter()
+g_bi = build_decoding_graph(tm, lex, lm_bi, words=words)
+print(f"bigram graph: {g_bi.num_states} states, "
+      f"{sum(len(a) for a in g_bi.arcs)} arcs, built in "
+      f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+t0 = time.perf_counter()
+t_resc = 0.0
+hyps = []
+for sent, llk in tests:
+    lat = decode_lattice_faster(g_bi, llk, acoustic_scale=1.0,
+                                beam=16.0, lattice_beam=8.0)
+    clat = determinize_lattice(lat)
+    t1 = time.perf_counter()
+    res = lattice_lmrescore(clat, lm_bi, lm_full, words)
+    t_resc += time.perf_counter() - t1
+    ids, _, _ = lattice_best_path(res)
+    hyps.append([words.id2sym[i] for i in ids])
+dt = time.perf_counter() - t0
+print(f"bigram latgen + exact trigram rescore: {dt:.1f}s "
+      f"(rescore {t_resc:.1f}s) RTF {dt / audio_s:.3f}, "
+      f"%WER {wer_of(hyps):.2f}, RSS {rss_gb():.1f} GB", flush=True)
 print("done", flush=True)

@@ -97,3 +97,65 @@ def test_sparse_matches_python_reference(monkeypatch):
     sp = decode_faster(graph, llk, 1.0, 16.0)
     assert sp.words == py.words
     np.testing.assert_allclose(sp.score, py.score, rtol=0, atol=1e-9)
+
+
+def _random_graph(rng, ns=40, n_pdfs=6, n_em=120, n_eps=60,
+                  eps_cycles=True):
+    """Arbitrary random FST (not a word graph): emitting arcs with
+    random pdfs/weights, eps arcs with occasional word labels, eps
+    CHAINS and (optionally) zero-weight eps cycles — the closure and
+    pruning interplay the word-graph tests never stress."""
+    from kaldi_lstm_tpu.decode.graph import Arc, DecodingGraph
+    from kaldi_lstm_tpu.io.lang import SymbolTable
+    import numpy as np
+    arcs = [[] for _ in range(ns)]
+    for _ in range(n_em):
+        s, d = rng.randint(ns), rng.randint(ns)
+        arcs[s].append(Arc(d, int(rng.randint(n_pdfs)),
+                           int(rng.randint(5)),
+                           float(-rng.rand() * 3), tid=1 + s))
+    for _ in range(n_eps):
+        s, d = rng.randint(ns), rng.randint(ns)
+        arcs[s].append(Arc(d, -1, int(rng.randint(3)),
+                           float(-rng.rand() * 2), tid=0))
+    if eps_cycles:
+        a, b = rng.randint(ns), rng.randint(ns)
+        arcs[a].append(Arc(b, -1, 0, 0.0, tid=0))
+        arcs[b].append(Arc(a, -1, 0, 0.0, tid=0))
+    final = np.full(ns, -1e30)
+    for s in rng.choice(ns, 5, replace=False):
+        final[s] = float(-rng.rand())
+    words = SymbolTable()
+    words.add("<eps>", 0)
+    for i in range(1, 6):
+        words.add(f"w{i}", i)
+    return DecodingGraph(arcs=arcs, start=int(rng.randint(ns)),
+                         final=final, words=words)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_sparse_fuzz_random_graphs(monkeypatch, seed):
+    """Differential fuzz: sparse vs dense native vs pure Python on
+    random FSTs with eps chains/cycles and random log-liks, across
+    beams and max-active. Words AND scores must agree exactly."""
+    rng = np.random.RandomState(100 + seed)
+    graph = _random_graph(rng, ns=30 + seed * 7)
+    for trial in range(3):
+        T = 5 + rng.randint(12)
+        llk = rng.randn(T, 6) * 2.0
+        beam = [8.0, 14.0, 30.0][trial % 3]
+        ma = [0, 12, 0][trial % 3]
+        try:
+            monkeypatch.setenv("KLT_DECODE_IMPL", "python")
+            py = decode_faster(graph, llk, 1.0, beam, ma)
+        except RuntimeError:
+            continue  # no tokens survived: all paths must agree on that
+        monkeypatch.setenv("KLT_DECODE_IMPL", "auto")
+        monkeypatch.setenv("KLT_DECODE_SPARSE", "0")
+        dense = decode_faster(graph, llk, 1.0, beam, ma)
+        monkeypatch.setenv("KLT_DECODE_SPARSE", "1")
+        sparse = decode_faster(graph, llk, 1.0, beam, ma)
+        assert dense.words == py.words
+        assert sparse.words == py.words, f"seed {seed} trial {trial}"
+        np.testing.assert_allclose(sparse.score, py.score, atol=1e-9)
+        assert sparse.reached_final == py.reached_final

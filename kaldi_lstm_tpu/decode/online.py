@@ -279,7 +279,7 @@ class OnlineBatchScorer:
                  transf: Optional[Nnet] = None, transf_params=None,
                  log_prior: Optional[np.ndarray] = None,
                  fetch_dtype=None, top_p: int = 0,
-                 floor_margin: float = 10.0):
+                 floor_margin: float = 10.0, pipeline: bool = False):
         comps = list(nnet.components)
         plist = list(params)
         if any(isinstance(c, BLstmProjectedStreams) for c in comps):
@@ -327,15 +327,15 @@ class OnlineBatchScorer:
             return model.reset_states(states, flags)
 
         self._reset = jax.jit(reset_fn)
+        # pipeline mode: double-buffer dispatch against the fetch —
+        # score(k) dispatches tick k's compute and returns tick k-1's
+        # result (None on the first call; flush() drains the last).
+        # +1 chunk of latency buys transfer/compute overlap on
+        # transports where they can proceed concurrently.
+        self.pipeline = bool(pipeline)
+        self._inflight = None
 
-    def score(self, feats: np.ndarray) -> np.ndarray:
-        """[N, t, D] feature chunk tick -> [N, t, num_pdfs] scaled
-        log-likelihoods on host (one dispatch; one transfer, two with
-        top_p). With top_p, unfetched pdfs read the per-frame floor."""
-        assert feats.shape[0] == self.n
-        y, self.states = self._am_step(
-            self.params, self.transf_params,
-            jnp.asarray(feats, jnp.float32), self.states)
+    def _fetch(self, y) -> np.ndarray:
         if self.top_p <= 0:
             return np.asarray(y)
         vals = np.asarray(y[0], np.float32)          # [N, t, P]
@@ -345,6 +345,26 @@ class OnlineBatchScorer:
             floor, vals.shape[:2] + (self.num_pdfs,)).copy()
         np.put_along_axis(out, idx.astype(np.int64), vals, axis=-1)
         return out
+
+    def score(self, feats: np.ndarray) -> Optional[np.ndarray]:
+        """[N, t, D] feature chunk tick -> [N, t, num_pdfs] scaled
+        log-likelihoods on host (one dispatch; one transfer, two with
+        top_p). With top_p, unfetched pdfs read the per-frame floor.
+        In pipeline mode the PREVIOUS tick's block is returned (None on
+        the first tick)."""
+        assert feats.shape[0] == self.n
+        y, self.states = self._am_step(
+            self.params, self.transf_params,
+            jnp.asarray(feats, jnp.float32), self.states)
+        if not self.pipeline:
+            return self._fetch(y)
+        prev, self._inflight = self._inflight, y
+        return None if prev is None else self._fetch(prev)
+
+    def flush(self) -> Optional[np.ndarray]:
+        """Pipeline mode: drain the last in-flight tick's result."""
+        prev, self._inflight = self._inflight, None
+        return None if prev is None else self._fetch(prev)
 
     def reset(self, session_ids) -> None:
         """Zero the carried state of the given sessions (stream ended /

@@ -155,3 +155,20 @@ def test_log_prior_and_fetch_dtype():
     assert c.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(c, np.float32), a,
                                rtol=0.02, atol=0.02)
+
+
+def test_pipeline_mode_shifted_identical():
+    """Pipelined scoring must produce exactly the eager results,
+    shifted one tick (dispatch k returns k-1's block; flush drains)."""
+    nnet, params = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(4))
+    rng = np.random.RandomState(4)
+    chunks = [rng.randn(2, 3, 6).astype(np.float32) for _ in range(4)]
+    eager = OnlineBatchScorer(nnet, params, 2)
+    want = [eager.score(c) for c in chunks]
+    pipe = OnlineBatchScorer(nnet, params, 2, pipeline=True)
+    got = [pipe.score(c) for c in chunks]
+    assert got[0] is None
+    got = got[1:] + [pipe.flush()]
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+    assert pipe.flush() is None

@@ -68,6 +68,15 @@ def main():
         configs = [(N, f"top{P}-bf16", dict(fetch_dtype=jnp.bfloat16,
                                             top_p=P))
                    for N in (64, 256, 512) for P in (512, 128)]
+    elif mode == "pipe":
+        # pipelined double-buffering: does the transport overlap the
+        # k-1 fetch with tick k's compute? (+1 chunk latency; measures
+        # sustained throughput — per-chunk wall here is per-TICK)
+        configs = [(N, f"top128-bf16-{tag}",
+                    dict(fetch_dtype=jnp.bfloat16, top_p=128,
+                         pipeline=pl))
+                   for N in (64, 256) for tag, pl in (("eager", False),
+                                                      ("pipe", True))]
     else:
         configs = [(N, nm, dict(fetch_dtype=dt))
                    for N in (64, 128, 256, 512)
@@ -82,6 +91,8 @@ def main():
                 t0 = time.perf_counter()
                 ll = sc.score(feats)
                 lat.append((time.perf_counter() - t0) * 1e3)
+            if ll is None:  # pipeline mode's first tick
+                ll = sc.flush()
             checksum = float(np.asarray(ll, np.float32).sum())
             lat = lat[2:]
             p50 = pct(lat, 50)

@@ -353,9 +353,17 @@ class OnlineBatchScorer:
         In pipeline mode the PREVIOUS tick's block is returned (None on
         the first tick)."""
         assert feats.shape[0] == self.n
+        x = jnp.asarray(feats, jnp.float32)
+        if self.pipeline:
+            # jnp.asarray may ZERO-COPY a host numpy buffer (CPU
+            # backend); with the fetch deferred, a caller reusing its
+            # chunk buffer for the next tick would race the in-flight
+            # computation (observed as flaky hypothesis flips) — force
+            # a private copy
+            if x.dtype == np.float32 and isinstance(feats, np.ndarray):
+                x = jnp.array(feats, jnp.float32, copy=True)
         y, self.states = self._am_step(
-            self.params, self.transf_params,
-            jnp.asarray(feats, jnp.float32), self.states)
+            self.params, self.transf_params, x, self.states)
         if not self.pipeline:
             return self._fetch(y)
         prev, self._inflight = self._inflight, y

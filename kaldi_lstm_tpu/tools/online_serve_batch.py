@@ -83,6 +83,11 @@ def main(argv=None) -> int:
                         "from the device (0 = dense)")
     p.add_argument("--fetch-bf16", default="false",
                    help="fetch posterior values as bfloat16")
+    p.add_argument("--pipeline", default="false",
+                   help="double-buffer device dispatch against the "
+                        "posterior fetch (+1 chunk latency, higher "
+                        "sustained throughput and tighter tails — "
+                        "BENCH_NOTES round 4)")
     args = p.parse_args(argv)
 
     nnet, params = Nnet.read(args.nnet)
@@ -121,11 +126,13 @@ def main(argv=None) -> int:
 
     N = args.num_sessions
     import jax.numpy as jnp
+    pipelined = str(args.pipeline).lower() in ("true", "1")
     scorer = OnlineBatchScorer(
         nnet, params, N, transf=transf, transf_params=transf_params,
         log_prior=log_prior, top_p=args.top_p,
         fetch_dtype=jnp.bfloat16
-        if str(args.fetch_bf16).lower() in ("true", "1") else None)
+        if str(args.fetch_bf16).lower() in ("true", "1") else None,
+        pipeline=pipelined)
     feat_dim = nnet.input_dim if transf is None else transf.input_dim
     tc = args.chunk_frames
 
@@ -157,39 +164,55 @@ def main(argv=None) -> int:
 
     sym = (graph.words.id2sym if graph.words else {})
     chunk = np.zeros((N, tc, feat_dim), np.float32)
-    while any(slots):
-        chunk[:] = 0.0
-        real = [0] * N
-        for s, slot in enumerate(slots):
-            if slot is None:
-                continue
-            key, feats, pos, dec = slot
-            n = min(tc, len(feats) - pos)
-            chunk[s, :n] = feats[pos:pos + n]
-            real[s] = n
-        ll = scorer.score(chunk)
+    # pipeline mode: score(k) returns tick k-1's block, so tick
+    # processing (decoder advance / finalize / slot rebind) lags the
+    # dispatch by one; `pending` holds the awaiting ticks' snapshots
+    pending: list = []
+
+    def process(meta, ll):
         done_slots = []
-        for s, slot in enumerate(slots):
-            if slot is None:
-                continue
-            key, feats, pos, dec = slot
-            if real[s]:
-                dec.advance(np.asarray(ll[s, :real[s]], np.float64))
-            slot[2] = pos + real[s]
-            if slot[2] >= len(feats):
+        for s, key, real, dec, finished in meta:
+            if real:
+                dec.advance(np.asarray(ll[s, :real], np.float64))
+            if finished:
                 res = dec.finalize()
                 writer.write(key, [sym.get(w, str(w))
                                    for w in res.words])
-                num_done += 1
+                nonlocal_done[0] += 1
                 if not res.reached_final:
                     LOG(f"WARNING: {key}: no final state reached")
                 done_slots.append(s)
-                slots[s] = None
         if done_slots:
             # zero the freed slots' LSTM state before re-binding
             scorer.reset(done_slots)
             for s in done_slots:
                 assign(s)
+
+    nonlocal_done = [0]
+    while any(slots) or pending:
+        if any(slots):
+            chunk[:] = 0.0
+            meta = []
+            for s, slot in enumerate(slots):
+                if slot is None:
+                    continue
+                key, feats, pos, dec = slot
+                n = min(tc, len(feats) - pos)
+                chunk[s, :n] = feats[pos:pos + n]
+                slot[2] = pos + n
+                finished = slot[2] >= len(feats)
+                meta.append((s, key, n, dec, finished))
+                if finished:
+                    slots[s] = None  # stops dispatching; rebind at
+                    #                  result-processing time
+            ll = scorer.score(chunk)
+            pending.append(meta)
+            if ll is None:
+                continue  # pipeline mode's first tick
+        else:
+            ll = scorer.flush()
+        process(pending.pop(0), ll)
+    num_done = nonlocal_done[0]
     writer.close()
     LOG(f"Decoded {num_done} utterances over {N} lock-step sessions "
         f"(chunk {tc} frames, delay {delay}, top_p {args.top_p})")

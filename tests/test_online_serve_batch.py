@@ -104,6 +104,18 @@ def test_serve_batch_single_session_and_big_chunk(corpus):
     assert srv == off
 
 
+def test_serve_batch_pipelined(corpus):
+    """--pipeline (double-buffered dispatch/fetch, lag-by-one slot
+    processing) must produce identical hypotheses."""
+    off = _offline_hyps(corpus)
+    srv = _serve_hyps(corpus, n_sessions=3, chunk=7,
+                      extra=["--pipeline", "true"])
+    assert srv == off
+    srv2 = _serve_hyps(corpus, n_sessions=2, chunk=5, delay=2,
+                       extra=["--pipeline", "true"])
+    assert srv2 == _offline_hyps(corpus, delay=2)
+
+
 def test_serve_batch_top_p(corpus):
     """top_p = num_pdfs is exact reconstruction -> identical
     hypotheses; a moderate top_p on this separable task must match

@@ -121,8 +121,10 @@ def main(argv=None) -> int:
 
     log_prior = None
     if args.class_frame_counts:
-        log_prior = read_class_frame_counts(
-            args.class_frame_counts, args.prior_scale, args.prior_floor)
+        counts = read_class_frame_counts(args.class_frame_counts)
+        priors = counts / max(counts.sum(), 1.0)
+        log_prior = args.prior_scale * np.log(
+            np.maximum(priors, args.prior_floor)).astype(np.float32)
 
     N = args.num_sessions
     import jax.numpy as jnp

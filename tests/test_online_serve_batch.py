@@ -104,6 +104,38 @@ def test_serve_batch_single_session_and_big_chunk(corpus):
     assert srv == off
 
 
+def test_serve_batch_with_priors(corpus):
+    """--class-frame-counts (log-prior division) parity vs the offline
+    nnet_forward path — this flag path had no prior coverage and hid a
+    signature bug."""
+    d = corpus
+    from kaldi_lstm_tpu.tools.compute_class_counts import main as counts
+    from kaldi_lstm_tpu.tools.decode_faster import main as decode
+    from kaldi_lstm_tpu.tools.nnet_forward import main as fwd
+    from kaldi_lstm_tpu.tools.online_serve_batch import main as serve
+    assert counts([f"ark:{d}/post.ark", f"{d}/counts.vec",
+                   "--num-classes", "10", "--counts-offset", "1"]) == 0
+    assert fwd([f"{d}/final.nnet", f"scp:{d}/feats.scp",
+                f"ark:{d}/loglik.ark", "--apply-log=true",
+                f"--class-frame-counts={d}/counts.vec"]) == 0
+    assert decode([f"{d}/final.mdl", f"{d}/lexicon.txt", f"{d}/lm.arpa",
+                   f"ark:{d}/loglik.ark", f"ark,t:{d}/hyp_off.txt",
+                   "--word-symbol-table", f"{d}/words.txt",
+                   "--acoustic-scale", "0.7", "--beam", "15"]) == 0
+    off = dict(line.split(None, 1) if " " in line else (line, "")
+               for line in open(f"{d}/hyp_off.txt").read().splitlines())
+    assert serve([f"{d}/final.nnet", f"{d}/final.mdl",
+                  f"{d}/lexicon.txt", f"{d}/lm.arpa",
+                  f"scp:{d}/feats.scp", f"ark,t:{d}/hyp_srv.txt",
+                  "--word-symbol-table", f"{d}/words.txt",
+                  "--acoustic-scale", "0.7", "--beam", "15",
+                  "--num-sessions", "3", "--chunk-frames", "6",
+                  f"--class-frame-counts={d}/counts.vec"]) == 0
+    srv = dict(line.split(None, 1) if " " in line else (line, "")
+               for line in open(f"{d}/hyp_srv.txt").read().splitlines())
+    assert srv == off
+
+
 def test_serve_batch_pipelined(corpus):
     """--pipeline (double-buffered dispatch/fetch, lag-by-one slot
     processing) must produce identical hypotheses."""

@@ -327,3 +327,37 @@ def test_monitor_every_25k_frames_at_vlog2(capsys):
     import re
     repeats = re.findall(r"### After (\d+) frames,", err)
     assert any(int(n) >= 25000 for n in repeats), repeats
+
+
+def test_tunnel_backend_detection(monkeypatch):
+    """The tunnel plugin registers as backend 'tpu', so detection keys
+    on PALLAS_AXON_POOL_IPS + non-CPU backend; plain CPU runs (tests)
+    must NOT defer even with the env var set."""
+    from kaldi_lstm_tpu.train import trainer as tr
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    assert tr._on_tunnel_backend() is False  # cpu backend, no env
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    # backend is cpu in the test env -> still False
+    assert tr._on_tunnel_backend() is False
+    monkeypatch.setenv("KLT_STATS_DEFER", "1")
+    assert tr._stats_defer_default() is True
+    monkeypatch.setenv("KLT_STATS_DEFER", "0")
+    assert tr._stats_defer_default() is False
+
+
+def test_fetch_tree_host_single_transfer_and_dtypes():
+    """fetch_tree_host: float trees come back with original dtypes and
+    shapes (one-transfer path); int leaves fall back to device_get."""
+    from kaldi_lstm_tpu.train.checkpoint import fetch_tree_host
+    t = {"a": jnp.arange(6, dtype=jnp.bfloat16).reshape(2, 3),
+         "b": jnp.ones((4,), jnp.float32) * 1.5,
+         "c": jnp.float32(2.5)}
+    out = fetch_tree_host(t)
+    assert np.asarray(out["a"]).dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(out["a"], np.float32),
+                                  np.arange(6).reshape(2, 3))
+    np.testing.assert_array_equal(out["b"], np.full(4, 1.5, np.float32))
+    assert float(out["c"]) == 2.5
+    mixed = {"i": jnp.arange(3, dtype=jnp.int32)}
+    np.testing.assert_array_equal(fetch_tree_host(mixed)["i"],
+                                  np.arange(3, dtype=np.int32))

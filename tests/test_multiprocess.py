@@ -51,12 +51,13 @@ def _setup(work):
     nnet_initialize.main([proto, os.path.join(work, "nnet.init")])
 
 
-def _spawn(work, step_group):
+def _spawn(work, step_group, extra_env=None):
     port = _free_port()
     driver = os.path.join(os.path.dirname(__file__), "mp_driver.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS",
                         "XLA_FLAGS")}
+    env.update(extra_env or {})
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))
     procs = [subprocess.Popen(
@@ -114,4 +115,15 @@ def test_two_process_cpu_training_grouped(tmp_path):
     work = str(tmp_path)
     _setup(work)
     _spawn(work, step_group=2)
+    _assert_agree(work)
+
+
+@pytest.mark.slow
+def test_two_process_cpu_training_deferred_stats(tmp_path):
+    """Multi-controller run with KLT_STATS_DEFER=1 forced: the
+    epoch-end single-fetch stats path must work under pjit'd global
+    arrays too (the transport-bound default on the tunnel)."""
+    work = str(tmp_path)
+    _setup(work)
+    _spawn(work, step_group=1, extra_env={"KLT_STATS_DEFER": "1"})
     _assert_agree(work)

@@ -42,6 +42,13 @@ def main(argv=None) -> int:
                         "pretrained trunk while a newly stacked layer "
                         "trains). Applied after insert/remove, so "
                         "indices refer to the FINAL component list.")
+    p.add_argument("--set-dropout", action="append", default=[],
+                   metavar="IDX=RATE",
+                   help="Set a component's <DropoutRate> (repeatable; "
+                        "gate dropout on the LSTM components — training "
+                        "regularization; inference is unaffected). "
+                        "Applied after insert/remove like "
+                        "--set-learn-rate-coef.")
     p.add_argument("--seed", type=int, default=777)
     args = p.parse_args(argv)
 
@@ -95,6 +102,31 @@ def main(argv=None) -> int:
             c.bias_learn_rate_coef = coef
         LOG(f"set {c.token} at {idx % len(nnet.components)} "
             f"LearnRateCoef {coef:g}")
+
+    for spec in args.set_dropout:
+        idx_s, _, rate_s = spec.partition("=")
+        try:
+            idx, rate = int(idx_s), float(rate_s)
+        except ValueError:
+            print(f"error: bad --set-dropout {spec!r} (want IDX=RATE)",
+                  file=sys.stderr)
+            return 1
+        n = len(nnet.components)
+        if not -n <= idx < n:
+            print(f"error: --set-dropout index {idx} out of range for "
+                  f"{n} components", file=sys.stderr)
+            return 1
+        c = nnet.components[idx % n]
+        if not hasattr(c, "dropout_rate"):
+            print(f"error: component {idx} ({c.token}) has no "
+                  f"dropout", file=sys.stderr)
+            return 1
+        if not 0.0 <= rate < 1.0:
+            print(f"error: --set-dropout rate {rate} outside [0, 1)",
+                  file=sys.stderr)
+            return 1
+        c.dropout_rate = rate
+        LOG(f"set {c.token} at {idx % n} DropoutRate {rate:g}")
 
     # dimension sanity
     for a, b in zip(nnet.components, nnet.components[1:]):

@@ -120,3 +120,22 @@ def test_nnet_edit_set_learn_rate_coef(tmp_path):
                            "--set-learn-rate-coef=-3=0.5"]) == 0
     n, _ = Nnet.read(f"{tmp_path}/e.nnet")
     assert n.components[0].learn_rate_coef == 0.5
+
+
+def test_nnet_edit_set_dropout(tmp_path):
+    from kaldi_lstm_tpu.models import Nnet
+    from kaldi_lstm_tpu.tools import nnet_edit, nnet_initialize
+    proto = tmp_path / "p"
+    proto.write_text(LSTM_PROTO)
+    assert nnet_initialize.main([str(proto), f"{tmp_path}/a.nnet"]) == 0
+    assert nnet_edit.main([f"{tmp_path}/a.nnet", f"{tmp_path}/b.nnet",
+                           "--set-dropout", "0=0.2"]) == 0
+    n, _ = Nnet.read(f"{tmp_path}/b.nnet")
+    assert abs(n.components[0].dropout_rate - 0.2) < 1e-6  # f32 wire
+    # no-dropout component, out-of-range index, bad rate -> errors
+    assert nnet_edit.main([f"{tmp_path}/a.nnet", f"{tmp_path}/c.nnet",
+                           "--set-dropout", "2=0.2"]) == 1
+    assert nnet_edit.main([f"{tmp_path}/a.nnet", f"{tmp_path}/d.nnet",
+                           "--set-dropout", "9=0.2"]) == 1
+    assert nnet_edit.main([f"{tmp_path}/a.nnet", f"{tmp_path}/e.nnet",
+                           "--set-dropout", "0=1.5"]) == 1

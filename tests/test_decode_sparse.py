@@ -159,3 +159,50 @@ def test_sparse_fuzz_random_graphs(monkeypatch, seed):
         assert sparse.words == py.words, f"seed {seed} trial {trial}"
         np.testing.assert_allclose(sparse.score, py.score, atol=1e-9)
         assert sparse.reached_final == py.reached_final
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_latgen_sparse_alpha_fuzz_random_graphs(monkeypatch, seed):
+    """klt_decode_lattice2 (sparse rolling alphas) vs the dense native
+    path vs pure Python, on random FSTs with eps chains/cycles: the
+    final pruned lattice must have identical best paths and total
+    costs, and identical arc counts."""
+    from kaldi_lstm_tpu.decode.lattice_faster import decode_lattice_faster
+    from kaldi_lstm_tpu.io.lattice import lattice_best_path
+
+    rng = np.random.RandomState(300 + seed)
+    graph = _random_graph(rng, ns=25 + seed * 9)
+    for trial in range(2):
+        T = 6 + rng.randint(10)
+        llk = rng.randn(T, 6) * 2.0
+        try:
+            monkeypatch.setenv("KLT_DECODE_IMPL", "python")
+            lat_py = decode_lattice_faster(graph, llk, 1.0, 20.0, 10.0)
+        except RuntimeError:
+            continue
+        monkeypatch.setenv("KLT_DECODE_IMPL", "auto")
+        monkeypatch.setenv("KLT_LATGEN_DENSE", "1")
+        lat_dn = decode_lattice_faster(graph, llk, 1.0, 20.0, 10.0)
+        monkeypatch.setenv("KLT_LATGEN_DENSE", "0")
+        lat_sp = decode_lattice_faster(graph, llk, 1.0, 20.0, 10.0)
+
+        def struct(lat):
+            return (lat.start,
+                    [sorted((a.ilabel, a.olabel,
+                             round(a.graph_cost, 9),
+                             round(a.acoustic_cost, 9), a.dst)
+                            for a in arcs) for arcs in lat.arcs])
+
+        assert struct(lat_dn) == struct(lat_py)
+        assert struct(lat_sp) == struct(lat_py), \
+            f"seed {seed} trial {trial}"
+        # best path only when the (random-graph) lattice is acyclic —
+        # deliberate zero-weight eps cycles can survive pruning, which
+        # real HCLG construction never produces
+        try:
+            w_py, _, c_py = lattice_best_path(lat_py)
+        except ValueError:
+            continue
+        w_sp, _, c_sp = lattice_best_path(lat_sp)
+        assert w_sp == w_py
+        np.testing.assert_allclose(c_sp, c_py, atol=1e-9)

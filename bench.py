@@ -44,10 +44,13 @@ T = 20  # Tbptt=20 (google/train_lstm_streams.sh:7)
 
 # Dense-matmul peak of the chip for MFU accounting (VERDICT r3 weak #6:
 # the speed-of-light claim must be auditable). TPU v5e: 197 TFLOP/s
-# bf16 (MXU native dtype; f32 matmuls pass through the same units, so
-# one peak serves both as the denominator). Override for other chips
-# with KLT_PEAK_FLOPS.
+# bf16 (MXU native dtype). f32 matmuls run the MXU at roughly half that
+# rate, so *_f32 MFU entries use a per-dtype peak (ADVICE r4) — without
+# it the f32 numbers are understated and not comparable to the bf16
+# rows. Override for other chips with KLT_PEAK_FLOPS[_F32].
 PEAK_FLOPS = float(os.environ.get("KLT_PEAK_FLOPS", 197e12))
+PEAK_FLOPS_F32 = float(os.environ.get("KLT_PEAK_FLOPS_F32",
+                                      PEAK_FLOPS / 2))
 
 
 def model_flops_per_frame(nnet, train=True) -> float:
@@ -72,9 +75,10 @@ def model_flops_per_frame(nnet, train=True) -> float:
     return fwd * (3.0 if train else 1.0)
 
 
-def mfu(audio_s_per_s: float, flops_per_frame: float) -> float:
+def mfu(audio_s_per_s: float, flops_per_frame: float,
+        peak: float = PEAK_FLOPS) -> float:
     return (audio_s_per_s * FRAMES_PER_AUDIO_SECOND * flops_per_frame
-            / PEAK_FLOPS)
+            / peak)
 
 PROTO = """<NnetProto>
 <Transmit> <InputDim> 40 <OutputDim> 40
@@ -229,10 +233,12 @@ def main():
     details["model_flops_per_frame"] = fpf
     details["deep_model_flops_per_frame"] = fpf_deep
     details["peak_flops"] = PEAK_FLOPS
+    details["peak_flops_f32"] = PEAK_FLOPS_F32
     for k, f in (("grouped32_bf16", fpf), ("grouped32_f32", fpf),
                  ("deep_grouped32_bf16", fpf_deep)):
         if k in details:
-            details[k + "_mfu"] = round(mfu(details[k], f), 4)
+            peak = PEAK_FLOPS_F32 if k.endswith("_f32") else PEAK_FLOPS
+            details[k + "_mfu"] = round(mfu(details[k], f, peak), 4)
 
     name, (best, spread) = max(cand.items(), key=lambda kv: kv[1][0])
     best_mfu = mfu(best, fpf)

@@ -273,6 +273,17 @@ class OnlineBatchScorer:
       for unfetched pdfs. Beam search over floored scores is an
       approximation; tests pin decode-result parity at P well under K
       on the synthetic task (tests/test_online_batched.py).
+
+    Pipeline-mode reset ordering (ADVICE r4): with `pipeline=True`,
+    `score(x)` dispatches the tick for `x` and returns the PREVIOUS
+    tick's block, so one tick is always in flight. `reset(ids)` applies
+    to the state feeding the NEXT `score` dispatch; the in-flight
+    (buffered) tick was computed with PRE-reset state and is returned
+    as such. Callers that must not consume pre-reset scores for a
+    session (e.g. when rebinding a slot to a new utterance) should
+    call `reset` and discard that session's rows from the one block
+    returned by the next `score` — the ordering online_serve_batch
+    uses. In non-pipeline mode `reset` takes effect immediately.
     """
 
     def __init__(self, nnet: Nnet, params, n_sessions: int, *,

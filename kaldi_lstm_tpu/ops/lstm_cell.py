@@ -121,18 +121,29 @@ def _straight_through_clip(x: jax.Array, limit: float) -> jax.Array:
 
 
 def lstm_step(params: LstmParams, state: LstmState, xw_t: jax.Array,
-              cell_clip: float = 50.0) -> tuple[LstmState, jax.Array]:
+              cell_clip: float = 50.0,
+              compute_dtype=None) -> tuple[LstmState, jax.Array]:
     """One recurrence step for all streams.
 
     Args:
       state: (c, r) each [S, ...] from t-1.
       xw_t:  [S, 4C] input-projection pre-activations (x_t @ W^T + bias).
+      compute_dtype: optional matmul-input dtype (e.g. bfloat16) for the
+        recurrent and projection dots; accumulation and all gate math
+        stay float32 — the same contract as the Pallas kernels
+        (lstm_pallas._cell_forward: ``wdt = wr_ref.dtype``, dots with
+        ``preferred_element_type=f32``).
     Returns: (new_state, r_t [S, R]).
     """
     c_prev, r_prev = state.c, state.r
 
-    gifo = xw_t + jnp.dot(r_prev, params.w_gifo_r.T,
-                          preferred_element_type=xw_t.dtype)
+    if compute_dtype is not None:
+        gifo = xw_t + jnp.dot(r_prev.astype(compute_dtype),
+                              params.w_gifo_r.astype(compute_dtype).T,
+                              preferred_element_type=jnp.float32)
+    else:
+        gifo = xw_t + jnp.dot(r_prev, params.w_gifo_r.T,
+                              preferred_element_type=xw_t.dtype)
     g_pre, i_pre, f_pre, o_pre = jnp.split(gifo, 4, axis=-1)
 
     i = jax.nn.sigmoid(i_pre + c_prev * params.peephole_i_c)
@@ -144,7 +155,12 @@ def lstm_step(params: LstmParams, state: LstmState, xw_t: jax.Array,
     h = jnp.tanh(c)
     o = jax.nn.sigmoid(o_pre + c * params.peephole_o_c)
     m = h * o
-    r = jnp.dot(m, params.w_r_m.T, preferred_element_type=xw_t.dtype)
+    if compute_dtype is not None:
+        r = jnp.dot(m.astype(compute_dtype),
+                    params.w_r_m.astype(compute_dtype).T,
+                    preferred_element_type=jnp.float32)
+    else:
+        r = jnp.dot(m, params.w_r_m.T, preferred_element_type=xw_t.dtype)
     return LstmState(c=c, r=r), r
 
 
@@ -163,10 +179,13 @@ def lstm_scan(params: LstmParams, x: jax.Array, state: LstmState,
         reset rows to zero *before* calling for streams starting a new
         utterance (the reference's Nnet::Reset ordering,
         bd-nnet-train-lstm-streams.cc:209).
-      compute_dtype: optional dtype for the INPUT-PROJECTION matmul
-        inputs (e.g. bfloat16); the per-step recurrent dot, the carry
-        and the outputs stay float32 in this scan implementation (the
-        Pallas kernels additionally cast the recurrent weights).
+      compute_dtype: optional matmul-input dtype (e.g. bfloat16) for
+        ALL three weight matmuls — input projection, per-step recurrent
+        dot, and output projection — with float32 accumulation; the
+        carry, gate math, bias add and outputs stay float32. This is
+        the SAME contract as the Pallas kernels (a bf16 CPU repro of a
+        bf16 TPU run computes matching numerics; pinned by
+        tests/test_bf16.py::test_scan_matches_pallas_bf16).
       gate_dropout_mask: optional [S, T, 4C] ([T, S, 4C] if time_major)
         multiplier applied to the input-projection pre-activations before
         the bias — forward-connection dropout per Zaremba et al. 2014,
@@ -193,7 +212,8 @@ def lstm_scan(params: LstmParams, x: jax.Array, state: LstmState,
     xw = xw + params.bias
 
     def step(carry, xw_t):
-        new_state, r = lstm_step(params, carry, xw_t, cell_clip)
+        new_state, r = lstm_step(params, carry, xw_t, cell_clip,
+                                 compute_dtype=compute_dtype)
         return new_state, r
 
     final_state, r_seq = jax.lax.scan(

@@ -32,7 +32,14 @@ kernel against the serial two-kernel schedule; see BENCH_NOTES.
 Layouts/padding conventions follow ops/lstm_pallas.py (time-major
 [T, S, .] inside; Kaldi weight orientation; g,i,f,o gate order). The
 two layers must share cell/recurrent dims (cp, rp) — true for the deep
-config; callers fall back to the serial per-layer kernels otherwise.
+config.
+
+STATUS: experimental / bench-only. The measured result is NEGATIVE
+(BENCH_NOTES round 4: serial 0.828 ms vs wavefront 0.861-0.911 ms on
+device — phases overlap ~40% but per-phase cost inflates by the same),
+so no model/forward path dispatches here; the model stack always runs
+the serial per-layer kernels. Exercised by tests/test_lstm_stack.py and
+tools_dev/bench_wavefront.py only.
 """
 
 from __future__ import annotations

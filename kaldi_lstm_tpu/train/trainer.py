@@ -620,6 +620,15 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
     # ONCE at epoch end (VERDICT r3 weak #4 — the serial stats tail)
     defer = _stats_defer_default()
     deferred: Optional[list] = [] if defer else None
+    # deferred mode: still force ONE fetch + non-finite health check per
+    # KLT_HEALTH_INTERVAL utterances (ADVICE r4: a diverged run should
+    # die within the interval, not burn the rest of the epoch — the
+    # reference checks health every 1000 utterances, :269-272; one
+    # transfer per interval is the bounded cost)
+    import os as _os_env
+    health_interval = int(_os_env.environ.get("KLT_HEALTH_INTERVAL",
+                                              "5000"))
+    last_health_done = 0
 
     def batched_source():
         """Yield lists of up to `step_group` StreamBatches."""
@@ -795,6 +804,18 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
                     f"{t / 60:.2f} min; processed {rep_frames / t:.0f} "
                     f"frames per second.")
 
+        # deferred-stats health boundary (see init above): flush and
+        # check finiteness at a coarse utterance interval
+        if (defer and health_interval > 0
+                and consumed_done - last_health_done >= health_interval):
+            t0 = _time.perf_counter()
+            total_frames = _flush_stats(pending, stats, scheduler,
+                                        total_frames, deferred,
+                                        final=True)
+            prof["stats"] += _time.perf_counter() - t0
+            last_health_done = (consumed_done
+                                - consumed_done % health_interval)
+
         # multi-process: trigger on the GLOBAL step count (identical on
         # every host by SyncedScheduler construction) -- the gather inside
         # dump_fn is collective and must fire on all hosts together;
@@ -805,6 +826,12 @@ def run_epoch(nnet: Nnet, params, scheduler: StreamScheduler,
             last_dump_done = dump_progress - dump_progress % dump_interval
             if not crossvalidate:
                 dump_fn(params, consumed_done)
+                if defer:
+                    # a model dump already pays a transfer — piggyback a
+                    # stats flush + health check on the same boundary
+                    total_frames = _flush_stats(pending, stats,
+                                                scheduler, total_frames,
+                                                deferred, final=True)
 
     t0 = _time.perf_counter()
     total_frames = _flush_stats(pending, stats, scheduler, total_frames,

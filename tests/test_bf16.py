@@ -57,11 +57,39 @@ def test_pallas_bf16_close_to_f32():
                                    rtol=0.1, atol=0.05)
 
 
+def test_scan_matches_pallas_bf16():
+    """One bf16 contract across both implementations (VERDICT r4 #7):
+    lstm_scan(compute_dtype=bf16) and the Pallas kernels cast the same
+    tensors (x, W_gifo_x, W_gifo_r, W_r_m + their dot inputs) and
+    accumulate f32, so a bf16 CPU repro of a bf16 TPU run computes the
+    same numerics up to matmul reduction order."""
+    from kaldi_lstm_tpu.ops import LstmState, init_lstm_params
+    from kaldi_lstm_tpu.ops.lstm_cell import lstm_scan
+    from kaldi_lstm_tpu.ops.lstm_pallas import lstm_scan_pallas
+    params = init_lstm_params(jax.random.PRNGKey(0), 5, 9, 6, 0.3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 5))
+    st = LstmState(c=jnp.ones((2, 9)) * 0.1, r=jnp.ones((2, 6)) * 0.1)
+    out_scan, fin_scan = lstm_scan(params, x, st,
+                                   compute_dtype=jnp.bfloat16)
+    set_matmul_dtype(jnp.bfloat16)
+    out_pl, fin_pl = lstm_scan_pallas(params, x, st, interpret=True)
+    # far tighter than the bf16-vs-f32 distance (~1e-2): only reduction
+    # order may differ between the two bf16 paths
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_scan),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(fin_pl.c),
+                               np.asarray(fin_scan.c),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_bf16_training_learns():
     from tests.test_trainer import make_sched
     set_matmul_dtype(jnp.bfloat16)
     nnet, params = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(0))
-    opts = TrainOptions(learn_rate=0.05, momentum=0.9)
+    # lr 0.03: the toy config's stable region. 0.05 was already marginal
+    # in f32 (avg5 1.37 vs avg1 1.47) and diverges now that bf16 also
+    # covers the recurrent dots (the unified Pallas contract).
+    opts = TrainOptions(learn_rate=0.03, momentum=0.9)
     res1 = run_epoch(nnet, params, make_sched(), opts)
     avg1 = (res1.stats.loss - res1.stats.entropy) / res1.stats.frames
     params, opt = res1.params, res1.opt_state

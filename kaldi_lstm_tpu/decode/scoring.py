@@ -38,13 +38,33 @@ def log_priors_from_counts(counts: np.ndarray, prior_scale: float = 1.0,
 
 
 class AmScorer:
-    """Batched whole-utterance AM scoring (see module docstring)."""
+    """Batched whole-utterance AM scoring (see module docstring).
+
+    Fused-eval options (VERDICT r4 item 1 — the score->decode path with
+    no multi-GB loglik ark):
+
+    * ``pipeline=True``: dispatch batch k+1 BEFORE fetching batch k, so
+      device compute overlaps the host-side fetch + downstream decode
+      (one extra batch of latency, zero extra transfers).
+    * ``top_p > 0``: prune the fetch ON DEVICE — only the top-P
+      log-likelihoods per frame (values + int32 pdf indices) cross the
+      link, 10-30x smaller at LVCSR senone counts; dense rows are
+      reconstructed host-side with the per-frame floor
+      ``min(top values) - floor_margin`` (same mechanism as
+      decode/online.py OnlineBatchScorer). Beam search over floored
+      scores is an approximation; tests pin transcript/lattice parity
+      at P well under K.
+    * ``fetch_dtype`` (e.g. jnp.bfloat16) halves the payload of the
+      fetched values.
+    """
 
     def __init__(self, nnet: Nnet, params, transf: Optional[Nnet] = None,
                  transf_params=None, log_prior: Optional[np.ndarray] = None,
                  apply_log: bool = False, no_softmax: bool = False,
                  batch_utts: int = 8, length_bucket: int = 128,
-                 prefer_pallas: bool = True):
+                 prefer_pallas: bool = True, pipeline: bool = False,
+                 top_p: int = 0, floor_margin: float = 10.0,
+                 fetch_dtype=None):
         # decode is pure forward: the fused Pallas inference kernel wins
         # ~1.5x over lax.scan on TPU (training keeps scan; components
         # _run_scan)
@@ -59,7 +79,12 @@ class AmScorer:
         self.apply_log, self.no_softmax = apply_log, no_softmax
         self.B = max(batch_utts, 1)
         self.bucket = max(length_bucket, 1)
+        self.pipeline = bool(pipeline)
+        self.top_p = int(top_p)
+        self.floor_margin = float(floor_margin)
+        self.num_pdfs = nnet.output_dim
         lp_dev = None if log_prior is None else jnp.asarray(log_prior)
+        P = self.top_p
 
         @jax.jit
         def forward(params, transf_params, x):
@@ -77,9 +102,29 @@ class AmScorer:
                                        axis=-1).reshape(shape)
             if lp_dev is not None and (apply_log or no_softmax):
                 y = y - lp_dev
+            if P > 0:
+                vals, idx = jax.lax.top_k(y, P)
+                if fetch_dtype is not None:
+                    vals = vals.astype(fetch_dtype)
+                return vals, idx.astype(jnp.int32)
+            if fetch_dtype is not None:
+                y = y.astype(fetch_dtype)
             return y
 
         self._forward = forward
+
+    def _fetch(self, y) -> np.ndarray:
+        """Materialize a device result as a dense [B, T, K] f32 block
+        (reconstructing from the pruned (vals, idx) pair with top_p)."""
+        if self.top_p <= 0:
+            return np.asarray(y, np.float32)
+        vals = np.asarray(y[0], np.float32)          # [B, T, P]
+        idx = np.asarray(y[1])                       # [B, T, P] int32
+        floor = vals.min(axis=-1, keepdims=True) - self.floor_margin
+        out = np.broadcast_to(
+            floor, vals.shape[:2] + (self.num_pdfs,)).copy()
+        np.put_along_axis(out, idx.astype(np.int64), vals, axis=-1)
+        return out
 
     def _postprocess(self, y: np.ndarray) -> np.ndarray:
         # device path already applied log-softmax / prior subtraction
@@ -90,9 +135,8 @@ class AmScorer:
             y = np.log(np.maximum(y, 1e-20)) - self.log_prior
         return y
 
-    def _flush(self, group) -> Iterator[tuple[str, np.ndarray]]:
-        if not group:
-            return
+    def _dispatch(self, group):
+        """Stage a group and launch the device computation (async)."""
         T = -(-max(f.shape[0] for _, f in group) // self.bucket) \
             * self.bucket
         D = group[0][1].shape[1]
@@ -103,19 +147,42 @@ class AmScorer:
             x[i, :f.shape[0]] = f
             if f.shape[0]:
                 x[i, f.shape[0]:] = f[-1]  # repeat last frame as padding
-        out = np.asarray(self._forward(self.params, self.transf_params,
-                                       jnp.asarray(x)))
+        # jnp.asarray may zero-copy the staging buffer (CPU backend);
+        # x is function-local and never reused, so that is safe here
+        return self._forward(self.params, self.transf_params,
+                             jnp.asarray(x))
+
+    def _emit(self, group, y_dev) -> Iterator[tuple[str, np.ndarray]]:
+        out = self._fetch(y_dev)
         for i, (key, f) in enumerate(group):
             yield key, self._postprocess(out[i, :f.shape[0]])
 
     def score_stream(self, reader: Iterable
                      ) -> Iterator[tuple[str, np.ndarray]]:
         """(key, feats) pairs in -> (key, scores [T, K]) pairs out, in
-        input order, batching B utterances per device dispatch."""
+        input order, batching B utterances per device dispatch. With
+        ``pipeline=True`` one batch stays in flight: batch k+1 is
+        dispatched before batch k is fetched, overlapping device
+        compute with the host fetch and whatever the caller does with
+        the yielded rows (e.g. the fused decoder)."""
+        inflight = None   # (group, device result)
         group = []
         for key, feats in reader:
             group.append((key, feats))
             if len(group) >= self.B:
-                yield from self._flush(group)
+                y = self._dispatch(group)
+                if self.pipeline:
+                    if inflight is not None:
+                        yield from self._emit(*inflight)
+                    inflight = (group, y)
+                else:
+                    yield from self._emit(group, y)
                 group = []
-        yield from self._flush(group)
+        if group:
+            y = self._dispatch(group)
+            if inflight is not None:
+                yield from self._emit(*inflight)
+            inflight = None
+            yield from self._emit(group, y)
+        elif inflight is not None:
+            yield from self._emit(*inflight)

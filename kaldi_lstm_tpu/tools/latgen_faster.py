@@ -20,41 +20,25 @@ from kaldi_lstm_tpu.decode.determinize import (
     DeterminizeError,
     determinize_lattice,
 )
-from kaldi_lstm_tpu.decode.graph import (
-    build_decoding_graph,
-    build_graph_from_arpa,
-)
 from kaldi_lstm_tpu.decode.lattice_faster import decode_lattice_faster
-from kaldi_lstm_tpu.io.arpa import uniform_unigram
 from kaldi_lstm_tpu.io.kaldi_io import SequentialMatrixReader, TableWriter
-from kaldi_lstm_tpu.io.lang import write_text_line, SymbolTable, read_lexicon
+from kaldi_lstm_tpu.io.lang import write_text_line
 from kaldi_lstm_tpu.io.lattice import LatticeWriter, lattice_best_path
-from kaldi_lstm_tpu.io.transition_model import TransitionModel
+from kaldi_lstm_tpu.tools.decode_faster import (
+    add_graph_args,
+    bounded_map,
+    graph_from_args,
+)
 from kaldi_lstm_tpu.utils import LOG
 
 
-
-
-def main(argv=None) -> int:
-    p = argparse.ArgumentParser(
-        description="Lattice-generating Viterbi decoding over an HCLG "
-                    "graph built from model + lexicon + ARPA LM")
-    p.add_argument("model")
-    p.add_argument("lexicon")
-    p.add_argument("arpa", help='ARPA LM file, or "none" for a uniform '
-                                "unigram grammar")
-    p.add_argument("loglik_rspecifier")
-    p.add_argument("lattice_wspecifier")
+def add_latgen_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--transcript-wspecifier", default="",
                    help="also write best-path transcripts")
-    p.add_argument("--word-symbol-table", default="",
-                   help="words.txt; transcripts become word strings")
     p.add_argument("--acoustic-scale", type=float, default=0.1)
     p.add_argument("--beam", type=float, default=16.0)
     p.add_argument("--lattice-beam", type=float, default=8.0)
     p.add_argument("--max-active", type=int, default=0)
-    p.add_argument("--sil-phone", type=int, default=0)
-    p.add_argument("--sil-prob", type=float, default=0.0)
     p.add_argument("--raw", action="store_true",
                    help="write state-level Lattices instead of "
                         "CompactLattices")
@@ -67,30 +51,15 @@ def main(argv=None) -> int:
                    help="generate this many lattices concurrently (the "
                         "native forward releases the GIL; determinize "
                         "and lattice build stay Python)")
-    args = p.parse_args(argv)
+
+
+def latgen_source(tm, graph, source, args) -> int:
+    """Lattice-generate over a stream of (key, loglik-matrix) pairs —
+    the tool core, shared by the ark-reading CLI and the fused
+    score->decode path (nnet_decode.py). `args` carries the
+    add_latgen_args flags plus lattice_wspecifier/word_symbol_table."""
     determinize = (str(args.determinize_lattice).lower()
                    in ("true", "1", "yes")) and not args.raw
-
-    tm = TransitionModel.load(args.model)
-    lexicon = read_lexicon(args.lexicon)
-    words = (SymbolTable.load(args.word_symbol_table)
-             if args.word_symbol_table else None)
-    if args.arpa == "none":
-        graph = build_decoding_graph(tm, lexicon,
-                                     uniform_unigram(sorted(lexicon)),
-                                     words=words,
-                                     sil_phone=args.sil_phone,
-                                     sil_prob=args.sil_prob)
-    else:
-        # any ARPA order: <=2 via the bigram builder, higher via the
-        # n-gram history expansion (build_decoding_graph_ngram)
-        graph = build_graph_from_arpa(tm, lexicon, args.arpa,
-                                      words=words,
-                                      sil_phone=args.sil_phone,
-                                      sil_prob=args.sil_prob, log_fn=LOG)
-    LOG(f"decoding graph: {graph.num_states} states, "
-        f"{graph.num_arcs()} arcs")
-
     tw = None
     if args.transcript_wspecifier:
         tw = TableWriter(args.transcript_wspecifier, write_text_line,
@@ -118,29 +87,7 @@ def main(argv=None) -> int:
                 out_lat = lat
         return key, mat.shape[0], lat, out_lat
 
-    reader = SequentialMatrixReader(args.loglik_rspecifier)
-    if args.num_threads > 1:
-        # bounded-window thread pool, results in input order (the
-        # native forward releases the GIL; see decode_faster.py)
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
-        from kaldi_lstm_tpu.decode.faster import compile_graph
-        compile_graph(graph)
-
-        def bounded(pool, it, window):
-            futs = deque()
-            for item in it:
-                futs.append(pool.submit(_gen_one, item))
-                if len(futs) >= window:
-                    yield futs.popleft().result()
-            while futs:
-                yield futs.popleft().result()
-
-        pool = ThreadPoolExecutor(args.num_threads)
-        results = bounded(pool, reader, 2 * args.num_threads)
-    else:
-        results = map(_gen_one, reader)
-
+    results = bounded_map(_gen_one, source, args.num_threads, graph)
     try:
         with LatticeWriter(args.lattice_wspecifier,
                            compact=not args.raw) as lw:
@@ -164,6 +111,21 @@ def main(argv=None) -> int:
     LOG(f"Generated lattices for {n} utterances"
         + (f"; {no_final} did not reach a final state" if no_final else ""))
     return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="Lattice-generating Viterbi decoding over an HCLG "
+                    "graph built from model + lexicon + ARPA LM")
+    add_graph_args(p)
+    p.add_argument("loglik_rspecifier")
+    p.add_argument("lattice_wspecifier")
+    add_latgen_args(p)
+    args = p.parse_args(argv)
+
+    tm, graph = graph_from_args(args)
+    return latgen_source(
+        tm, graph, SequentialMatrixReader(args.loglik_rspecifier), args)
 
 
 if __name__ == "__main__":

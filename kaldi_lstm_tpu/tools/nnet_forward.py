@@ -47,9 +47,11 @@ def add_forward_args(p: argparse.ArgumentParser) -> None:
                         "(padded to the longest; 1 = reference behaviour)")
 
 
-def scorer_from_args(args, model_path: str) -> AmScorer | None:
+def scorer_from_args(args, model_path: str,
+                     **scorer_kwargs) -> AmScorer | None:
     """Build an AmScorer from parsed forward flags (None + stderr
-    message on flag conflicts, like upstream's KALDI_ERR)."""
+    message on flag conflicts, like upstream's KALDI_ERR). Extra
+    kwargs (pipeline/top_p/fetch_dtype, see AmScorer) pass through."""
     apply_log = str(args.apply_log).lower() in ("true", "1", "yes")
     no_softmax = str(args.no_softmax).lower() in ("true", "1", "yes")
     if apply_log and no_softmax:
@@ -69,7 +71,7 @@ def scorer_from_args(args, model_path: str) -> AmScorer | None:
             args.prior_scale, args.prior_floor)
     return AmScorer(nnet, params, transf, transf_params, log_prior,
                     apply_log, no_softmax, args.batch_utts,
-                    args.length_bucket)
+                    args.length_bucket, **scorer_kwargs)
 
 
 def main(argv=None) -> int:

@@ -315,10 +315,11 @@ class OnlineBatchScorer:
         tr = transf
         P = self.top_p
 
-        def am_step(p, tp, x, states):
+        def am_step(p, tp, x, states, amask=None):
             if tr is not None:
                 x = tr.feedforward(tp, x)
-            y, new_states = model.propagate(p, x, states, logits=True)
+            y, new_states = model.propagate(p, x, states, logits=True,
+                                            advance_mask=amask)
             if softmax:
                 y = jax.nn.log_softmax(y, axis=-1)
             if lp is not None:
@@ -333,6 +334,12 @@ class OnlineBatchScorer:
             return y, new_states
 
         self._am_step = jax.jit(am_step)
+        # heterogeneous-arrival ticks (decode/serve.py): per-slot valid
+        # lengths as a [N, t] advance mask — state frozen past each
+        # slot's length. Separate jit so the lock-step path keeps its
+        # exact program (incl. the Pallas kernels, which the masked scan
+        # path bypasses).
+        self._am_step_masked = jax.jit(am_step)
 
         def reset_fn(states, flags):
             return model.reset_states(states, flags)
@@ -357,24 +364,41 @@ class OnlineBatchScorer:
         np.put_along_axis(out, idx.astype(np.int64), vals, axis=-1)
         return out
 
-    def score(self, feats: np.ndarray) -> Optional[np.ndarray]:
+    def score(self, feats: np.ndarray,
+              lengths: Optional[np.ndarray] = None
+              ) -> Optional[np.ndarray]:
         """[N, t, D] feature chunk tick -> [N, t, num_pdfs] scaled
         log-likelihoods on host (one dispatch; one transfer, two with
         top_p). With top_p, unfetched pdfs read the per-frame floor.
         In pipeline mode the PREVIOUS tick's block is returned (None on
-        the first tick)."""
+        the first tick).
+
+        `lengths` [N] enables heterogeneous ticks: slot i's state
+        advances through only its first lengths[i] frames (frames
+        beyond that leave the state untouched; their output rows are
+        garbage and must be discarded). This is the sticky-session
+        serving shape — slots with starved input feed length 0."""
         assert feats.shape[0] == self.n
-        x = jnp.asarray(feats, jnp.float32)
-        if self.pipeline:
+        if self.pipeline and isinstance(feats, np.ndarray):
             # jnp.asarray may ZERO-COPY a host numpy buffer (CPU
-            # backend); with the fetch deferred, a caller reusing its
-            # chunk buffer for the next tick would race the in-flight
-            # computation (observed as flaky hypothesis flips) — force
-            # a private copy
-            if x.dtype == np.float32 and isinstance(feats, np.ndarray):
-                x = jnp.array(feats, jnp.float32, copy=True)
-        y, self.states = self._am_step(
-            self.params, self.transf_params, x, self.states)
+            # backend), and even jnp.array(copy=True) is not guaranteed
+            # to have copied BEFORE returning (the transfer can be
+            # staged lazily); with the fetch deferred a caller reusing
+            # its chunk buffer for the next tick races the in-flight
+            # computation (observed as flaky first-chunk hypothesis
+            # flips). A HOST-side numpy copy is synchronous by
+            # construction.
+            feats = np.array(feats, np.float32, copy=True)
+        x = jnp.asarray(feats, jnp.float32)
+        if lengths is None:
+            y, self.states = self._am_step(
+                self.params, self.transf_params, x, self.states)
+        else:
+            amask = (np.arange(feats.shape[1])[None, :]
+                     < np.asarray(lengths)[:, None])
+            y, self.states = self._am_step_masked(
+                self.params, self.transf_params, x, self.states,
+                jnp.asarray(amask, jnp.float32))
         if not self.pipeline:
             return self._fetch(y)
         prev, self._inflight = self._inflight, y

@@ -567,7 +567,7 @@ class _LstmBase(Component):
                                     (d0, d1, 4 * self.cell_dim))
 
     def _run_scan(self, params, x, state, dropout_mask=None,
-                  time_major=False, input_grad=True):
+                  time_major=False, input_grad=True, advance_mask=None):
         keep = 1.0 - self.dropout_rate
         # Measured on v5e (tools_dev/bench_ab_impl.py): the fused Pallas
         # kernels win both training (in-VMEM weight-grad accumulation in
@@ -578,6 +578,11 @@ class _LstmBase(Component):
         impl = os.environ.get("KLT_LSTM_IMPL", self.impl)
         if impl == "auto":
             impl = "pallas" if _on_tpu() else "scan"
+        if advance_mask is not None:
+            # per-frame state gating (heterogeneous-arrival serving) is
+            # implemented in the scan path only; serving chunk ticks are
+            # transport-bound, not kernel-bound (BENCH_NOTES round 4)
+            impl = "scan"
         if impl == "pallas":
             from kaldi_lstm_tpu.ops.lstm_pallas import lstm_scan_pallas
             return lstm_scan_pallas(params, x, state, self.cell_clip,
@@ -588,12 +593,12 @@ class _LstmBase(Component):
         gate_mult = None if dropout_mask is None else \
             dropout_mask.astype(x.dtype) / keep
         # honor the global matmul dtype in the scan fallback too (the
-        # input projection; the scan's recurrent dot stays f32 — the
-        # Pallas kernels cast it, see lstm_pallas)
+        # same bf16 contract as the Pallas kernels, see lstm_cell)
         return lstm_scan(params, x, state, self.cell_clip,
                          compute_dtype=get_matmul_dtype(),
                          gate_dropout_mask=gate_mult,
-                         time_major=time_major)
+                         time_major=time_major,
+                         advance_mask=advance_mask)
 
     def init_params(self, rng) -> LstmParams:
         return init_lstm_params(rng, self.input_dim, self.cell_dim,
@@ -714,7 +719,8 @@ class LstmProjectedStreams(_LstmBase):
         return zero_state(nstream, self.cell_dim, self.recur_dim)
 
     def apply(self, params: LstmParams, x, state: Optional[LstmState] = None,
-              rng=None, train=False, time_major=False, input_grad=True):
+              rng=None, train=False, time_major=False, input_grad=True,
+              advance_mask=None):
         if state is None:
             nstream = x.shape[1] if time_major else x.shape[0]
             state = zero_state(nstream, self.cell_dim, self.recur_dim,
@@ -722,7 +728,8 @@ class LstmProjectedStreams(_LstmBase):
         mask = self._dropout_mask(rng, x) if train else None
         out, new_state = self._run_scan(params, x, state, mask,
                                         time_major=time_major,
-                                        input_grad=input_grad)
+                                        input_grad=input_grad,
+                                        advance_mask=advance_mask)
         return out, new_state
 
     def read_data(self, inp):

@@ -66,13 +66,18 @@ class Nnet:
     def propagate(self, params: ParamsList, x: jax.Array,
                   states: Optional[StatesList] = None,
                   logits: bool = False, rng: Optional[jax.Array] = None,
-                  train: bool = False) -> tuple[jax.Array, StatesList]:
+                  train: bool = False,
+                  advance_mask: Optional[jax.Array] = None
+                  ) -> tuple[jax.Array, StatesList]:
         """Forward through all components ([S, T, D] activations).
 
         With ``logits=True`` a trailing Softmax is skipped so the loss can
         consume pre-softmax activations (jax.grad then reproduces nnet1's
         combined softmax+xent backward, diff = y - t). ``rng``/``train``
         feed stochastic components (LSTM gate dropout).
+        ``advance_mask`` ([S, T] 0/1) freezes the carried state of
+        stateful components at masked frames (per-slot valid lengths in
+        a heterogeneous-arrival serving batch; see lstm_cell.lstm_scan).
         """
         if states is None:
             states = tuple(None for _ in self.components)
@@ -82,11 +87,14 @@ class Nnet:
                     isinstance(c, Softmax):
                 new_states.append(s)
                 break
+            kwargs = {}
+            if advance_mask is not None and getattr(c, "stateful", False):
+                kwargs["advance_mask"] = advance_mask
             if getattr(c, "uses_rng", False):
                 crng = None if rng is None else jax.random.fold_in(rng, i)
-                x, s2 = c.apply(p, x, s, rng=crng, train=train)
+                x, s2 = c.apply(p, x, s, rng=crng, train=train, **kwargs)
             else:
-                x, s2 = c.apply(p, x, s)
+                x, s2 = c.apply(p, x, s, **kwargs)
             new_states.append(s2)
         return x, tuple(new_states)
 

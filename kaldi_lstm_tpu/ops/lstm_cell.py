@@ -168,7 +168,9 @@ def lstm_scan(params: LstmParams, x: jax.Array, state: LstmState,
               cell_clip: float = 50.0,
               compute_dtype=None,
               gate_dropout_mask: jax.Array | None = None,
-              time_major: bool = False) -> tuple[jax.Array, LstmState]:
+              time_major: bool = False,
+              advance_mask: jax.Array | None = None
+              ) -> tuple[jax.Array, LstmState]:
     """Run the projected LSTM over a [S, T, I] chunk.
 
     Args:
@@ -192,6 +194,14 @@ def lstm_scan(params: LstmParams, x: jax.Array, state: LstmState,
         the feature the reference stubs out
         (bd-nnet-lstm-projected-streams.h:247-256); here with proper
         inverted-dropout retention scaling.
+      advance_mask: optional [S, T] ([T, S] if time_major) 0/1 mask:
+        frames with 0 leave the carried state UNCHANGED (the
+        heterogeneous-arrival serving shape — per-slot valid lengths in
+        one batched dispatch; decode/serve.py). Output rows at masked
+        frames are unspecified and must be discarded by the caller.
+        This differs from the trainer's frame mask, which only zeroes
+        the LOSS while state still advances through padded frames
+        (bd-nnet-train-lstm-streams.cc:195-206 semantics).
 
     Returns: (r_out [S, T, R] — [T, S, R] if time_major — and the final
     state).
@@ -211,11 +221,29 @@ def lstm_scan(params: LstmParams, x: jax.Array, state: LstmState,
         xw = xw * gate_dropout_mask
     xw = xw + params.bias
 
-    def step(carry, xw_t):
-        new_state, r = lstm_step(params, carry, xw_t, cell_clip,
-                                 compute_dtype=compute_dtype)
-        return new_state, r
+    if advance_mask is None:
+        def step(carry, xw_t):
+            new_state, r = lstm_step(params, carry, xw_t, cell_clip,
+                                     compute_dtype=compute_dtype)
+            return new_state, r
 
-    final_state, r_seq = jax.lax.scan(
-        step, state, xw if time_major else xw.swapaxes(0, 1))
+        final_state, r_seq = jax.lax.scan(
+            step, state, xw if time_major else xw.swapaxes(0, 1))
+    else:
+        a_tm = (advance_mask if time_major
+                else advance_mask.swapaxes(0, 1))          # [T, S]
+        a_tm = a_tm.astype(xw.dtype)[..., None]            # [T, S, 1]
+
+        def step(carry, inp):
+            xw_t, a_t = inp
+            new_state, r = lstm_step(params, carry, xw_t, cell_clip,
+                                     compute_dtype=compute_dtype)
+            gated = LstmState(
+                c=a_t * new_state.c + (1.0 - a_t) * carry.c,
+                r=a_t * new_state.r + (1.0 - a_t) * carry.r)
+            return gated, r
+
+        final_state, r_seq = jax.lax.scan(
+            step, state,
+            (xw if time_major else xw.swapaxes(0, 1), a_tm))
     return (r_seq if time_major else r_seq.swapaxes(0, 1)), final_state

@@ -230,44 +230,31 @@ if [ ! -f "$final_nnet" ]; then
   done
 fi
 
-if [ ! -f "$dir/score/.done" ]; then
-  t0=$(stamp)
-  mkdir -p "$dir/score"
-  python -m kaldi_lstm_tpu.tools.nnet_forward \
-      --feature-transform "$dir/feats/feature_transform.nnet.txt" \
-      --class-frame-counts "$dir/targets/counts.vec" --apply-log=true \
-      "$final_nnet" "scp:$dir/feats/cv.scp" "ark:$dir/score/loglik.ark"
-  log_stage "AM scoring cv (TPU)" "$t0"
-  touch "$dir/score/.done"
-fi
-
+# Fused score -> decode (VERDICT r4 #1): klt-nnet-decode streams AM
+# posteriors straight into the word decoder — no multi-GB loglik ark
+# (the 16624-senone scoring stage wrote a 3.7 GB ark and was the
+# single largest wall item of the deep pipeline). One TPU process
+# scores batches (double-buffered against the host decode) and the
+# lattice-generating decoder consumes them in-process; best-path
+# transcripts == Viterbi decode (pinned in earlier rounds + the
+# fused==two-stage parity tests in tests/test_nnet_decode.py).
+# KLT_EVAL_TOPP > 0 additionally prunes the posterior fetch on device.
+mkdir -p "$dir/score"
 grep -E "^utt" "$dir/lang/text" | tail -n $((NUTTS - NTRAIN)) \
     > "$dir/score/text.cv"
 
-if [ ! -f "$dir/score/.decoded" ]; then
+if [ ! -f "$dir/score/.fused" ]; then
   t0=$(stamp)
-  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.decode_faster \
+  python -m kaldi_lstm_tpu.tools.nnet_decode \
+      --feature-transform "$dir/feats/feature_transform.nnet.txt" \
+      --class-frame-counts "$dir/targets/counts.vec" --apply-log=true \
+      "$final_nnet" \
       "$dir/lang/final.mdl" "$dir/lang/lexicon.txt" "$dir/lang/lm.arpa" \
-      "ark:$dir/score/loglik.ark" "ark,t:$dir/score/hyp.txt" \
+      "scp:$dir/feats/cv.scp" "ark,t:$dir/score/hyp_lat.txt" \
+      --lattice-wspecifier "ark:$dir/score/lat.ark" \
       --word-symbol-table "$dir/lang/words.txt" --acoustic-scale 1.0 \
-      --beam 13 --max-active 7000
-  wer_out=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_wer \
-      "$dir/score/text.cv" "$dir/score/hyp.txt")
-  echo "$wer_out" >&2
-  wer=$(printf '%s\n' "$wer_out" | sed -n 1p)
-  log_stage "word decode (xent model)" "$t0" "$wer"
-  touch "$dir/score/.decoded"
-fi
-
-if [ ! -f "$dir/score/.latgen" ]; then
-  t0=$(stamp)
-  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.latgen_faster \
-      "$dir/lang/final.mdl" "$dir/lang/lexicon.txt" "$dir/lang/lm.arpa" \
-      "ark:$dir/score/loglik.ark" "ark:$dir/score/lat.ark" \
-      --acoustic-scale 1.0 --beam 13 --lattice-beam 6 --max-active 7000
-  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.lattice_best_path \
-      "ark:$dir/score/lat.ark" "ark,t:$dir/score/hyp_lat.txt" \
-      --word-symbol-table "$dir/lang/words.txt"
+      --beam 13 --lattice-beam 6 --max-active 7000 \
+      --top-p "${KLT_EVAL_TOPP:-0}" --num-threads 2
   wer_out=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_wer \
       "$dir/score/text.cv" "$dir/score/hyp_lat.txt")
   echo "$wer_out" >&2
@@ -275,8 +262,8 @@ if [ ! -f "$dir/score/.latgen" ]; then
   "${CPU[@]}" python -m kaldi_lstm_tpu.tools.lattice_to_ctm \
       "ark:$dir/score/lat.ark" "$dir/score/hyp.ctm" \
       --word-symbol-table "$dir/lang/words.txt"
-  log_stage "latgen + best path + CTM" "$t0" "$wer"
-  touch "$dir/score/.latgen"
+  log_stage "fused score->latgen + best path + CTM (xent)" "$t0" "$wer"
+  touch "$dir/score/.fused"
 fi
 
 if [ ! -f "$dir/seq/.done" ]; then
@@ -307,21 +294,20 @@ fi
 
 if [ ! -f "$dir/seq/.decoded" ]; then
   t0=$(stamp)
-  python -m kaldi_lstm_tpu.tools.nnet_forward \
+  python -m kaldi_lstm_tpu.tools.nnet_decode \
       --feature-transform "$dir/feats/feature_transform.nnet.txt" \
       --class-frame-counts "$dir/targets/counts.vec" --apply-log=true \
-      "$dir/seq/nnet.smbr" "scp:$dir/feats/cv.scp" \
-      "ark:$dir/seq/loglik_cv.ark"
-  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.decode_faster \
+      "$dir/seq/nnet.smbr" \
       "$dir/lang/final.mdl" "$dir/lang/lexicon.txt" "$dir/lang/lm.arpa" \
-      "ark:$dir/seq/loglik_cv.ark" "ark,t:$dir/seq/hyp_smbr.txt" \
+      "scp:$dir/feats/cv.scp" "ark,t:$dir/seq/hyp_smbr.txt" \
       --word-symbol-table "$dir/lang/words.txt" --acoustic-scale 1.0 \
-      --beam 13 --max-active 7000
+      --beam 13 --max-active 7000 \
+      --top-p "${KLT_EVAL_TOPP:-0}" --num-threads 2
   wer_out=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_wer \
       "$dir/score/text.cv" "$dir/seq/hyp_smbr.txt")
   echo "$wer_out" >&2
   wer=$(printf '%s\n' "$wer_out" | sed -n 1p)
-  log_stage "word decode (sMBR model)" "$t0" "$wer"
+  log_stage "fused score->decode (sMBR model)" "$t0" "$wer"
   touch "$dir/seq/.decoded"
 fi
 

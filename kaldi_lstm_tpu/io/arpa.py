@@ -224,3 +224,98 @@ def bigram_as_arpalm(bg: ArpaBigram) -> ArpaLM:
     lm.ngrams[1] = {(w,): v for w, v in bg.unigram.items()}
     lm.ngrams[2] = {k: (v, 0.0) for k, v in bg.bigram.items()}
     return lm
+
+
+def write_counted_arpa(path: str, sents: list, order: int = 3,
+                       gamma: float = 0.15, bos: str = "<s>",
+                       eos: str = "</s>") -> dict:
+    """Estimate a backoff n-gram LM (Witten-Bell-flavoured constant
+    discount) from tokenized sentences and write standard ARPA.
+
+    This is the LVCSR-scale counterpart of make_word_synth_data's dense
+    random bigram (which is O(V^2) entries and unusable past ~1k
+    words): counts are SPARSE, so a 10-20k-word trigram stays in the
+    millions of entries like a real estimated LM. Backoff weights are
+    mass-normalized per history:
+
+        p(w|h)  = (1 - gamma) * c(hw)/c(h)       for seen continuations
+        bo(h)   = gamma / (1 - sum_seen p_lower(w|h'))
+
+    Returns {order: num_entries} for logging."""
+    assert order in (2, 3)
+    c1: dict = {}
+    c2: dict = {}
+    c3: dict = {}
+    ntok = 0
+    for s in sents:
+        toks = [bos] + list(s) + [eos]
+        for w in toks[1:]:
+            c1[w] = c1.get(w, 0) + 1
+            ntok += 1
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+        if order >= 3:
+            for a, b, c in zip(toks, toks[1:], toks[2:]):
+                c3[(a, b, c)] = c3.get((a, b, c), 0) + 1
+
+    uni_p = {w: c / ntok for w, c in c1.items()}
+    h2: dict = {}
+    for (a, _b), c in c2.items():
+        h2[a] = h2.get(a, 0) + c
+    # per-history backoff: leftover mass over the lower order's mass of
+    # this history's SEEN continuations
+    seen2: dict = {}
+    for (a, b) in c2:
+        seen2.setdefault(a, []).append(b)
+    bo2 = {}
+    for a, ws in seen2.items():
+        s_low = sum(uni_p.get(w, 0.0) for w in ws)
+        bo2[a] = gamma / max(1e-9, 1.0 - min(0.999, s_low))
+
+    def p2(a, b):
+        c = c2.get((a, b))
+        if c:
+            return (1 - gamma) * c / h2[a]
+        return bo2.get(a, gamma) * uni_p.get(b, 1e-12)
+
+    h3: dict = {}
+    bo3: dict = {}
+    if order >= 3:
+        for (a, b, _c), n in c3.items():
+            h3[(a, b)] = h3.get((a, b), 0) + n
+        seen3: dict = {}
+        for (a, b, c) in c3:
+            seen3.setdefault((a, b), []).append(c)
+        for (a, b), ws in seen3.items():
+            s_low = sum(p2(b, w) for w in ws)
+            bo3[(a, b)] = gamma / max(1e-9, 1.0 - min(0.999, s_low))
+
+    lines = ["\\data\\", f"ngram 1={len(c1) + 1}",
+             f"ngram 2={len(c2)}"]
+    if order >= 3:
+        lines.append(f"ngram 3={len(c3)}")
+    lines += ["", "\\1-grams:",
+              f"-99\t{bos}\t{math.log10(bo2.get(bos, gamma)):.6f}"]
+    for w, p in uni_p.items():
+        line = f"{math.log10(max(p * (1 - gamma), 1e-12)):.6f}\t{w}"
+        if w in bo2:
+            line += f"\t{math.log10(bo2[w]):.6f}"
+        lines.append(line)
+    lines += ["", "\\2-grams:"]
+    for (a, b), c in c2.items():
+        line = f"{math.log10((1 - gamma) * c / h2[a]):.6f}\t{a} {b}"
+        if order >= 3 and (a, b) in bo3:
+            line += f"\t{math.log10(bo3[(a, b)]):.6f}"
+        lines.append(line)
+    if order >= 3:
+        lines += ["", "\\3-grams:"]
+        for (a, b, c), n in c3.items():
+            lines.append(f"{math.log10((1 - gamma) * n / h3[(a, b)]):.6f}"
+                         f"\t{a} {b} {c}")
+    lines += ["", "\\end\\", ""]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    out = {1: len(c1) + 1, 2: len(c2)}
+    if order >= 3:
+        out[3] = len(c3)
+    return out

@@ -32,13 +32,8 @@ from kaldi_lstm_tpu.utils import LOG
 BOS, EOS, SIL = "<s>", "</s>", "<sil>"
 
 
-
-
-def make_language(rng, num_words: int, num_phones: int,
-                  min_pron: int, max_pron: int, eos_prob: float
-                  ) -> tuple[dict, ArpaBigram]:
-    """Random unique pronunciations + a random normalized bigram LM with
-    full bigram coverage (so decoding with it is exact)."""
+def make_lexicon(rng, num_words: int, num_phones: int,
+                 min_pron: int, max_pron: int) -> dict:
     lex: dict[str, list[list[int]]] = {}
     seen = set()
     for i in range(num_words):
@@ -49,6 +44,17 @@ def make_language(rng, num_words: int, num_phones: int,
                 seen.add(pron)
                 break
         lex[f"w{i:03d}"] = [list(pron)]
+    return lex
+
+
+def make_language(rng, num_words: int, num_phones: int,
+                  min_pron: int, max_pron: int, eos_prob: float
+                  ) -> tuple[dict, ArpaBigram]:
+    """Random unique pronunciations + a random normalized bigram LM with
+    full bigram coverage (so decoding with it is exact). DENSE: O(V^2)
+    entries — fine to ~1k words; LVCSR scale uses the sparse process
+    below (--lm-order 3)."""
+    lex = make_lexicon(rng, num_words, num_phones, min_pron, max_pron)
     vocab = sorted(lex)
 
     lm = ArpaBigram()
@@ -84,6 +90,33 @@ def sample_sentence(rng, lm: ArpaBigram, vocab: list[str],
     return out
 
 
+def make_sparse_process(rng, vocab: list[str], branch: int):
+    """Sparse Markov word process: each word (and BOS) transitions to
+    only `branch` successors with Dirichlet weights — the word-sequence
+    statistics an estimated n-gram LM can actually model at LVCSR
+    vocabulary sizes (a dense random bigram over 10-20k words is both
+    O(V^2) and unlearnable)."""
+    succ = {}
+    for w in [BOS] + vocab:
+        ids = rng.choice(len(vocab), branch, replace=False)
+        probs = rng.dirichlet(np.ones(branch) * 0.5)
+        succ[w] = ([vocab[i] for i in ids], np.asarray(probs))
+    return succ
+
+
+def sample_sentence_sparse(rng, succ, eos_prob: float,
+                           max_words: int) -> list[str]:
+    out: list[str] = []
+    hist = BOS
+    while len(out) < max_words:
+        if out and rng.rand() < eos_prob:
+            break
+        ws, ps = succ[hist]
+        hist = ws[rng.choice(len(ws), p=ps)]
+        out.append(hist)
+    return out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Generate a word-level "
                                 "synthetic corpus (lexicon + bigram LM)")
@@ -104,17 +137,46 @@ def main(argv=None) -> int:
     p.add_argument("--emission-noise", type=float, default=0.4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mean-seed", type=int, default=42)
+    p.add_argument("--lm-order", type=int, default=2, choices=(2, 3),
+                   help="2 = dense random bigram (exact, <=~1k words); "
+                        "3 = LVCSR mode: sparse Markov word process + "
+                        "COUNTED Witten-Bell trigram ARPA estimated "
+                        "from --lm-train-sents samples (real "
+                        "estimation mismatch, scales to 10-20k words)")
+    p.add_argument("--lm-branch", type=int, default=16,
+                   help="successors per word in the sparse process "
+                        "(--lm-order 3)")
+    p.add_argument("--lm-train-sents", type=int, default=30000,
+                   help="sampled sentences the trigram is counted from")
     args = p.parse_args(argv)
 
     os.makedirs(args.dir, exist_ok=True)
     d = args.dir
     rng = np.random.RandomState(args.seed)
 
-    lex, lm = make_language(rng, args.num_words, args.num_phones,
-                            args.min_pron, args.max_pron, args.eos_prob)
-    vocab = sorted(lex)
+    if args.lm_order == 3:
+        from kaldi_lstm_tpu.io.arpa import write_counted_arpa
+        lex = make_lexicon(rng, args.num_words, args.num_phones,
+                           args.min_pron, args.max_pron)
+        vocab = sorted(lex)
+        succ = make_sparse_process(rng, vocab, args.lm_branch)
+        lm_sents = [sample_sentence_sparse(rng, succ, args.eos_prob,
+                                           args.max_words)
+                    for _ in range(args.lm_train_sents)]
+        # unigram coverage so every word decodes (standard OOV guard)
+        lm_sents += [[w] for w in vocab]
+        counts = write_counted_arpa(f"{d}/lm.arpa", lm_sents, order=3)
+        LOG(f"counted trigram LM: {counts}")
+        lm = None
+    else:
+        lex, lm = make_language(rng, args.num_words, args.num_phones,
+                                args.min_pron, args.max_pron,
+                                args.eos_prob)
+        vocab = sorted(lex)
+        succ = None
     write_lexicon(f"{d}/lexicon.txt", lex)
-    lm.save(f"{d}/lm.arpa")
+    if lm is not None:
+        lm.save(f"{d}/lm.arpa")
     words = SymbolTable()
     words.add("<eps>", 0)
     for w in vocab:
@@ -145,10 +207,16 @@ def main(argv=None) -> int:
             TableWriter(f"ark:{d}/ali.ark", write_int_vector) as aw, \
             TableWriter(f"ark,t:{d}/text", write_text_line,
                         binary=False) as tw:
+        def draw():
+            if succ is not None:
+                return sample_sentence_sparse(rng, succ, args.eos_prob,
+                                              args.max_words)
+            return sample_sentence(rng, lm, vocab, args.max_words)
+
         for i in range(args.num_utts):
-            sent = sample_sentence(rng, lm, vocab, args.max_words)
+            sent = draw()
             while not sent:  # decoder targets need >= 1 word
-                sent = sample_sentence(rng, lm, vocab, args.max_words)
+                sent = draw()
             tids: list[int] = []
             pdfs: list[int] = []
             for j, w in enumerate(sent):
@@ -169,8 +237,9 @@ def main(argv=None) -> int:
             tw.write(key, sent)
             frames += len(pdfs)
     LOG(f"Wrote {args.num_utts} word-level utterances ({frames} frames), "
-        f"{args.num_words}-word lexicon, bigram LM, final.mdl "
-        f"({tm.num_pdfs} pdfs) to {d}")
+        f"{args.num_words}-word lexicon, "
+        f"{'counted trigram' if args.lm_order == 3 else 'bigram'} LM, "
+        f"final.mdl ({tm.num_pdfs} pdfs) to {d}")
     return 0
 
 

@@ -89,6 +89,19 @@ def main(argv=None) -> int:
     p.add_argument("--mean-seed", type=int, default=42,
                    help="seed of the per-pdf amplitude table")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-speakers", type=int, default=0,
+                   help="speaker variation: each utterance is rendered "
+                        "through one of K speaker transforms (spectral "
+                        "tilt + gain + per-bin jitter on the amplitude "
+                        "profiles); writes utt2spk. 0 = off")
+    p.add_argument("--speaker-tilt-stddev", type=float, default=0.5,
+                   help="stddev of the per-speaker log-amplitude tilt "
+                        "across mel bins (vocal-tract analogue)")
+    p.add_argument("--speaker-gain-stddev", type=float, default=0.3,
+                   help="stddev of the per-speaker overall log gain")
+    p.add_argument("--speaker-jitter-stddev", type=float, default=0.15,
+                   help="stddev of per-(speaker,bin) log jitter")
+    p.add_argument("--speaker-seed", type=int, default=1234)
     args = p.parse_args(argv)
 
     tm = TransitionModel.load(args.model_in)
@@ -103,6 +116,21 @@ def main(argv=None) -> int:
     amps = np.exp(mean_rng.randn(tm.num_pdfs, B)
                   * args.log_amp_stddev).astype(np.float32)
     rng = np.random.RandomState(args.seed)
+
+    # speaker transforms: per-speaker multiplicative log-amplitude
+    # field = tilt * linspace(-1,1,B) + gain + per-bin jitter — a crude
+    # vocal-tract/loudness analogue. Deterministic in --speaker-seed;
+    # speaker of utterance i = i mod K (utt2spk records it).
+    K = max(args.num_speakers, 0)
+    spk_amps = None
+    if K > 0:
+        srng = np.random.RandomState(args.speaker_seed)
+        ramp = np.linspace(-1.0, 1.0, B, dtype=np.float32)
+        fields = (srng.randn(K, 1) * args.speaker_tilt_stddev * ramp
+                  + srng.randn(K, 1) * args.speaker_gain_stddev
+                  + srng.randn(K, B) * args.speaker_jitter_stddev)
+        spk_amps = (amps[None] * np.exp(fields.astype(np.float32))
+                    [:, None, :])                     # [K, num_pdfs, B]
 
     # small FIFO cache: utterance lengths interleave, so keep several
     # carrier tables instead of thrashing one slot per length change
@@ -126,6 +154,8 @@ def main(argv=None) -> int:
     buffered = stream if isinstance(stream, _io.BufferedReader) \
         else _io.BufferedReader(stream)
     n = 0
+    u2s = (open(os.path.join(args.wav_dir, "utt2spk"), "w")
+           if K > 0 else None)
     with open(os.path.join(args.wav_dir, "wav.scp"), "w") as scp:
         while True:
             key = _read_key(buffered)
@@ -133,15 +163,21 @@ def main(argv=None) -> int:
                 break
             tids = read_int_vector(_read_value_header(buffered))
             pdfs = tm.transition_ids_to_pdfs(tids)
-            x = synth_utterance(pdfs, amps, carriers, shift, win,
+            a = amps if spk_amps is None else spk_amps[n % K]
+            x = synth_utterance(pdfs, a, carriers, shift, win,
                                 args.noise_rms, rng)
             x = np.clip(x * args.scale, -32000, 32000)
             path = os.path.join(args.wav_dir, f"{key}.wav")
             write_wav(path, int(fs), x)
             scp.write(f"{key} {path}\n")
+            if u2s is not None:
+                u2s.write(f"{key} spk{n % K:03d}\n")
             n += 1
+    if u2s is not None:
+        u2s.close()
     LOG(f"synthesized {n} wav files ({tm.num_pdfs} pdf profiles, "
-        f"{B} mel carriers) in {args.wav_dir}")
+        f"{B} mel carriers"
+        + (f", {K} speakers" if K else "") + f") in {args.wav_dir}")
     return 0
 
 

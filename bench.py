@@ -179,10 +179,10 @@ def main():
     nnet, params = Nnet.init_from_proto(PROTO, jax.random.PRNGKey(0))
 
     # reference configuration: S=4, Tbptt=20. Tiny steps are
-    # tunnel-noise bound (23% spread in r03); 5 repeats + an explicit
+    # tunnel-noise bound (23% spread in r03); 9 repeats + an explicit
     # indicative flag when the spread stays >5% (VERDICT r3 weak #5)
     base, base_spread = measure("reference config S=4", nnet, params, S=4,
-                                repeats=5)
+                                repeats=9)
     details["reference_S4"] = round(base, 1)
     details["reference_S4_spread"] = round(base_spread, 4)
     details["reference_S4_indicative"] = base_spread > 0.05

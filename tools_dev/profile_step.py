@@ -98,8 +98,17 @@ def parse(trace_dir, iters, G):
     print(f"device total {total * per_step:.3f} ms/step "
           f"({iters} iters x G={G})")
     rows = sorted(by_name.items(), key=lambda kv: -kv[1])
-    for name, dur in rows[:28]:
+    for name, dur in rows[:40]:
         print(f"  {dur * per_step:7.3f} ms  {name[:100]}")
+    # the sub-0.1 ms tail (VERDICT r4 #6 fusion slack): how many ops,
+    # how much total, and what they are
+    tail = [(n, d) for n, d in rows if d * per_step < 0.1]
+    tail_total = sum(d for _, d in tail) * per_step
+    print(f"sub-0.1ms tail: {len(tail)} ops, {tail_total:.3f} ms/step "
+          f"({100 * tail_total / max(total * per_step, 1e-9):.1f}% of "
+          f"device)")
+    for name, dur in tail[:40]:
+        print(f"    {dur * per_step:7.4f} ms  {name[:100]}")
     return 0
 
 

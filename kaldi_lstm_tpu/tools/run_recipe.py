@@ -65,6 +65,13 @@ def main(argv=None) -> int:
                    help="newbob: don't halve before this many iters")
     p.add_argument("--start-halving-impr", type=float, default=0.01)
     p.add_argument("--end-halving-impr", type=float, default=0.001)
+    p.add_argument("--reject-blowup", type=float, default=2.0,
+                   help="newbob: reject an iteration whose CV loss "
+                        "exceeds this factor of the previous loss even "
+                        "within min/keep-lr iters (a diverged epoch "
+                        "must not become the training base; upstream "
+                        "train_scheduler.sh force-accepts). 0 = exact "
+                        "upstream behavior")
     p.add_argument("--step-group", type=int, default=1,
                    help="passed to the trainer (grouped device step)")
     p.add_argument("--bf16", default="false",
@@ -254,8 +261,23 @@ def _newbob(args, d: str, common: list, learn_rate: float) -> int:
             return rc
         loss_new = cv(nxt)
         loss_prev = loss
-        if (loss_new < loss or it <= args.keep_lr_iters
-                or it <= args.min_iters):
+        # Divergence guard (beyond upstream, round 5): train_scheduler.sh
+        # force-accepts within min/keep iters even when CV got WORSE,
+        # so a diverged iteration (loss doubling or more) becomes the
+        # base of all later training — measured twice on the hard-16624
+        # configs (CV 9.7 -> 20.7 accepted at 4x; 2.6 -> 463 accepted
+        # at LVCSR scale), after which halving "recovers" from garbage
+        # weights. A blowup is rejected unconditionally; halving then
+        # retries from the last GOOD model at a lower rate.
+        blowup = (args.reject_blowup > 0
+                  and loss_new > args.reject_blowup * max(loss, 1e-10))
+        if blowup:
+            LOG(f"nnet REJECTED on blowup ({os.path.basename(nxt)}): "
+                f"AvgLoss {loss_new:.6f} > {args.reject_blowup:g} x "
+                f"{loss:.6f} — diverged iteration, keeping "
+                f"{os.path.basename(cur)}")
+        if not blowup and (loss_new < loss or it <= args.keep_lr_iters
+                           or it <= args.min_iters):
             # accept
             loss = loss_new
             cur = final = nxt

@@ -98,6 +98,36 @@ def test_newbob_rejected_restarts_from_previous(tmp_path, monkeypatch):
     assert (d / "nnet" / "nnet.iter3").read_text() == "M0++"
 
 
+def test_newbob_blowup_rejected_within_min_iters(tmp_path, monkeypatch):
+    """A diverged iteration (CV loss doubling) is rejected even inside
+    min_iters (round-5 guard: upstream force-accepts and the diverged
+    model becomes the training base — measured failure mode on the
+    hard-16624 configs); halving then retries from the good model."""
+    # base 10.0; it1 9.0 accepted; it2 463.0 = BLOWUP -> rejected
+    # despite min_iters 3; halving on; it3 trains FROM it1 at lr 0.5,
+    # 8.0 accepted; it4 7.995 accepted then stop on end-halving
+    rc, stub, d = _run(tmp_path, [10.0, 9.0, 463.0, 8.0, 7.995],
+                       monkeypatch, extra=["--min-iters", "3"])
+    assert rc == 0
+    assert os.path.exists(d / "nnet" / "nnet.iter2_rejected")
+    # iter3 restarted from iter1's weights (one '+'), not the blowup
+    assert (d / "nnet" / "nnet.iter3").read_text() == "M0++"
+    assert stub.train_lrs == [1.0, 1.0, 0.5, 0.25]
+    assert (d / "final.nnet").read_text() == "M0+++"
+
+
+def test_newbob_blowup_guard_off_restores_upstream(tmp_path, monkeypatch):
+    """--reject-blowup 0 reproduces exact train_scheduler.sh behavior:
+    the diverged iteration is force-accepted within min_iters."""
+    rc, stub, d = _run(tmp_path, [10.0, 9.0, 463.0, 8.0, 7.995],
+                       monkeypatch,
+                       extra=["--min-iters", "3", "--reject-blowup", "0"])
+    assert rc == 0
+    # iter2 accepted (no _rejected file); iter3 built on top of it
+    assert not os.path.exists(d / "nnet" / "nnet.iter2_rejected")
+    assert (d / "nnet" / "nnet.iter3").read_text() == "M0+++"
+
+
 @pytest.mark.slow
 def test_newbob_e2e_learns(tmp_path):
     """Real run on a learnable synthetic task: newbob terminates and the

@@ -52,6 +52,22 @@ from kaldi_lstm_tpu.models.components import (
 from kaldi_lstm_tpu.models.nnet import Nnet
 
 
+def strip_leading_timeshift(nnet: Nnet, params, targets_delay: int
+                            ) -> tuple[Nnet, tuple, int]:
+    """Pop a leading TimeShift component for streaming use: its shift
+    becomes the default lookahead delay (when targets_delay < 0), since
+    streaming applies the delay as per-session buffering instead of a
+    component (see _ShiftBuffer). Shared by the serving CLIs."""
+    comps, plist = list(nnet.components), list(params)
+    delay = targets_delay
+    if comps and isinstance(comps[0], TimeShift):
+        if delay < 0:
+            delay = comps[0].shift
+        comps.pop(0)
+        plist.pop(0)
+    return Nnet(comps), tuple(plist), max(delay, 0)
+
+
 class OnlineDecoder:
     """Incremental Viterbi beam search. Feed [t, num_pdfs] scaled
     log-likelihood chunks via `advance`; `partial()` gives the current
@@ -356,13 +372,10 @@ class OnlineBatchScorer:
     def _fetch(self, y) -> np.ndarray:
         if self.top_p <= 0:
             return np.asarray(y)
-        vals = np.asarray(y[0], np.float32)          # [N, t, P]
-        idx = np.asarray(y[1])                       # [N, t, P] int32
-        floor = vals.min(axis=-1, keepdims=True) - self.floor_margin
-        out = np.broadcast_to(
-            floor, vals.shape[:2] + (self.num_pdfs,)).copy()
-        np.put_along_axis(out, idx.astype(np.int64), vals, axis=-1)
-        return out
+        from kaldi_lstm_tpu.decode.scoring import dense_from_topk
+        return dense_from_topk(np.asarray(y[0], np.float32),
+                               np.asarray(y[1]), self.num_pdfs,
+                               self.floor_margin)
 
     def score(self, feats: np.ndarray,
               lengths: Optional[np.ndarray] = None

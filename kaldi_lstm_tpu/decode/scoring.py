@@ -37,6 +37,22 @@ def log_priors_from_counts(counts: np.ndarray, prior_scale: float = 1.0,
         np.maximum(priors, prior_floor)).astype(np.float32)
 
 
+def dense_from_topk(vals: np.ndarray, idx: np.ndarray, num_pdfs: int,
+                    floor_margin: float) -> np.ndarray:
+    """Reconstruct dense [..., num_pdfs] log-likelihood rows from a
+    device-pruned (top-P values, int32 indices) pair: unfetched pdfs
+    read the per-frame floor ``min(fetched values) - floor_margin``.
+    Shared by AmScorer and OnlineBatchScorer (one implementation, one
+    semantics)."""
+    vals = np.asarray(vals, np.float32)
+    floor = vals.min(axis=-1, keepdims=True) - floor_margin
+    out = np.broadcast_to(floor,
+                          vals.shape[:-1] + (num_pdfs,)).copy()
+    np.put_along_axis(out, np.asarray(idx).astype(np.int64), vals,
+                      axis=-1)
+    return out
+
+
 class AmScorer:
     """Batched whole-utterance AM scoring (see module docstring).
 
@@ -81,6 +97,13 @@ class AmScorer:
         self.bucket = max(length_bucket, 1)
         self.pipeline = bool(pipeline)
         self.top_p = int(top_p)
+        if self.top_p > 0 and not (apply_log or no_softmax):
+            # probability-domain output would make both the top-k
+            # ranking (prior subtraction happens host-side there) and
+            # the min-minus-margin floor wrong
+            raise ValueError(
+                "top_p pruned fetch requires log-domain output "
+                "(apply_log or no_softmax)")
         self.floor_margin = float(floor_margin)
         self.num_pdfs = nnet.output_dim
         lp_dev = None if log_prior is None else jnp.asarray(log_prior)
@@ -118,13 +141,9 @@ class AmScorer:
         (reconstructing from the pruned (vals, idx) pair with top_p)."""
         if self.top_p <= 0:
             return np.asarray(y, np.float32)
-        vals = np.asarray(y[0], np.float32)          # [B, T, P]
-        idx = np.asarray(y[1])                       # [B, T, P] int32
-        floor = vals.min(axis=-1, keepdims=True) - self.floor_margin
-        out = np.broadcast_to(
-            floor, vals.shape[:2] + (self.num_pdfs,)).copy()
-        np.put_along_axis(out, idx.astype(np.int64), vals, axis=-1)
-        return out
+        return dense_from_topk(np.asarray(y[0], np.float32),
+                               np.asarray(y[1]), self.num_pdfs,
+                               self.floor_margin)
 
     def _postprocess(self, y: np.ndarray) -> np.ndarray:
         # device path already applied log-softmax / prior subtraction

@@ -125,7 +125,12 @@ class StickySessionServer:
         self.slots: list[Optional[_Session]] = [None] * self.n_slots
         self.waiting: deque[_Session] = deque()
         self.sessions: "OrderedDict[str, _Session]" = OrderedDict()
-        self.closed: set[str] = set()   # finalized sids; late audio dropped
+        # finalized sids (late audio dropped) — BOUNDED: a long-running
+        # server finalizes millions of sessions; keep only the most
+        # recent window (late audio for a session older than ~65k
+        # finalizations is indistinguishable from a new session)
+        self.closed: "OrderedDict[str, None]" = OrderedDict()
+        self.max_closed = 65536
         self.results: list[ServeResult] = []
         # occupancy accounting for the serving report
         self.ticks = 0
@@ -152,11 +157,13 @@ class StickySessionServer:
 
     def end_stream(self, sid: str) -> None:
         """No more audio for this session; it finalizes once its buffer
-        drains (or immediately if already empty)."""
+        drains (or immediately if already empty). Unknown/closed sids
+        return gracefully (submit on an unknown sid creates it; a
+        reordered or dropped first chunk must not crash the loop)."""
         if sid in self.closed:
             return
-        s = self.sessions[sid]
-        if s.eos:
+        s = self.sessions.get(sid)
+        if s is None or s.eos:
             return
         s.eos = True
         tail = s.shift.flush()
@@ -180,7 +187,9 @@ class StickySessionServer:
         self.results.append(ServeResult(
             sid=s.sid, result=s.decoder.finalize(),
             n_frames=s.n_frames, endpointed=endpointed))
-        self.closed.add(s.sid)
+        self.closed[s.sid] = None
+        while len(self.closed) > self.max_closed:
+            self.closed.popitem(last=False)
         i = s.slot
         self.slots[i] = None
         s.slot = -1

@@ -94,6 +94,15 @@ def main(argv=None) -> int:
     source = scorer.score_stream(
         SequentialMatrixReader(args.feature_rspecifier))
     if args.lattice_wspecifier:
+        # in lattice mode the positional trans_wspecifier IS the
+        # transcript output; a conflicting --transcript-wspecifier
+        # would be silently dead — reject it instead
+        if args.transcript_wspecifier and \
+                args.transcript_wspecifier != args.trans_wspecifier:
+            print("nnet-decode: with --lattice-wspecifier, transcripts "
+                  "go to the positional <trans-wspecifier>; do not also "
+                  "pass --transcript-wspecifier", file=sys.stderr)
+            return 1
         args.transcript_wspecifier = args.trans_wspecifier
         rc = latgen_source(tm, graph, source, args)
     else:

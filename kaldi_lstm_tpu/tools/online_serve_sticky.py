@@ -27,12 +27,13 @@ import sys
 
 import numpy as np
 
+from kaldi_lstm_tpu.decode.online import strip_leading_timeshift
+from kaldi_lstm_tpu.decode.scoring import log_priors_from_counts
 from kaldi_lstm_tpu.decode.serve import EndpointConfig, StickySessionServer
 from kaldi_lstm_tpu.io.kaldi_io import SequentialMatrixReader, TableWriter
 from kaldi_lstm_tpu.io.lang import write_text_line
-from kaldi_lstm_tpu.models.components import TimeShift
 from kaldi_lstm_tpu.models.nnet import Nnet
-from kaldi_lstm_tpu.tools.decode_faster import graph_from_args
+from kaldi_lstm_tpu.tools.decode_faster import add_graph_args, graph_from_args
 from kaldi_lstm_tpu.tools.nnet_forward import read_class_frame_counts
 from kaldi_lstm_tpu.utils import LOG
 
@@ -42,21 +43,16 @@ def main(argv=None) -> int:
         description="Sticky-session streaming decoding: slot-bound "
                     "sessions with heterogeneous chunk arrival")
     p.add_argument("nnet")
-    p.add_argument("model")
-    p.add_argument("lexicon")
-    p.add_argument("arpa", help='ARPA LM file, or "none"')
+    add_graph_args(p)
     p.add_argument("feature_rspecifier")
     p.add_argument("trans_wspecifier")
     p.add_argument("--feature-transform", default="")
     p.add_argument("--class-frame-counts", default="")
     p.add_argument("--prior-scale", type=float, default=1.0)
     p.add_argument("--prior-floor", type=float, default=1e-10)
-    p.add_argument("--word-symbol-table", default="")
     p.add_argument("--acoustic-scale", type=float, default=0.1)
     p.add_argument("--beam", type=float, default=16.0)
     p.add_argument("--max-active", type=int, default=0)
-    p.add_argument("--sil-phone", type=int, default=0)
-    p.add_argument("--sil-prob", type=float, default=0.0)
     p.add_argument("--num-slots", type=int, default=16)
     p.add_argument("--chunk-frames", type=int, default=20)
     p.add_argument("--targets-delay", type=int, default=-1,
@@ -81,16 +77,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     nnet, params = Nnet.read(args.nnet)
-    comps, plist = list(nnet.components), list(params)
-    delay = args.targets_delay
-    if comps and isinstance(comps[0], TimeShift):
-        if delay < 0:
-            delay = comps[0].shift
-        comps.pop(0)
-        plist.pop(0)
-    if delay < 0:
-        delay = 0
-    nnet, params = Nnet(comps), tuple(plist)
+    nnet, params, delay = strip_leading_timeshift(nnet, params,
+                                                  args.targets_delay)
 
     transf, transf_params = (Nnet.read(args.feature_transform)
                              if args.feature_transform else (None, None))
@@ -98,10 +86,9 @@ def main(argv=None) -> int:
 
     log_prior = None
     if args.class_frame_counts:
-        counts = read_class_frame_counts(args.class_frame_counts)
-        priors = counts / max(counts.sum(), 1.0)
-        log_prior = args.prior_scale * np.log(
-            np.maximum(priors, args.prior_floor)).astype(np.float32)
+        log_prior = log_priors_from_counts(
+            read_class_frame_counts(args.class_frame_counts),
+            args.prior_scale, args.prior_floor)
 
     endpoint = None
     if args.endpoint_silence_pdfs:
@@ -139,6 +126,12 @@ def main(argv=None) -> int:
                 break
             key, mat = nxt
             srv.submit(key, np.zeros((0, mat.shape[1]), np.float32))
+            if len(mat) == 0:
+                # a zero-length utterance never enters the delivery
+                # loop — close it now or its cursor wedges the exit
+                # condition forever
+                srv.end_stream(key)
+                continue
             cursors[key] = [np.asarray(mat, np.float32), 0]
         # live sessions deliver ragged chunks
         for key in list(cursors):

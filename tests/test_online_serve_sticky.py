@@ -41,6 +41,26 @@ def test_sticky_cli_delay_matches_offline(corpus):  # noqa: F811
     assert srv == off
 
 
+def test_sticky_cli_zero_length_utterance(corpus, tmp_path):  # noqa: F811
+    """A zero-length feature matrix must finalize as an empty result,
+    not wedge the serving loop (review finding)."""
+    import numpy as np
+
+    from kaldi_lstm_tpu.io.kaldi_io import MatrixWriter
+    d = corpus
+    with MatrixWriter(f"ark,scp:{tmp_path}/z.ark,{tmp_path}/z.scp") as w:
+        w.write("empty00", np.zeros((0, 8), np.float32))
+        w.write("one00", np.zeros((3, 8), np.float32))
+    from kaldi_lstm_tpu.tools.online_serve_sticky import main as serve
+    assert serve([f"{d}/final.nnet", f"{d}/final.mdl",
+                  f"{d}/lexicon.txt", f"{d}/lm.arpa",
+                  f"scp:{tmp_path}/z.scp", f"ark,t:{tmp_path}/h.txt",
+                  "--num-slots", "2", "--chunk-frames", "5"]) == 0
+    keys = [ln.split()[0] for ln in open(f"{tmp_path}/h.txt")
+            if ln.strip()]
+    assert "empty00" in keys and "one00" in keys
+
+
 def test_sticky_cli_endpointing_runs(corpus):  # noqa: F811
     """Endpoint flags wire through; with an absurd silence set (all
     pdfs) every session endpoints early."""

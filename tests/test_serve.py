@@ -218,6 +218,32 @@ def test_slot_rebind_after_endpoint(world):
     assert all(r.endpointed for r in srv.results)
 
 
+def test_end_stream_unknown_sid_graceful(world):
+    """end_stream for a never-submitted sid must not crash the serving
+    loop (review finding: dropped/reordered first chunk)."""
+    srv = _server(world, n_slots=1)
+    srv.end_stream("never-submitted")   # no KeyError
+    srv.drain()
+    assert srv.results == []
+
+
+def test_topp_requires_log_domain():
+    """AmScorer rejects top_p in probability domain (review finding:
+    the ranking and the floor are only correct on log-likelihoods)."""
+    import jax
+
+    from kaldi_lstm_tpu.decode.scoring import AmScorer
+    from kaldi_lstm_tpu.models import Nnet
+    proto = """<NnetProto>
+<AffineTransform> <InputDim> 4 <OutputDim> 5 <ParamStddev> 0.1
+<Softmax> <InputDim> 5 <OutputDim> 5
+</NnetProto>"""
+    nnet, params = Nnet.init_from_proto(proto, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="log-domain"):
+        AmScorer(nnet, params, top_p=2)
+    AmScorer(nnet, params, top_p=2, apply_log=True)  # fine
+
+
 def test_late_audio_after_endpoint_dropped(world):
     from kaldi_lstm_tpu.decode.serve import EndpointConfig
     w = world

@@ -153,8 +153,11 @@ def main(argv=None) -> int:
             k, m = feats[i_next]
             sid = f"s{i_next:05d}"
             srv.submit(sid, m[:0])
-            cursors[sid] = (m, 0)
             arrive_tick[sid] = tick
+            if len(m) == 0:
+                srv.end_stream(sid)   # empty utterance: close now
+            else:
+                cursors[sid] = (m, 0)
             i_next += 1
         # each live session streams one chunk per tick
         for sid in list(cursors):

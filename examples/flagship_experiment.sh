@@ -223,7 +223,9 @@ if [ ! -f "$final_nnet" ]; then
   # SIGPIPE into a spurious abort (CLAUDE.md). Capture and pick newest.
   final_nnet=""
   for f in "$dir"/exp/nnet/nnet.iter*; do
-    [ -f "$f" ] || continue
+    # -s, not -f: killed runs leave ZERO-BYTE model files (CLAUDE.md)
+    # and the newest file is exactly the truncated one
+    [ -s "$f" ] || continue
     if [ -z "$final_nnet" ] || [ "$f" -nt "$final_nnet" ]; then
       final_nnet=$f
     fi

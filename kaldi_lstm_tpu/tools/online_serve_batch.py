@@ -40,7 +40,6 @@ from kaldi_lstm_tpu.io.lang import (
     write_text_line,
 )
 from kaldi_lstm_tpu.io.transition_model import TransitionModel
-from kaldi_lstm_tpu.models.components import TimeShift
 from kaldi_lstm_tpu.models.nnet import Nnet
 from kaldi_lstm_tpu.tools.nnet_forward import read_class_frame_counts
 from kaldi_lstm_tpu.utils import LOG
@@ -91,17 +90,9 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     nnet, params = Nnet.read(args.nnet)
-    comps, plist = list(nnet.components), list(params)
-    delay = args.targets_delay
-    if comps and isinstance(comps[0], TimeShift):
-        if delay < 0:
-            delay = comps[0].shift
-        comps.pop(0)
-        plist.pop(0)
-    if delay < 0:
-        delay = 0
-    nnet = Nnet(comps)
-    params = tuple(plist)
+    from kaldi_lstm_tpu.decode.online import strip_leading_timeshift
+    nnet, params, delay = strip_leading_timeshift(nnet, params,
+                                                  args.targets_delay)
 
     transf, transf_params = (Nnet.read(args.feature_transform)
                              if args.feature_transform else (None, None))

@@ -292,9 +292,17 @@ def fused_loss_and_stats(lse, picked, aidx, ids, tw, mask):
     xent = jnp.sum((wtot * lse - picked) * m)
     ent = -jnp.sum(jnp.sum(jnp.where(tw > 0, tw * jnp.log(
         jnp.maximum(tw, 1e-20)), 0.0), -1) * m)
-    tgt_best = jnp.take_along_axis(
-        ids, jnp.argmax(jnp.where(tw > 0, tw, -jnp.inf), -1,
-                        keepdims=True), -1)[..., 0]
+    if ids.shape[-1] == 1:
+        # Km == 1 (alignment targets, the training path): the generic
+        # gather below lowers to a 0.08 ms/step kCustom scatter-gather
+        # on v5e (trace row fusion.42, BENCH_NOTES round 5) for what is
+        # a no-op pick — argmax over one candidate is index 0 whether
+        # its weight is positive (tw) or clamped to -inf.
+        tgt_best = ids[..., 0]
+    else:
+        tgt_best = jnp.take_along_axis(
+            ids, jnp.argmax(jnp.where(tw > 0, tw, -jnp.inf), -1,
+                            keepdims=True), -1)[..., 0]
     correct = jnp.sum((aidx == tgt_best) * m)
     frames = jnp.sum(m)
     aux = LossAux(xent=jax.lax.stop_gradient(xent),

@@ -82,9 +82,15 @@ def masked_xent_loss(logits: jax.Array, tgt_ids: jax.Array,
     # weighted by the (possibly fractional) frame mask, upstream
     # CountCorrectFramesWeighted / frames_ += frame_weights.Sum()
     pred = jnp.argmax(logits, axis=-1)                         # [S,T]
-    tw = jnp.where(w > 0, w, -jnp.inf)
-    tgt_best = jnp.take_along_axis(
-        tgt_ids, jnp.argmax(tw, -1, keepdims=True), -1)[..., 0]
+    if tgt_ids.shape[-1] == 1:
+        # Kmax == 1 (alignment targets): argmax over one candidate is
+        # index 0 regardless of its weight — skip the generic gather
+        # (it lowers poorly on TPU; see fused_loss_and_stats)
+        tgt_best = tgt_ids[..., 0]
+    else:
+        tw = jnp.where(w > 0, w, -jnp.inf)
+        tgt_best = jnp.take_along_axis(
+            tgt_ids, jnp.argmax(tw, -1, keepdims=True), -1)[..., 0]
     correct = jnp.sum((pred == tgt_best) * m)
     frames = jnp.sum(m)
 

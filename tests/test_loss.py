@@ -87,3 +87,33 @@ def test_report_format():
     rep = stats.report()
     assert "AvgLoss:" in rep and "(Xent)" in rep
     assert "FRAME_ACCURACY >> 62.5% <<" in rep
+
+
+def test_kmax1_fast_path_matches_general_gather():
+    """The Km==1 static special-case (skip the take_along_axis/argmax
+    pick; BENCH_NOTES round 5 fusion.42) must equal the general path:
+    pad the same targets to Km=2 with a zero-weight entry and compare
+    loss + stats exactly."""
+    logits, ids, w, mask = make_batch(seed=3, kmax=1)
+    loss1, aux1 = masked_xent_loss(logits, ids, w, mask)
+    ids2 = jnp.concatenate([ids, jnp.zeros_like(ids)], -1)
+    w2 = jnp.concatenate([w, jnp.zeros_like(w)], -1)
+    loss2, aux2 = masked_xent_loss(logits, ids2, w2, mask)
+    assert float(loss1) == float(loss2)
+    assert int(aux1.correct) == int(aux2.correct)
+    assert float(aux1.entropy) == float(aux2.entropy)
+
+    from kaldi_lstm_tpu.ops.xent_pallas import fused_affine_xent
+    rng = np.random.RandomState(7)
+    N, R = S * T, 6
+    r = jnp.asarray(rng.randn(N, R).astype(np.float32))
+    wk = jnp.asarray(rng.randn(K, R).astype(np.float32))
+    b = jnp.asarray(rng.randn(K).astype(np.float32))
+    fids = ids.reshape(N, 1)
+    fw = w.reshape(N, 1)
+    fm = mask.reshape(N)
+    (l1, a1) = fused_affine_xent(r, wk, b, fids, fw, fm, True)
+    (l2, a2) = fused_affine_xent(r, wk, b, ids2.reshape(N, 2),
+                                 w2.reshape(N, 2), fm, True)
+    assert float(l1) == float(l2)
+    assert int(a1.correct) == int(a2.correct)

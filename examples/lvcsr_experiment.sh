@@ -34,6 +34,22 @@ NSTREAM=${KLT_NSTREAM:-256} CELL=${KLT_CELL:-800} RECUR=${KLT_RECUR:-512}
 GROUP=${KLT_GROUP:-16}
 BEAMS=${KLT_BEAMS:-9,11,13,15}
 MAXACT=${KLT_MAXACT:-3000,7000}
+# MEASURED at this scale: with a 10k-word counted trigram (sparse ->
+# weak LM mass per arc) and sharp log-lik AMs, acwt 1.0 lets the
+# acoustics drown the LM and finals: 37.4 %WER on a CV subset where
+# acwt 0.1 scores 1.85% (monotone through 0.2: 11.5, 0.15: 5.6,
+# 0.08-0.05: 1.85). Kaldi's classic LVCSR operating point applies.
+ACWT=${KLT_ACWT:-0.1}
+# LR default is MEASURED at this scale (9.16 h, 3.28M frames/epoch):
+# 3e-4 diverges in epoch 2 (CV 2.56 -> 463, caught by --reject-blowup
+# but the forced-halving cascade then lands 13% worse CV than a stable
+# run); 1e-4 is the best stable rate (CV 0.676 vs 0.683 at 5e-5).
+LR=${KLT_LR:-1e-4}
+# 2 = deep 2xLSTMP via the FAQ Q2 freeze-stack flow (the 1-layer exp
+# model becomes the trunk); the deep fine-tune runs at LR/2 — the
+# fine-tune is the divergence-prone stage (CLAUDE.md: stable LR shrinks
+# with corpus size and with depth).
+LAYERS=${KLT_LAYERS:-1}
 
 stamp() { date +%s.%N; }
 log_stage() {
@@ -130,7 +146,7 @@ if [ ! -f "$dir/exp/.done" ]; then
       --cv-targets "ark:$dir/targets/post.ark" \
       --proto "$dir/nnet.proto" --dir "$dir/exp" \
       --feature-transform "$dir/feats/feature_transform.nnet.txt" \
-      --scheduler newbob --learn-rate ${KLT_LR:-3e-4} \
+      --scheduler newbob --learn-rate $LR \
       --max-iters ${KLT_MAX_ITERS:-14} --min-iters ${KLT_MIN_ITERS:-4} \
       --grad-clip ${KLT_GRAD_CLIP:-50} \
       --num-stream $NSTREAM --batch-size 20 --targets-delay 0 \
@@ -139,11 +155,66 @@ if [ ! -f "$dir/exp/.done" ]; then
   touch "$dir/exp/.done"
 fi
 
-final_nnet=$dir/exp/final.nnet
+# Deep stack (KLT_LAYERS=2): fresh LSTMP-2 + fresh senone affine over
+# the FROZEN 1-layer trunk (<LearnRateCoef> 0), then unfreeze and
+# fine-tune at LR/2 — the flagship_experiment.sh FAQ Q2 flow at LVCSR
+# scale (see REPORT.md / examples/LVCSR_REPORT.md for measured CV/WER).
+if [ "$LAYERS" -ge 2 ] && [ ! -f "$dir/stack/.done" ]; then
+  t0=$(stamp)
+  mkdir -p "$dir/stack"
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.nnet_edit \
+      "$dir/exp/final.nnet" "$dir/stack/nnet.init" \
+      --remove-at 2 --insert-at 2 \
+      --proto-line "<LstmProjectedStreams> <InputDim> $RECUR <OutputDim> $RECUR <CellDim> $CELL <ParamScale> 0.01 <NumStream> 4
+<AffineTransform> <InputDim> $RECUR <OutputDim> $NPDFS <ParamStddev> 0.04" \
+      --set-learn-rate-coef 1=0
+  python -m kaldi_lstm_tpu.tools.run_recipe \
+      --tr-feats "scp:$dir/feats/tr.scp" \
+      --tr-targets "ark:$dir/targets/post.ark" \
+      --cv-feats "scp:$dir/feats/cv.scp" \
+      --cv-targets "ark:$dir/targets/post.ark" \
+      --dir "$dir/stack" \
+      --feature-transform "$dir/feats/feature_transform.nnet.txt" \
+      --scheduler newbob --learn-rate $LR \
+      --max-iters ${KLT_STACK_ITERS:-10} --min-iters ${KLT_STACK_ITERS:-10} \
+      --keep-lr-iters ${KLT_STACK_KEEP_LR:-8} \
+      --grad-clip ${KLT_GRAD_CLIP:-50} \
+      --num-stream $NSTREAM --batch-size 20 --targets-delay 0 \
+      --step-group $GROUP --bf16 true --dump-interval 2000000
+  log_stage "stack layer 2 on frozen trunk (FAQ Q2 flow)" "$t0"
+  touch "$dir/stack/.done"
+fi
+if [ "$LAYERS" -ge 2 ] && [ ! -f "$dir/deep/.done" ]; then
+  t0=$(stamp)
+  mkdir -p "$dir/deep"
+  "${CPU[@]}" python -m kaldi_lstm_tpu.tools.nnet_edit \
+      "$dir/stack/final.nnet" "$dir/deep/nnet.init" \
+      --set-learn-rate-coef 1=1
+  ftlr=$("${CPU[@]}" python -c "print(f'{$LR/2:.2e}')")
+  python -m kaldi_lstm_tpu.tools.run_recipe \
+      --tr-feats "scp:$dir/feats/tr.scp" \
+      --tr-targets "ark:$dir/targets/post.ark" \
+      --cv-feats "scp:$dir/feats/cv.scp" \
+      --cv-targets "ark:$dir/targets/post.ark" \
+      --dir "$dir/deep" \
+      --feature-transform "$dir/feats/feature_transform.nnet.txt" \
+      --scheduler newbob --learn-rate "$ftlr" \
+      --max-iters ${KLT_MAX_ITERS:-16} --min-iters ${KLT_MIN_ITERS:-4} \
+      --keep-lr-iters ${KLT_FT_KEEP_LR:-5} \
+      --grad-clip ${KLT_GRAD_CLIP:-50} \
+      --num-stream $NSTREAM --batch-size 20 --targets-delay 0 \
+      --step-group $GROUP --bf16 true --dump-interval 2000000
+  log_stage "deep fine-tune (unfrozen, LR/2)" "$t0"
+  touch "$dir/deep/.done"
+fi
+
+expdir=$dir/exp
+[ "$LAYERS" -ge 2 ] && expdir=$dir/deep
+final_nnet=$expdir/final.nnet
 if [ ! -f "$final_nnet" ]; then
   final_nnet=""
-  for f in "$dir"/exp/nnet/nnet.iter*; do
-    [ -f "$f" ] || continue
+  for f in "$expdir"/nnet/nnet.iter*; do
+    [ -s "$f" ] || continue
     if [ -z "$final_nnet" ] || [ "$f" -nt "$final_nnet" ]; then
       final_nnet=$f
     fi
@@ -172,7 +243,7 @@ if [ ! -f "$dir/score/.sweep" ]; then
   "${CPU[@]}" python tools_dev/beam_sweep.py \
       "$dir/lang/final.mdl" "$dir/lang/lexicon.txt" "$dir/lang/lm.arpa" \
       "ark:$dir/score/loglik.ark" "$dir/score/text.cv" \
-      --word-symbol-table "$dir/lang/words.txt" --acoustic-scale 1.0 \
+      --word-symbol-table "$dir/lang/words.txt" --acoustic-scale $ACWT \
       --beams "$BEAMS" --max-active "$MAXACT" \
       | tee "$dir/score/sweep.md"
   {
@@ -195,7 +266,7 @@ if [ ! -f "$dir/score/.fused" ]; then
       "$final_nnet" \
       "$dir/lang/final.mdl" "$dir/lang/lexicon.txt" "$dir/lang/lm.arpa" \
       "scp:$dir/feats/cv.scp" "ark,t:$dir/score/hyp.txt" \
-      --word-symbol-table "$dir/lang/words.txt" --acoustic-scale 1.0 \
+      --word-symbol-table "$dir/lang/words.txt" --acoustic-scale $ACWT \
       --beam "${KLT_OP_BEAM:-13}" --max-active "${KLT_OP_MAXACT:-7000}" \
       --top-p "${KLT_EVAL_TOPP:-0}" --num-threads 2
   wer_out=$("${CPU[@]}" python -m kaldi_lstm_tpu.tools.compute_wer \

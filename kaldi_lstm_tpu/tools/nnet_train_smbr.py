@@ -60,6 +60,13 @@ def main(argv=None) -> int:
                    help="train on log-likelihoods (log-posterior minus "
                         "log-prior) instead of log-posteriors")
     p.add_argument("--length-bucket", type=int, default=128)
+    p.add_argument("--skip-nonfinite", default="false",
+                   help="on a non-finite per-utt expected accuracy, "
+                        "revert that utterance's update and continue "
+                        "(counted under 'other errors') instead of "
+                        "aborting — for weak/noisy AMs where an "
+                        "occasional utterance destabilizes the "
+                        "sequence criterion")
     p.add_argument("--verbose", type=int, default=0)
     args = p.parse_args(argv)
     from kaldi_lstm_tpu.utils import enable_compilation_cache
@@ -159,11 +166,18 @@ def main(argv=None) -> int:
         mask = np.zeros((1, T), np.float32)
         mask[0, :L] = 1.0
 
+        prev = (params, opt_state)   # functional trees: cheap to keep
         params, opt_state, obj, ea = step(
             params, opt_state, jnp.asarray(f), jnp.asarray(r),
             jnp.asarray(mask), lr)
         ea = float(ea[0])
         if not np.isfinite(ea):
+            if _bool(args.skip_nonfinite):
+                WARN(f"{key}, non-finite expected accuracy — "
+                     "reverting this update and skipping the utterance")
+                params, opt_state = prev
+                num_err += 1
+                continue
             raise FloatingPointError(
                 f"non-finite expected accuracy at {key} — bad "
                 "alignment or learning rate too high")

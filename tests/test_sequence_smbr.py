@@ -182,3 +182,50 @@ def test_smbr_training_raises_expected_accuracy(tmp_path):
     ea_of(run(d / "nnet.iter2", cv=False, out=d / "nnet.smbr"))
     after = ea_of(run(d / "nnet.smbr", cv=True))
     assert after > before, (before, after)
+
+
+def test_smbr_skip_nonfinite_reverts_and_continues(tmp_path):
+    """--skip-nonfinite: an absurd LR reliably produces a non-finite
+    per-utt expected accuracy; default behavior raises, the flag
+    reverts the poisoned update, counts the utt under 'other errors',
+    and still writes a loadable model (round-5 LVCSR lesson: one bad
+    utt/LR combination must not abort a sequence pass)."""
+    import pytest
+    from kaldi_lstm_tpu.tools.make_hmm_synth_data import main as mk
+    from kaldi_lstm_tpu.tools.nnet_initialize import main as init_main
+    from kaldi_lstm_tpu.tools.nnet_train_smbr import main as smbr_main
+
+    d = tmp_path
+    assert mk(["--dir", str(d), "--num-utts", "8", "--feat-dim", "8",
+               "--num-phones", "3", "--states-per-phone", "2",
+               "--seed", "0"]) == 0
+    proto = d / "nnet.proto"
+    proto.write_text(
+        "<NnetProto>\n"
+        "<LstmProjectedStreams> <InputDim> 8 <OutputDim> 12 <CellDim> 16"
+        " <ParamScale> 0.08 <NumStream> 4\n"
+        "<AffineTransform> <InputDim> 12 <OutputDim> 6 <ParamStddev> 0.1\n"
+        "<Softmax> <InputDim> 6 <OutputDim> 6\n"
+        "</NnetProto>\n")
+    assert init_main([str(proto), str(d / "nnet.iter0")]) == 0
+    # inject a NaN parameter: every utterance's expected accuracy is
+    # then non-finite, deterministically exercising the guard path
+    from kaldi_lstm_tpu.models import Nnet
+    import numpy as np
+    nnet0, params0 = Nnet.read(str(d / "nnet.iter0"))
+    params0 = list(params0)
+    bias_key = [k for k in params0[1] if "bias" in k][0]
+    b = np.array(params0[1][bias_key])
+    b[0] = np.nan
+    params0[1] = {**params0[1], bias_key: b}
+    nnet0.write(str(d / "nnet.bad"), params0, binary=True)
+    base = [f"scp:{d}/feats.scp", f"ark:{d}/ali.ark",
+            str(d / "final.mdl"), str(d / "nnet.bad"),
+            str(d / "nnet.smbr"),
+            "--learn-rate=2e-3", "--acoustic-scale=1.0",
+            "--length-bucket=32"]
+    with pytest.raises(FloatingPointError):
+        smbr_main(base)
+    assert smbr_main(base + ["--skip-nonfinite=true"]) == 0
+    nnet, params = Nnet.read(str(d / "nnet.smbr"))
+    assert nnet.output_dim == 6
